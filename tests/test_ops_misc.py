@@ -1,0 +1,251 @@
+"""Parity tests for accumulate, clip/replace/convert, normalization,
+converttz/date_offset/convert_index, stack/unstack/merge, core pipeline
+stages, stats verbs and peak detection — each vs the pandas/numpy
+oracle the reference verb wraps (citations in the operator modules).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstoolbox_spark.operators.accumulate import accumulate
+from tstoolbox_spark.operators.core import clean, date_slice, round_index
+from tstoolbox_spark.operators.peaks import peak_detection
+from tstoolbox_spark.operators.reshape import (
+    createts,
+    merge_columns,
+    merge_combine,
+    merge_rows,
+    stack,
+    unstack,
+)
+from tstoolbox_spark.operators.stats import (
+    add_trend,
+    autocorrelation,
+    correlation_matrix,
+    fdc,
+    gof,
+    linear_fit,
+)
+from tstoolbox_spark.operators.transform import (
+    clip,
+    convert,
+    convert_index_to_datetime,
+    convert_index_to_number,
+    converttz,
+    date_offset,
+    normalization,
+    replace,
+)
+
+from .conftest import to_sdf
+
+
+@pytest.mark.parametrize("stat", ["sum", "max", "min", "prod"])
+def test_accumulate(spark, missing_pdf, stat):
+    pdf = missing_pdf.copy()
+    pdf["value"] = pdf["value"] / 10.0 + 0.5  # keep cumprod finite
+    got = (
+        accumulate(to_sdf(spark, pdf), stat).orderBy("ts").toPandas()[f"value_cum{stat}"]
+    )
+    exp = getattr(pdf["value"], f"cum{stat}")()
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_clip_replace_convert(spark, twocol_pdf):
+    sdf = to_sdf(spark, twocol_pdf)
+    out = clip(sdf, a_min=-50, a_max=50, value_cols=["a"]).orderBy("ts").toPandas()
+    pd.testing.assert_series_equal(
+        out["a_clip"], twocol_pdf["a"].clip(-50, 50), check_names=False
+    )
+    out = convert(sdf, factor=2.5, offset=-1.0, value_cols=["a"]).orderBy("ts").toPandas()
+    pd.testing.assert_series_equal(
+        out["a_convert"], twocol_pdf["a"] * 2.5 - 1.0, check_names=False
+    )
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=4), "value": [1.0, 2.0, 3.0, 2.0]}
+    )
+    out = replace(to_sdf(spark, pdf), [2.0], [99.0]).orderBy("ts").toPandas()
+    assert out["value"].tolist() == [1.0, 99.0, 3.0, 99.0]
+
+
+@pytest.mark.parametrize("mode", ["minmax", "zscore", "pct_rank", "maxabs", "robust"])
+def test_normalization(spark, twocol_pdf, mode):
+    got = (
+        normalization(to_sdf(spark, twocol_pdf), mode, value_cols=["a"])
+        .orderBy("ts")
+        .toPandas()[f"a_{mode}"]
+    )
+    a = twocol_pdf["a"]
+    if mode == "minmax":
+        exp = (a - a.min()) / (a.max() - a.min())
+    elif mode == "zscore":
+        exp = (a - a.mean()) / a.std()
+    elif mode == "pct_rank":
+        # percent_rank = (rank-1)/(n-1), pandas analog via rank
+        exp = (a.rank(method="min") - 1) / (len(a) - 1)
+    elif mode == "maxabs":
+        exp = a / a.abs().max()
+    else:
+        q1, q2, q3 = a.quantile(0.25), a.quantile(0.5), a.quantile(0.75)
+        exp = (a - q2) / (q3 - q1)
+    pd.testing.assert_series_equal(got, exp, check_names=False, atol=1e-12)
+
+
+def test_time_transforms(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-06-01", periods=3, freq="h"), "value": [1.0, 2, 3]}
+    )
+    sdf = to_sdf(spark, pdf)
+    out = converttz(sdf, "UTC", "America/New_York").orderBy("ts").toPandas()
+    exp = (
+        pdf["ts"].dt.tz_localize("UTC").dt.tz_convert("America/New_York").dt.tz_localize(None)
+    )
+    pd.testing.assert_series_equal(out["ts"], exp, check_names=False)
+
+    out = date_offset(sdf, 3, "HOUR").orderBy("ts").toPandas()
+    pd.testing.assert_series_equal(
+        out["ts"], pdf["ts"] + pd.Timedelta(hours=3), check_names=False
+    )
+
+    out = convert_index_to_number(sdf, "julian").orderBy("ts").toPandas()
+    exp_julian = pdf["ts"].apply(lambda t: t.to_julian_date())
+    np.testing.assert_allclose(out["idx"].values, exp_julian.values)
+
+    back = convert_index_to_datetime(
+        convert_index_to_number(sdf, "unix"), "unix", ts_col="ts2"
+    ).orderBy("ts").toPandas()
+    # float64 julian-day arithmetic carries ~µs rounding (same limit as
+    # the reference's to_julian_date path) — allow 100µs.
+    drift = (back["ts2"] - pdf["ts"]).dt.total_seconds().abs()
+    assert (drift < 1e-4).all()
+
+
+def test_round_index_and_clean_and_slice(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2020-01-01 00:10", "2020-01-01 00:40", "2020-01-01 00:40", "2020-01-01 01:20"]
+            ),
+            "value": [1.0, 2.0, 2.5, 4.0],
+        }
+    )
+    sdf = to_sdf(spark, pdf)
+    out = round_index(sdf, "H", mode="round").orderBy("ts", "value").toPandas()
+    assert out["ts"].dt.strftime("%H:%M").tolist() == ["00:00", "01:00", "01:00", "01:00"]
+    out = clean(sdf).orderBy("ts").toPandas()
+    assert len(out) == 3
+    assert out["value"].tolist() == [1.0, 2.0, 4.0]
+    out = date_slice(sdf, "2020-01-01 00:20", "2020-01-01 01:00").orderBy("ts").toPandas()
+    assert out["value"].tolist() == [2.0, 2.5]
+
+
+def test_stack_unstack_roundtrip(spark, twocol_pdf):
+    sdf = to_sdf(spark, twocol_pdf)
+    long = stack(sdf)
+    assert long.columns == ["ts", "Columns", "Values"]
+    assert long.count() == 2 * len(twocol_pdf)
+    wide = unstack(long).orderBy("ts").toPandas()
+    pd.testing.assert_frame_equal(
+        wide[["ts", "a", "b"]], twocol_pdf, check_names=False
+    )
+
+
+def test_merges(spark):
+    f1 = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=3), "x": [1.0, None, 3.0]}
+    )
+    f2 = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-02", periods=3), "x": [20.0, 30.0, 40.0]}
+    )
+    s1, s2 = to_sdf(spark, f1), to_sdf(spark, f2)
+    assert merge_rows([s1, s2]).count() == 6
+    cols = merge_columns([s1, s2.withColumnRenamed("x", "y")]).orderBy("ts").toPandas()
+    assert len(cols) == 4 and "x" in cols and "y" in cols
+    comb = merge_combine([s1, s2]).orderBy("ts").toPandas()
+    # combine_first: f1 wins, f2 fills nulls/new rows
+    assert comb["x"].tolist() == [1.0, 20.0, 3.0, 40.0]
+
+
+def test_createts(spark):
+    out = createts(spark, "2020-01-01", "2020-01-02", "6H").orderBy("ts").toPandas()
+    exp = pd.date_range("2020-01-01", "2020-01-02", freq="6h")
+    assert out["ts"].tolist() == list(exp)
+
+
+def test_gof_metrics(spark, twocol_pdf):
+    pdf = twocol_pdf.copy()
+    pdf["sim"] = pdf["a"] * 1.1 + 5.0
+    out = gof(to_sdf(spark, pdf), "a", "sim").toPandas().iloc[0]
+    o, s = pdf["a"].to_numpy(), pdf["sim"].to_numpy()
+    assert np.isclose(out["bias"], (s - o).mean())
+    assert np.isclose(out["rmsd"], np.sqrt(((s - o) ** 2).mean()))
+    assert np.isclose(out["corrcoef"], np.corrcoef(o, s)[0, 1])
+    assert np.isclose(out["nse"], 1 - ((s - o) ** 2).sum() / ((o - o.mean()) ** 2).sum())
+    cc = np.corrcoef(o, s)[0, 1]
+    alpha = s.std(ddof=1) / o.std(ddof=1)
+    beta = s.mean() / o.mean()
+    kge09 = 1 - np.sqrt((cc - 1) ** 2 + (alpha - 1) ** 2 + (beta - 1) ** 2)
+    assert np.isclose(out["kge09"], kge09)
+    assert np.isclose(out["mae"], np.abs(s - o).mean())
+    d = 1 - ((s - o) ** 2).sum() / ((np.abs(s - o.mean()) + np.abs(o - o.mean())) ** 2).sum()
+    assert np.isclose(out["index_agreement"], d)
+
+
+def test_autocorrelation_and_corr_matrix(spark, twocol_pdf):
+    out = autocorrelation(to_sdf(spark, twocol_pdf), "a", [1, 2]).toPandas().iloc[0]
+    exp1 = twocol_pdf["a"].autocorr(1)
+    # pandas autocorr uses pearson on overlapping slices = engine's corr(v, lag(v))
+    assert np.isclose(out["acf_1"], exp1, atol=1e-9)
+    m = correlation_matrix(to_sdf(spark, twocol_pdf), ["a", "b"]).toPandas().iloc[0]
+    assert np.isclose(m["corr_a_b"], twocol_pdf["a"].corr(twocol_pdf["b"]))
+    ms = (
+        correlation_matrix(to_sdf(spark, twocol_pdf), ["a", "b"], method="spearman")
+        .toPandas()
+        .iloc[0]
+    )
+    # scipy-free spearman oracle: pearson of average ranks
+    exp_sp = twocol_pdf["a"].rank().corr(twocol_pdf["b"].rank())
+    assert np.isclose(ms["corr_a_b"], exp_sp)
+
+
+def test_fdc_plotting_positions(spark, twocol_pdf):
+    out = fdc(to_sdf(spark, twocol_pdf), "a", plotting_position="weibull").toPandas()
+    out = out.sort_values("exceedance").reset_index(drop=True)
+    n = len(twocol_pdf)
+    exp_probs = (np.arange(1, n + 1)) / (n + 1)
+    np.testing.assert_allclose(out["exceedance"].values, exp_probs)
+    np.testing.assert_allclose(out["a"].values, np.sort(twocol_pdf["a"].values))
+
+
+def test_linear_fit_and_detrend(spark, twocol_pdf):
+    out = linear_fit(to_sdf(spark, twocol_pdf), ["a"], remove=True).orderBy("ts").toPandas()
+    x = twocol_pdf["ts"].astype("int64").to_numpy() / 1e9
+    y = twocol_pdf["a"].to_numpy()
+    slope, intercept = np.polyfit(x, y, 1)
+    exp = y - (slope * x + intercept)
+    np.testing.assert_allclose(out["a_detrend"].values, exp, atol=1e-8)
+
+
+def test_add_trend(spark, flat_pdf):
+    out = add_trend(to_sdf(spark, flat_pdf), 0.0, 5.0).orderBy("ts").toPandas()
+    exp = np.linspace(0, 5, len(flat_pdf))
+    np.testing.assert_allclose(out["value_trend"].values, exp)
+
+
+def test_peak_detection_rel(spark):
+    vals = [0.0, 2.0, 1.0, 3.0, 0.5, 0.2, 4.0, 1.0]
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=len(vals), freq="h"), "value": vals}
+    )
+    out = (
+        peak_detection(to_sdf(spark, pdf), window=1, peaks=True, valleys=True)
+        .orderBy("ts")
+        .toPandas()
+    )
+    peaks = out["value_peak"].dropna().tolist()
+    valleys = out["value_valley"].dropna().tolist()
+    assert peaks == [2.0, 3.0, 4.0]
+    assert valleys == [1.0, 0.2]

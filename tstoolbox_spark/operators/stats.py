@@ -1,0 +1,238 @@
+"""Statistics verbs: gof (goodness-of-fit), correlation, fdc
+(flow-duration curve), remove_trend / add_trend / fit (linear).
+
+Reference semantics:
+- gof: /root/reference/tstoolbox/functions/gof.py:232-248 (16 stats;
+  formula modules under tstoolbox/skill_metrics/) — every metric is a
+  composition of avg/stddev/corr/sum over an aligned (obs, sim) pair,
+  so the whole battery is ONE aggregate pass over the joined series.
+- correlation: functions/correlation.py:125-176 (lags=0 → corr matrix;
+  else autocorrelation at the given lags).
+- calculate_fdc: functions/calculate_fdc.py:176-244 with plotting
+  positions (alpha,beta) from tsutils.py:549-572.
+- remove_trend: functions/remove_trend.py:111 (np.polyfit deg 1) —
+  closed form via regr_slope/regr_intercept aggregates.
+- fit linear: functions/fit.py:94-150.
+
+All single-shuffle aggregates or window expressions; nothing leaves
+the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: plotting-position (alpha, beta) pairs, tsutils.py:549-572
+PLOTTING_POSITIONS = {
+    "weibull": (0.0, 0.0),
+    "benard": (0.3, 0.3),
+    "filliben": (0.3175, 0.3175),
+    "yu": (0.326, 0.326),
+    "tukey": (1 / 3, 1 / 3),
+    "blom": (0.375, 0.375),
+    "cunnane": (0.4, 0.4),
+    "gringorton": (0.44, 0.44),
+    "hazen": (0.5, 0.5),
+    "larsen": (0.567, 0.567),
+    "gumbel": (1.0, 1.0),
+}
+
+
+def gof(
+    df: DataFrame,
+    obs_col: str,
+    sim_col: str,
+    key_cols: Sequence[str] = (),
+    stats: Sequence[str] | None = None,
+) -> DataFrame:
+    """Goodness-of-fit battery between two aligned columns.
+
+    Implemented metrics (names follow gof.py:232-248): bias, pc_bias,
+    apc_bias, rmsd, crmsd, corrcoef, coefdet, murphyss, nse, kge09,
+    kge12, index_agreement, mae, me(mean error == bias), stdev_obs,
+    stdev_sim. One aggregate pass; every metric is algebraic in
+    sums/moments so map-side partials apply.
+    """
+    o, s = F.col(obs_col), F.col(sim_col)
+    d = s - o
+    mean_o, mean_s = F.avg(o), F.avg(s)
+    std_o, std_s = F.stddev_samp(o), F.stddev_samp(s)
+    # population std for murphy/crmsd parity with skill_metrics (np.std ddof=0)
+    pstd_o, pstd_s = F.stddev_pop(o), F.stddev_pop(s)
+    cc = F.corr(o, s)
+    rmsd = F.sqrt(F.avg(d * d))
+    exprs: dict[str, Column] = {}
+    exprs["bias"] = F.avg(d)
+    exprs["pc_bias"] = 100.0 * F.sum(d) / F.sum(o)
+    exprs["apc_bias"] = 100.0 * F.sum(F.abs(d)) / F.sum(o)
+    exprs["rmsd"] = rmsd
+    exprs["corrcoef"] = cc
+    exprs["coefdet"] = cc * cc
+    exprs["murphyss"] = 1 - (rmsd * rmsd) / (pstd_o * pstd_o)
+    alpha09 = std_s / std_o
+    alpha12 = (std_s / mean_s) / (std_o / mean_o)
+    beta = mean_s / mean_o
+    exprs["kge09"] = 1 - F.sqrt((cc - 1) ** 2 + (alpha09 - 1) ** 2 + (beta - 1) ** 2)
+    exprs["kge12"] = 1 - F.sqrt((cc - 1) ** 2 + (alpha12 - 1) ** 2 + (beta - 1) ** 2)
+    exprs["mae"] = F.avg(F.abs(d))
+    exprs["stdev_obs"] = std_o
+    exprs["stdev_sim"] = std_s
+    # nse / crmsd / index_agreement nest a global mean inside a
+    # row-level term → computed in the two-pass helper.
+    selected = list(stats) if stats else [
+        "bias", "pc_bias", "apc_bias", "rmsd", "crmsd", "corrcoef", "coefdet",
+        "murphyss", "nse", "kge09", "kge12", "index_agreement", "mae",
+        "stdev_obs", "stdev_sim",
+    ]
+    return _gof_two_pass(df, obs_col, sim_col, key_cols, exprs, selected)
+
+
+def _gof_two_pass(df, obs_col, sim_col, key_cols, exprs, selected):
+    """Metrics whose formula nests a global mean inside a row-level term
+    (nse, crmsd, index_agreement) get the mean via a window pre-pass;
+    the final reduction is still one aggregate."""
+    o, s = F.col(obs_col), F.col(sim_col)
+    keys = list(key_cols)
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    pre = df.withColumn("__mo", F.avg(o).over(wk)).withColumn("__ms", F.avg(s).over(wk))
+    mo, ms = F.col("__mo"), F.col("__ms")
+    d = s - o
+    agg: dict[str, Column] = dict(exprs)
+    agg["nse"] = 1 - F.sum(d * d) / F.sum((o - mo) ** 2)
+    agg["crmsd"] = F.sqrt(F.avg(((s - ms) - (o - mo)) ** 2))
+    agg["index_agreement"] = 1 - F.sum(d * d) / F.sum(
+        (F.abs(s - mo) + F.abs(o - mo)) ** 2
+    )
+    out_exprs = [agg[k].alias(k) for k in selected if k in agg]
+    return pre.groupBy(*keys).agg(*out_exprs)
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    lags: Sequence[int],
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ACF at the given lags. Ref: correlation.py:125-176.
+    Lagged copies via one window sort, then one corr-aggregate pass."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    out = df
+    for i in lags:
+        out = out.withColumn(f"__lag{i}", F.lag(F.col(value_col), i).over(w))
+    aggs = [F.corr(F.col(value_col), F.col(f"__lag{i}")).alias(f"acf_{i}") for i in lags]
+    return out.groupBy(*key_cols).agg(*aggs)
+
+
+def correlation_matrix(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    key_cols: Sequence[str] = (),
+    method: str = "pearson",
+) -> DataFrame:
+    """Pairwise correlation across columns; spearman = pearson of ranks."""
+    keys = list(key_cols)
+    src = df
+    if method == "spearman":
+        for c in value_cols:
+            wv = Window.partitionBy(*keys).orderBy(F.col(c).asc_nulls_last())
+            wt = Window.partitionBy(*keys, c)
+            src = src.withColumn(
+                f"__rk_{c}",
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.rank().over(wv) + (F.count(c).over(wt) - 1) / 2.0,
+                ),
+            )
+        cols = [f"__rk_{c}" for c in value_cols]
+    elif method == "pearson":
+        cols = list(value_cols)
+    else:
+        raise ValueError(f"unsupported correlation method {method!r}")
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            name = f"corr_{value_cols[cols.index(a)]}_{value_cols[cols.index(b)]}"
+            aggs.append(F.corr(F.col(a), F.col(b)).alias(name))
+    return src.groupBy(*keys).agg(*aggs)
+
+
+def fdc(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    plotting_position: str = "weibull",
+    ascending: bool = True,
+) -> DataFrame:
+    """Flow-duration curve: sorted values vs exceedance probability
+    (i - a) / (n + 1 - a - b). Ref: calculate_fdc.py:176-244 +
+    tsutils.py:549-572. Window rank per key, no collect."""
+    a, b = PLOTTING_POSITIONS[plotting_position]
+    keys = list(key_cols)
+    v = F.col(value_col)
+    order = v.asc() if ascending else v.desc()
+    nn = df.filter(v.isNotNull())
+    wv = Window.partitionBy(*keys).orderBy(order)
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    i = F.row_number().over(wv).cast("double")
+    n = F.count(v).over(wk).cast("double")
+    return nn.select(
+        *keys,
+        ((i - F.lit(a)) / (n + 1 - F.lit(a) - F.lit(b))).alias("exceedance"),
+        v.alias(value_col),
+    )
+
+
+def linear_fit(
+    df: DataFrame,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    remove: bool = False,
+) -> DataFrame:
+    """Per-key OLS line on the epoch axis; append fitted values
+    (``fit``) or residuals (``remove_trend``). Closed form via
+    regr_slope/regr_intercept aggregates broadcast back over a key
+    window — no MLlib, no Python. Ref: remove_trend.py:111, fit.py:94-150."""
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    keys = list(key_cols)
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    x = F.col(ts_col).cast("double")
+    out = df
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        slope = F.regr_slope(v, x).over(wk)
+        intercept = F.regr_intercept(v, x).over(wk)
+        line = slope * x + intercept
+        name = f"{c}_detrend" if remove else f"{c}_fit"
+        out = out.withColumn(name, (v - line) if remove else line)
+    return out
+
+
+def add_trend(
+    df: DataFrame,
+    start_offset: float,
+    end_offset: float,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Linear ramp from start_offset at the first instant to end_offset
+    at the last. Ref: add_trend.py:147-153."""
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    keys = list(key_cols)
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    x = F.col(ts_col).cast("double")
+    x0, x1 = F.min(x).over(wk), F.max(x).over(wk)
+    ramp = F.lit(start_offset) + (x - x0) / (x1 - x0) * F.lit(end_offset - start_offset)
+    out = df
+    for c in value_cols:
+        out = out.withColumn(f"{c}_trend", ramp)
+    return out

@@ -1,0 +1,179 @@
+"""Value/index transforms: clip, replace, convert (affine),
+normalization, converttz, date_offset, convert_index.
+
+Reference semantics:
+- clip: /root/reference/tstoolbox/functions/clip.py:118-142
+- replace: functions/replace.py:126
+- convert: functions/convert.py:125 (v*factor + offset)
+- normalization: functions/normalization.py:148-216
+  (minmax :191-194, zscore :196, pct_rank :198)
+- converttz: functions/converttz.py:120
+- date_offset: functions/date_offset.py:119
+- convert_index: functions/convert_index.py:191-356 (julian/unix epochs)
+
+All are narrow column expressions except normalization, whose global
+per-key statistics are window-over-key aggregates (one shuffle; at
+scale these keys are the bucketed series, so partitions stay bounded).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: epoch name → offset in days relative to julian day 0 (reference
+#: table: functions/convert_index.py:234-247, epoch dates :263-276)
+EPOCH_JULIAN_OFFSET = {
+    "julian": 0.0,
+    "reduced": 2400000.0,
+    "modified": 2400000.5,
+    "truncated": 2440000.5,
+    "dublin": 2415020.0,
+    "cnes": 2433282.5,
+    "ccsds": 2436204.5,
+    "lop": 2448622.5,
+    "lilian": 2299159.5,
+    "rata_die": 1721424.5,
+    "mars_sol": 2405522.0,
+    "unix": 2440587.5,
+}
+
+
+def clip(
+    df: DataFrame,
+    a_min: float | None = None,
+    a_max: float | None = None,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        if a_min is not None:
+            v = F.greatest(v, F.lit(float(a_min)))
+        if a_max is not None:
+            v = F.least(v, F.lit(float(a_max)))
+        out = out.withColumn(f"{c}_clip", v)
+    return out
+
+
+def replace(
+    df: DataFrame,
+    from_values: Sequence[float],
+    to_values: Sequence[float],
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    if len(from_values) != len(to_values):
+        raise ValueError("from_values and to_values must have equal length")
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    out = df
+    for c in value_cols:
+        expr = F.col(c)
+        for f_v, t_v in zip(from_values, to_values):
+            expr = F.when(F.col(c) == F.lit(f_v), F.lit(t_v)).otherwise(expr)
+        out = out.withColumn(c, expr)
+    return out
+
+
+def convert(
+    df: DataFrame,
+    factor: float = 1.0,
+    offset: float = 0.0,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_convert", F.col(c) * F.lit(float(factor)) + F.lit(float(offset))
+        )
+    return out
+
+
+def normalization(
+    df: DataFrame,
+    mode: str = "minmax",
+    min_limit: float = 0.0,
+    max_limit: float = 1.0,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """minmax / zscore / pct_rank / maxabs / robust rescaling."""
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    wk = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy(F.lit(1))
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        name = f"{c}_{mode}"
+        if mode == "minmax":
+            lo, hi = F.min(v).over(wk), F.max(v).over(wk)
+            expr = F.lit(min_limit) + (v - lo) / (hi - lo) * F.lit(max_limit - min_limit)
+        elif mode == "zscore":
+            expr = (v - F.avg(v).over(wk)) / F.stddev_samp(v).over(wk)
+        elif mode == "pct_rank":
+            expr = F.percent_rank().over(
+                Window.partitionBy(*key_cols).orderBy(v.asc_nulls_last())
+            )
+            expr = F.when(v.isNotNull(), expr)
+        elif mode == "maxabs":
+            expr = v / F.max(F.abs(v)).over(wk)
+        elif mode == "robust":
+            q1 = F.percentile(v, F.lit(0.25)).over(wk)
+            q2 = F.percentile(v, F.lit(0.5)).over(wk)
+            q3 = F.percentile(v, F.lit(0.75)).over(wk)
+            expr = (v - q2) / (q3 - q1)
+        else:
+            raise ValueError(f"unknown normalization mode {mode!r}")
+        out = out.withColumn(name, expr)
+    return out
+
+
+def converttz(df: DataFrame, fromtz: str, totz: str, ts_col: str = "ts") -> DataFrame:
+    """Reinterpret naive timestamps from one zone to another.
+    Ref: functions/converttz.py:120. Engine canonical storage is UTC."""
+    return df.withColumn(
+        ts_col, F.from_utc_timestamp(F.to_utc_timestamp(F.col(ts_col), fromtz), totz)
+    )
+
+
+def date_offset(df: DataFrame, intervals: int, unit: str, ts_col: str = "ts") -> DataFrame:
+    """Shift every timestamp by intervals×unit. Ref: functions/date_offset.py:119."""
+    return df.withColumn(ts_col, F.col(ts_col) + F.expr(f"INTERVAL {intervals} {unit}"))
+
+
+def convert_index_to_number(
+    df: DataFrame, epoch: str = "julian", ts_col: str = "ts", out_col: str = "idx"
+) -> DataFrame:
+    """datetime → float day-number under a named epoch.
+    Ref: functions/convert_index.py:326-331 (via to_julian_date)."""
+    if epoch not in EPOCH_JULIAN_OFFSET:
+        raise ValueError(f"unknown epoch {epoch!r}")
+    julian = F.unix_timestamp(F.col(ts_col)).cast("double") / 86400.0 + 2440587.5
+    return df.withColumn(out_col, julian - F.lit(EPOCH_JULIAN_OFFSET[epoch]))
+
+
+def convert_index_to_datetime(
+    df: DataFrame, epoch: str = "julian", num_col: str = "idx", ts_col: str = "ts"
+) -> DataFrame:
+    """Inverse of convert_index_to_number. Ref: convert_index.py:335-338."""
+    if epoch not in EPOCH_JULIAN_OFFSET:
+        raise ValueError(f"unknown epoch {epoch!r}")
+    julian = F.col(num_col) + F.lit(EPOCH_JULIAN_OFFSET[epoch])
+    return df.withColumn(ts_col, F.timestamp_seconds((julian - 2440587.5) * 86400.0))

@@ -1,0 +1,285 @@
+"""Window verbs: rolling_window, expanding_window, ewm_window, lag,
+pct_change, rank.
+
+Reference semantics:
+- rolling_window: /root/reference/tstoolbox/functions/rolling_window.py
+  :219-302 — per column ``rolling(window, min_periods, center).stat()``
+  for stat ∈ {corr,count,cov,kurt,max,mean,median,min,quantile,skew,
+  std,sum,var}; int window = row frame (default 2), offset string =
+  time-range frame. Output columns suffixed ``_rolling_<win>_<stat>``
+  (reference uses ``::rolling.<win>.<stat>``, rolling_window.py:295-298).
+- expanding_window: functions/expanding_window.py:140-184.
+- ewm_window: functions/ewm_window.py:186-241 (default-α path only —
+  the reference's kwarg-name bug limits its own oracle to defaults).
+- lag: functions/lag.py:74-138 (shifted copies named ``<col>_<i>``).
+- pct_change: functions/pct_change.py:108-156.
+- rank: functions/rank.py:145-196.
+
+Scale design: one logical sort per series key serves every window
+expression (Spark reuses the (key, ts) sort across window specs with
+identical partitioning/ordering). Row frames are ``rowsBetween``; time
+frames are ``rangeBetween`` over epoch seconds — both stay inside
+whole-stage codegen. Only EWM needs pandas (sequential recurrence),
+via one grouped-map UDF per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .core import parse_freq
+
+ROLLING_STATS = (
+    "count",
+    "sum",
+    "mean",
+    "median",
+    "min",
+    "max",
+    "std",
+    "var",
+    "skew",
+    "kurt",
+    "quantile",
+)
+
+
+def _frame(
+    keys: Sequence[str], ts_col: str, window: int | str, center: bool
+):
+    """Build the WindowSpec for an int row-count window or a pandas
+    offset-string time window (right-closed, matching pandas)."""
+    if isinstance(window, int):
+        w = Window.partitionBy(*keys).orderBy(ts_col)
+        if center:
+            # pandas center=True: extra row goes BEFORE for even windows.
+            lead = (window - 1) // 2
+            return w.rowsBetween(-(window - 1 - lead), lead)
+        return w.rowsBetween(-(window - 1), 0)
+    _, secs = parse_freq(window)
+    w = Window.partitionBy(*keys).orderBy(F.unix_micros(F.col(ts_col)))
+    # pandas time rolling: window covers (t - delta, t] — strictly
+    # greater than t-delta. Epoch micros are integral, so subtracting
+    # (delta_micros - 1) excludes the open endpoint exactly.
+    return w.rangeBetween(-(secs * 1_000_000 - 1), 0)
+
+
+def _stat_expr(v: Column, stat: str, quantile: float) -> Column:
+    if stat == "count":
+        return F.count(v)
+    if stat == "sum":
+        return F.sum(v)
+    if stat == "mean":
+        return F.avg(v)
+    if stat == "median":
+        return F.percentile(v, F.lit(0.5))
+    if stat == "quantile":
+        return F.percentile(v, F.lit(quantile))
+    if stat == "min":
+        return F.min(v)
+    if stat == "max":
+        return F.max(v)
+    if stat == "std":
+        return F.stddev_samp(v)
+    if stat == "var":
+        return F.var_samp(v)
+    if stat == "skew":
+        return F.skewness(v)
+    if stat == "kurt":
+        return F.kurtosis(v)
+    raise ValueError(f"unknown rolling statistic {stat!r}")
+
+
+def rolling_window(
+    df: DataFrame,
+    statistic: str | Sequence[str],
+    window: int | str = 2,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    min_periods: int | None = None,
+    center: bool = False,
+    quantile: float = 0.5,
+) -> DataFrame:
+    """Rolling statistics; output columns ``<col>_rolling_<window>_<stat>``."""
+    stats = [statistic] if isinstance(statistic, str) else list(statistic)
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    if min_periods is None:
+        # pandas: int windows default min_periods=window; offset windows 1.
+        min_periods = window if isinstance(window, int) else 1
+    frame = _frame(key_cols, ts_col, window, center)
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        n = F.count(v).over(frame)
+        for s in stats:
+            name = f"{c}_rolling_{window}_{s}"
+            expr = _stat_expr(v, s, quantile).over(frame)
+            # pandas emits NaN until min_periods non-null obs are in frame.
+            out = out.withColumn(name, F.when(n >= min_periods, expr))
+    return out
+
+
+def expanding_window(
+    df: DataFrame,
+    statistic: str | Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    min_periods: int = 1,
+) -> DataFrame:
+    """Expanding statistics, frame = start..current.
+    Ref: functions/expanding_window.py:171-180."""
+    stats = [statistic] if isinstance(statistic, str) else list(statistic)
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    frame = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        n = F.count(v).over(frame)
+        for s in stats:
+            name = f"{c}_expanding_{s}"
+            out = out.withColumn(
+                name, F.when(n >= min_periods, _stat_expr(v, s, 0.5).over(frame))
+            )
+    return out
+
+
+def ewm_window(
+    df: DataFrame,
+    statistic: str = "mean",
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    com: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    alpha: float | None = None,
+    min_periods: int = 0,
+    adjust: bool = True,
+) -> DataFrame:
+    """Exponentially weighted mean/std/var. Sequential recurrence → one
+    grouped-map pandas UDF per series key (bit-exact vs the pandas
+    oracle). Ref: functions/ewm_window.py:222-230."""
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    keys = list(key_cols)
+    new_cols = ", ".join(f"{c}_ewm_{statistic} double" for c in value_cols)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{schema}, {new_cols}"
+    kw = dict(com=com, span=span, halflife=halflife, alpha=alpha)
+    kw = {k: v for k, v in kw.items() if v is not None}
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(ts_col)
+        for c in value_cols:
+            ew = pdf[c].ewm(min_periods=min_periods, adjust=adjust, **kw)
+            pdf[f"{c}_ewm_{statistic}"] = getattr(ew, statistic)()
+        return pdf
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(_ewm, schema=schema)
+
+
+def lag(
+    df: DataFrame,
+    lags: int | Sequence[int] = 1,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Append shifted copies ``<col>_<i>`` for each lag i.
+    Ref: functions/lag.py:120-135. Negative i = lead."""
+    lag_list = list(range(1, lags + 1)) if isinstance(lags, int) else list(lags)
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    out = df
+    for c in value_cols:
+        for i in lag_list:
+            out = out.withColumn(f"{c}_{i}", F.lag(F.col(c), i).over(w))
+    return out
+
+
+def pct_change(
+    df: DataFrame,
+    periods: int = 1,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    fill_method: str | None = "pad",
+) -> DataFrame:
+    """Fractional change vs ``periods`` rows earlier; pandas pads nulls
+    forward first by default. Ref: functions/pct_change.py:152-154."""
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        if fill_method == "pad":
+            v = F.last(v, ignorenulls=True).over(w_prev)
+        out = out.withColumn(f"{c}_pct_change", v / F.lag(v, periods).over(w) - 1)
+    return out
+
+
+def rank(
+    df: DataFrame,
+    method: str = "average",
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    ascending: bool = True,
+    pct: bool = False,
+) -> DataFrame:
+    """Rank values within each series. Ref: functions/rank.py:190-195.
+
+    method ∈ average/min/max/first/dense. 'average' = rank + (ties-1)/2
+    (the mean of the tied row numbers); nulls keep null rank
+    (pandas na_option='keep').
+    """
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    out = df
+    for c in value_cols:
+        v = F.col(c)
+        order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+        # Exclude nulls from the ranking domain (pandas keeps them NaN).
+        wv = Window.partitionBy(*key_cols).orderBy(order)
+        wt = Window.partitionBy(*key_cols, c)
+        if method == "min":
+            r = F.rank().over(wv)
+        elif method == "max":
+            r = F.rank().over(wv) + F.count(v).over(wt) - 1
+        elif method == "dense":
+            r = F.dense_rank().over(wv)
+        elif method == "first":
+            r = F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(order, ts_col)
+            )
+        elif method == "average":
+            r = F.rank().over(wv) + (F.count(v).over(wt) - 1) / 2.0
+        else:
+            raise ValueError(f"unknown rank method {method!r}")
+        r = F.when(v.isNotNull(), r.cast("double"))
+        if pct:
+            wk = Window.partitionBy(*key_cols)
+            r = r / F.count(v).over(wk)
+        out = out.withColumn(f"{c}_rank", r)
+    return out

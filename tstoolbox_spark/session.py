@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+Single place that owns the engine's Spark configuration so tests, the
+bench harness and ``spark-submit`` jobs all run with the same tuning.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE on: runtime partition coalescing + skew-join splitting.
+- ``spark.sql.shuffle.partitions`` defaults to the session parallelism
+  locally; on a real cluster AQE coalesces from a high initial number,
+  so jobs pass an explicit larger value via ``shuffle_partitions``.
+- Arrow enabled for every pandas-UDF boundary (the codec and the few
+  scipy-backed fills are the only Python stages; everything else stays
+  in whole-stage codegen).
+- Session timezone pinned to UTC: the oracle (DuckDB) is UTC-naive.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tstoolbox_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Parameters
+    ----------
+    parallelism:
+        local[N] thread count. Defaults to ``$SPARK_GRAFT_CPUS`` or all
+        cores. Ignored when a master is already configured (cluster
+        submit via spark-submit sets ``spark.master`` itself).
+    shuffle_partitions:
+        Post-shuffle partition count; defaults to parallelism (local
+        mode). Cluster jobs should pass ~2-3x total cores and let AQE
+        coalesce.
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = parallelism
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    # Only force a master when none was provided externally (spark-submit
+    # on a cluster sets it; local tests get local[N]).
+    if not os.environ.get("SPARK_MASTER") and "SPARK_SUBMIT" not in os.environ:
+        builder = builder.master(f"local[{parallelism}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
