@@ -1,0 +1,145 @@
+"""Vectorized fixed-width bit packing primitives (numpy only).
+
+``pack_fixed``/``unpack_fixed`` move n values of an arbitrary bit
+width w ≤ 64 to/from a dense MSB-first bit stream using
+``np.packbits``/``np.unpackbits`` — O(n·w) bit ops fully inside numpy.
+On top of that, ``pack_for_blocks`` implements frame-of-reference
+packing (per-block min + per-block width), the workhorse for
+delta-of-delta streams, token streams and offset arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BLOCK = 4096
+
+
+def bit_width(x: np.ndarray | int) -> int:
+    """Bits needed to represent the max of x (0 → width 0)."""
+    m = int(x.max()) if isinstance(x, np.ndarray) and x.size else int(x)
+    return m.bit_length()
+
+
+_BYTE_WIDTHS = {8: ">u1", 16: ">u2", 32: ">u4", 64: ">u8"}
+
+
+def pack_fixed(arr: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values at ``width`` bits each, MSB-first bitstream.
+
+    Byte-aligned widths (8/16/32/64) short-circuit to big-endian casts
+    (zero bit twiddling); other widths build the bit matrix column-wise
+    to keep temporaries at n bytes per pass instead of one n×w uint64
+    blow-up.
+    """
+    if width == 0 or arr.size == 0:
+        return b""
+    a = arr.astype(np.uint64, copy=False)
+    if width in _BYTE_WIDTHS:
+        return a.astype(_BYTE_WIDTHS[width]).tobytes()
+    n = a.size
+    bits = np.empty((n, width), dtype=np.uint8)
+    for j in range(width):
+        bits[:, j] = (a >> np.uint64(width - 1 - j)) & np.uint64(1)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def unpack_fixed(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_fixed → uint64 array of length n.
+
+    Byte-aligned widths cast directly; widths ≤ 56 use a vectorized
+    byte-gather (each value's bits live inside the 8-byte window at
+    bit_offset//8, read as big-endian u64, shifted and masked); wider
+    odd widths fall back to the bit-matrix path.
+    """
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if width in _BYTE_WIDTHS:
+        return np.frombuffer(buf, dtype=_BYTE_WIDTHS[width], count=n).astype(np.uint64)
+    if width <= 56:
+        data = np.frombuffer(buf, dtype=np.uint8)
+        pad = np.zeros(len(data) + 8, dtype=np.uint8)
+        pad[: len(data)] = data
+        bitpos = np.arange(n, dtype=np.int64) * width
+        byteoff = bitpos >> 3
+        shift = (bitpos & 7).astype(np.uint64)
+        windows = pad[byteoff[:, None] + np.arange(8)]
+        words = np.ascontiguousarray(windows).view(">u8").reshape(n).astype(np.uint64)
+        mask = np.uint64((1 << width) - 1)
+        return (words >> (np.uint64(64 - width) - shift)) & mask
+    total = n * width
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=total)
+    bits = bits.reshape(n, width)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(width):
+        out |= bits[:, j].astype(np.uint64) << np.uint64(width - 1 - j)
+    return out
+
+
+def packed_size(n: int, width: int) -> int:
+    return (n * width + 7) // 8
+
+
+def pack_for_blocks(arr: np.ndarray, block: int = BLOCK) -> bytes:
+    """Frame-of-reference block packing for uint64 streams.
+
+    Layout: [n u64] then per block: [min u64][width u8][packed bits].
+    """
+    a = arr.astype(np.uint64, copy=False)
+    out = [struct.pack("<Q", a.size)]
+    for i in range(0, a.size, block):
+        chunk = a[i : i + block]
+        lo = np.uint64(chunk.min()) if chunk.size else np.uint64(0)
+        rel = chunk - lo
+        w = bit_width(rel)
+        out.append(struct.pack("<QB", int(lo), w))
+        out.append(pack_fixed(rel, w))
+    return b"".join(out)
+
+
+def unpack_for_blocks(buf: bytes, offset: int = 0, block: int = BLOCK) -> tuple[np.ndarray, int]:
+    """Inverse of pack_for_blocks → (array, next_offset)."""
+    (n,) = struct.unpack_from("<Q", buf, offset)
+    offset += 8
+    parts = []
+    remaining = n
+    while remaining > 0:
+        cnt = min(block, remaining)
+        lo, w = struct.unpack_from("<QB", buf, offset)
+        offset += 9
+        nbytes = packed_size(cnt, w)
+        vals = unpack_fixed(buf[offset : offset + nbytes], cnt, w) + np.uint64(lo)
+        offset += nbytes
+        parts.append(vals)
+        remaining -= cnt
+    arr = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint64)
+    return arr, offset
+
+
+_SIGN = np.uint64(1 << 63)
+
+
+def pack_signed_blocks(arr: np.ndarray, block: int = BLOCK) -> bytes:
+    """FOR-pack an int64 stream order-preservingly (sign-bit flip maps
+    int64 → uint64 monotonically, so per-block min/width stay tight —
+    1 bit cheaper than zigzag for non-negative streams like tokens)."""
+    u = arr.astype(np.int64, copy=False).view(np.uint64) ^ _SIGN
+    return pack_for_blocks(u, block)
+
+
+def unpack_signed_blocks(buf: bytes, offset: int = 0, block: int = BLOCK) -> tuple[np.ndarray, int]:
+    u, offset = unpack_for_blocks(buf, offset, block)
+    return (u ^ _SIGN).view(np.int64), offset
+
+
+def zigzag_encode(x: np.ndarray) -> np.ndarray:
+    """int64 → uint64 zigzag (small magnitudes → small codes)."""
+    a = x.astype(np.int64, copy=False)
+    return ((a << 1) ^ (a >> 63)).view(np.uint64)
+
+
+def zigzag_decode(u: np.ndarray) -> np.ndarray:
+    a = u.astype(np.uint64, copy=False)
+    return ((a >> np.uint64(1)).view(np.int64)) ^ -(a & np.uint64(1)).astype(np.int64)
