@@ -1,0 +1,132 @@
+"""End-to-end pipeline tests: bucketing determinism + skew fan-out,
+compress round-trip (token equality), tier cascade parity vs pandas
+resample (the tstoolbox aggregate oracle), retention drops, and
+snapshot resume without double counting.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from tstoolbox_spark.datagen import generate_sequences
+from tstoolbox_spark.pipeline import bucketing, compress, rollup
+from tstoolbox_spark.pipeline.runner import run_pipeline
+from tstoolbox_spark.tables import ParquetSnapshotCatalog
+from tstoolbox_spark.timeaxis import with_time_axis
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def seq(spark):
+    df = with_time_axis(generate_sequences(spark, N, partitions=4))
+    df.persist().count()
+    return df
+
+
+def test_bucketing_deterministic_and_skew_aware(spark, seq):
+    plan = bucketing.source_salt_plan(seq, target_rows_per_cell=100, n_buckets=4)
+    # Zipf head must get more salts than the tail
+    assert plan["src0"] > plan["src4"]
+    a = bucketing.with_bucket_salt(seq, plan, 4).select("doc_id", "bucket", "salt")
+    b = bucketing.with_bucket_salt(seq, plan, 4).select("doc_id", "bucket", "salt")
+    assert a.exceptAll(b).count() == 0  # same doc → same cell, run to run
+    # every salt within range
+    mx = a.groupBy().max("salt").collect()[0][0]
+    assert mx < max(plan.values())
+
+
+def test_compress_roundtrip_token_equality(spark, seq):
+    cells = bucketing.bucketed(seq, target_rows_per_cell=500, n_buckets=4)
+    comp = compress.compress(cells)
+    rt = compress.verify_roundtrip(cells, compress.decompress(comp))
+    assert rt["total"] == N
+    assert rt["mismatched"] == 0
+
+
+def test_tier_parity_vs_pandas(spark, seq):
+    """1m/1h/1d tier values must equal pandas resample sum/count/min/
+    max/mean on the same data (tstoolbox aggregate oracle semantics)."""
+    pdf = seq.select("ts", "n_tok", "source").toPandas()
+    t1m = rollup.rollup_base(seq, "1m")
+    t1h = rollup.rollup_cascade(t1m, "1h")
+    t1d = rollup.rollup_cascade(t1h, "1d")
+    for tier_df, freq in [(t1m, "min"), (t1h, "h"), (t1d, "D")]:
+        got = rollup.with_mean(tier_df).toPandas()
+        got = got.sort_values(["source", "ts"]).reset_index(drop=True)
+        r = (
+            pdf.set_index("ts")
+            .groupby("source")["n_tok"]
+            .resample(freq)
+            .agg(["sum", "count", "min", "max", "mean"])
+            .dropna(subset=["min"])  # resample pads gaps; engine emits no empty buckets
+            .reset_index()
+            .sort_values(["source", "ts"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(r)
+        pd.testing.assert_series_equal(
+            got["n_tok_sum"].astype("int64"), r["sum"].astype("int64"), check_names=False
+        )
+        pd.testing.assert_series_equal(
+            got["n_tok_count"].astype("int64"), r["count"].astype("int64"), check_names=False
+        )
+        pd.testing.assert_series_equal(got["n_tok_mean"], r["mean"], check_names=False)
+
+
+def test_pipeline_end_to_end_and_resume(spark, seq, tmp_path):
+    work = str(tmp_path / "work")
+    m1 = run_pipeline(spark, seq.drop("ts"), work, n_buckets=4, target_rows_per_cell=500)
+    assert m1["sequences"] == N
+    assert m1["roundtrip"]["mismatched"] == 0
+    assert m1["compression_ratio"] > 1.2
+    cat = ParquetSnapshotCatalog(work)
+    rows_1m = cat.read(spark, "tier_1m").count()
+    total_1m = (
+        cat.read(spark, "tier_1m").agg({"n_tok_sum": "sum"}).collect()[0][0]
+    )
+
+    # resume: run again over the same input → no pending cells, tiers
+    # rewritten identically (idempotent), no double counting
+    m2 = run_pipeline(spark, seq.drop("ts"), work, n_buckets=4, target_rows_per_cell=500)
+    assert m2["cells_pending"] == 0
+    assert cat.read(spark, "tier_1m").count() == rows_1m
+    assert (
+        cat.read(spark, "tier_1m").agg({"n_tok_sum": "sum"}).collect()[0][0]
+        == total_1m
+    )
+
+
+def test_retention_drops_old_partitions(spark, seq, tmp_path):
+    work = str(tmp_path / "ret")
+    run_pipeline(
+        spark,
+        seq.drop("ts"),
+        work,
+        n_buckets=4,
+        target_rows_per_cell=500,
+        verify=False,
+        ttl_days={"1m": 10},
+        now=dt.datetime(2024, 1, 31),  # axis spans 2024-01-01 .. 01-30
+    )
+    cat = ParquetSnapshotCatalog(work)
+    days = [str(r["day"]) for r in cat.read(spark, "tier_1m").select("day").distinct().collect()]
+    assert min(days) >= "2024-01-21"
+    # 1h tier untouched (no ttl given) still has full span
+    days_h = [str(r["day"]) for r in cat.read(spark, "tier_1h").select("day").distinct().collect()]
+    assert min(days_h) == "2024-01-01"
+
+
+def test_snapshot_catalog_atomicity(spark, tmp_path):
+    cat = ParquetSnapshotCatalog(str(tmp_path / "cat"))
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    s1 = cat.write_snapshot(df1, "t")
+    df2 = spark.range(10).withColumnRenamed("id", "x")
+    s2 = cat.write_snapshot(df2, "t")
+    assert cat.read(spark, "t").count() == 10
+    assert cat.read(spark, "t", snapshot_id=s1).count() == 5  # time travel
+    assert cat.expire_snapshots("t", keep_last=1) == 1
+    assert cat.read(spark, "t").count() == 10
