@@ -1,38 +1,797 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 over
+the driver testdata tables; ``oracle_sql()`` gives the DuckDB-runnable
+ANSI equivalent. The driver compares row count + schema +
+order-insensitive value hash at sf=0.01.
+
+Float determinism strategy (hash-stable across engines): events.value
+is a 2-decimal double, so every sum routes through DECIMAL(28,2)
+(order-independent, exact) and is cast to DOUBLE at the end; derived
+statistics (mean/std/corr/slope) are computed from those exact sums
+with the *same arithmetic expression* on both sides — identical IEEE
+inputs + identical operation order → identical doubles. Percentiles
+use exact interpolation on both engines. Ranks/counts are integers.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tstoolbox_spark.operators.aggregate import aggregate, describe
+from tstoolbox_spark.operators.core import clean, date_slice, regularize, round_index
+from tstoolbox_spark.operators.fill import fill
+from tstoolbox_spark.operators.peaks import peak_detection
+from tstoolbox_spark.operators.reshape import stack, unstack
+from tstoolbox_spark.operators.stats import fdc
+from tstoolbox_spark.operators.transform import (
+    clip,
+    convert,
+    convert_index_to_number,
+    date_offset,
+)
+from tstoolbox_spark.operators.window import (
+    expanding_window,
+    lag,
+    pct_change,
+    rank,
+    rolling_window,
+)
+
+DEC = "decimal(28,2)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tiered hourly rollup of events (sum/count/min/max/mean
+    per event_type) at sf0.001."""
+    ev = _events(spark, "/root/testdata/sf0.001")
+    return _q_agg_hourly(ev)
+
+
+# --------------------------------------------------------------------------
+# query implementations (shared between entry() and queries())
+# --------------------------------------------------------------------------
+
+def _dsum(col):
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+def _q_agg_hourly(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("ts")
+        )
+        .agg(
+            _dsum("value").alias("value_sum"),
+            F.count("value").alias("value_count"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            (_dsum("value") / F.count("value")).alias("value_mean"),
+        )
+    )
+
+
+def _q_tier_cascade(ev: DataFrame) -> DataFrame:
+    """1m partials → 1h re-aggregation (the continuous-aggregate path:
+    coarser tier from finer partials, not from raw)."""
+    m = ev.groupBy(
+        F.col("event_type"), F.date_trunc("minute", F.col("ts")).alias("ts")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+        F.count("value").alias("c"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return m.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(
+        F.sum("s").cast("double").alias("value_sum"),
+        F.sum("c").alias("value_count"),
+        F.min("mn").alias("value_min"),
+        F.max("mx").alias("value_max"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- aggregation / tiers ------------------------------------------
+    q["agg_hourly"] = lambda s, d: _q_agg_hourly(_events(s, d))
+    q["tier_cascade_1m_1h"] = lambda s, d: _q_tier_cascade(_events(s, d))
+
+    def agg_daily_median(s, d):
+        ev = _events(s, d)
+        return ev.groupBy(
+            F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("ts")
+        ).agg(F.percentile("value", F.lit(0.5)).alias("value_median"))
+
+    q["agg_daily_median"] = agg_daily_median
+
+    def agg_all(s, d):
+        ev = _events(s, d)
+        return ev.groupBy("event_type").agg(
+            F.max("ts").alias("ts"),
+            _dsum("value").alias("value_sum"),
+            F.count("value").alias("value_count"),
+        )
+
+    q["agg_all"] = agg_all
+
+    def agg_months(s, d):
+        ev = _events(s, d)
+        return ev.groupBy(F.month("ts").cast("int").alias("month")).agg(
+            (_dsum("value") / F.count("value")).alias("value_mean")
+        )
+
+    q["agg_months_across_years"] = agg_months
+
+    def agg_ohlc(s, d):
+        ev = _events(s, d)
+        w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+        wd = Window.partitionBy("event_type", "day").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        day = ev.withColumn("day", F.date_trunc("day", F.col("ts")))
+        day = day.withColumn("rn_a", F.row_number().over(w)).withColumn(
+            "rn_d", F.row_number().over(wd)
+        )
+        return day.groupBy("event_type", F.col("day").alias("ts")).agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("value_open"),
+            F.max("value").alias("value_high"),
+            F.min("value").alias("value_low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("value_close"),
+        )
+
+    q["agg_ohlc_daily"] = agg_ohlc
+
+    def q_describe(s, d):
+        ev = _events(s, d)
+        return ev.groupBy("event_type").agg(
+            F.count("value").alias("value_count"),
+            F.min("value").alias("value_min"),
+            F.percentile("value", F.lit(0.25)).alias("value_25"),
+            F.percentile("value", F.lit(0.5)).alias("value_50"),
+            F.percentile("value", F.lit(0.75)).alias("value_75"),
+            F.max("value").alias("value_max"),
+        )
+
+    q["describe"] = q_describe
+
+    # ---- projection / slice / clean -----------------------------------
+    def q_slice(s, d):
+        ev = _events(s, d)
+        return date_slice(
+            ev.select("ts", "event_id", "value"), "2024-01-05", "2024-01-07"
+        )
+
+    q["date_slice"] = q_slice
+
+    def q_round(s, d):
+        ev = _events(s, d).select("event_id", "ts")
+        return round_index(ev, "15T", mode="floor")
+
+    q["round_index_15min_floor"] = q_round
+
+    def q_clean(s, d):
+        ev = _events(s, d).select("user_id", "ts", "value")
+        return clean(round_index(ev, "H", mode="floor"), key_cols=["user_id"])
+
+    q["clean_dedup"] = q_clean
+
+    # ---- window verbs ---------------------------------------------------
+    def q_rolling(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-23, 0)
+        )
+        n = F.count("value").over(w)
+        return ev.select(
+            "ts",
+            "event_id",
+            "user_id",
+            F.when(n >= 24, F.sum(F.col("value").cast(DEC)).over(w).cast("double"))
+            .alias("value_rolling_24_sum"),
+            F.when(
+                n >= 24,
+                F.sum(F.col("value").cast(DEC)).over(w).cast("double") / n,
+            ).alias("value_rolling_24_mean"),
+        )
+
+    q["rolling_24row_sum_mean"] = q_rolling
+
+    def q_rolling_time(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+            .rangeBetween(-(6 * 3600 * 1_000_000 - 1), 0)
+        )
+        return ev.select(
+            "ts",
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_6h_sum"),
+            F.count("value").over(w).alias("value_6h_count"),
+        )
+
+    q["rolling_6h_time_window"] = q_rolling_time
+
+    def q_expanding(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return ev.select(
+            "ts",
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_cumsum"),
+            F.max("value").over(w).alias("value_cummax"),
+        )
+
+    q["expanding_cumsum_cummax"] = q_expanding
+
+    def q_lag(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "ts",
+            "event_id",
+            "user_id",
+            F.lag("value", 1).over(w).alias("value_1"),
+            F.lag("value", 3).over(w).alias("value_3"),
+            F.lead("value", 1).over(w).alias("value_lead1"),
+        )
+
+    q["lag_lead"] = q_lag
+
+    def q_pct_change(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "ts",
+            "event_id",
+            "user_id",
+            (F.col("value") / F.lag("value", 1).over(w) - 1).alias("value_pct_change"),
+        )
+
+    q["pct_change"] = q_pct_change
+
+    def q_rank(s, d):
+        ev = _events(s, d).select("ts", "event_id", "event_type", "value")
+        wv = Window.partitionBy("event_type").orderBy(F.col("value").asc_nulls_last())
+        wt = Window.partitionBy("event_type", "value")
+        wk = Window.partitionBy("event_type")
+        avg_rank = F.rank().over(wv) + (F.count("value").over(wt) - 1) / 2.0
+        return ev.select(
+            "event_id",
+            "event_type",
+            F.when(F.col("value").isNotNull(), avg_rank.cast("double")).alias("value_rank"),
+            (
+                F.when(F.col("value").isNotNull(), avg_rank)
+                / F.count("value").over(wk)
+            ).alias("value_rank_pct"),
+        )
+
+    q["rank_average"] = q_rank
+
+    # ---- fills -----------------------------------------------------------
+    def q_ffill(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        ev = ev.withColumn(
+            "v", F.when(F.col("value") >= 50.0, F.col("value"))
+        )  # synthesize nulls
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return ev.select(
+            "ts",
+            "event_id",
+            "user_id",
+            F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+
+    q["fill_ffill"] = q_ffill
+
+    def q_linear(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        ev = ev.withColumn("v", F.when(F.col("value") >= 50.0, F.col("value")))
+        wp = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wn = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        e = F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+        pv = F.last("v", ignorenulls=True).over(wp)
+        nv = F.first("v", ignorenulls=True).over(wn)
+        pt = F.last(F.when(F.col("v").isNotNull(), e), ignorenulls=True).over(wp)
+        nt = F.first(F.when(F.col("v").isNotNull(), e), ignorenulls=True).over(wn)
+        interp = pv + (nv - pv) * (e - pt) / (nt - pt)
+        return ev.select(
+            "ts",
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("v"), interp).alias("value_linear"),
+        )
+
+    q["fill_linear"] = q_linear
+
+    def q_fill_value(s, d):
+        ev = _events(s, d).select("ts", "event_id", "value")
+        v = F.when(F.col("value") >= 50.0, F.col("value"))
+        return ev.select(
+            "ts", "event_id", F.coalesce(v, F.lit(-1.0)).alias("value_filled")
+        )
+
+    q["fill_value"] = q_fill_value
+
+    # ---- transforms -----------------------------------------------------
+    def q_clip_convert(s, d):
+        ev = _events(s, d).select("event_id", "value")
+        return ev.select(
+            "event_id",
+            F.least(F.greatest(F.col("value"), F.lit(10.0)), F.lit(500.0)).alias(
+                "value_clip"
+            ),
+            (F.col("value") * 2.5 - 1.0).alias("value_convert"),
+        )
+
+    q["clip_convert"] = q_clip_convert
+
+    def q_zscore(s, d):
+        ev = _events(s, d).select("event_id", "event_type", "value")
+        wk = Window.partitionBy("event_type")
+        n = F.count("value").over(wk)
+        s1 = F.sum(F.col("value").cast(DEC)).over(wk).cast("double")
+        s2 = (
+            F.sum((F.col("value").cast(DEC) * F.col("value").cast(DEC))).over(wk)
+        ).cast("double")
+        mean = s1 / n
+        std = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+        return ev.select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - mean) / std).alias("value_zscore"),
+        )
+
+    q["normalization_zscore"] = q_zscore
+
+    def q_minmax(s, d):
+        ev = _events(s, d).select("event_id", "event_type", "value")
+        wk = Window.partitionBy("event_type")
+        lo, hi = F.min("value").over(wk), F.max("value").over(wk)
+        return ev.select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - lo) / (hi - lo)).alias("value_minmax"),
+        )
+
+    q["normalization_minmax"] = q_minmax
+
+    def q_convert_index(s, d):
+        ev = _events(s, d).select("event_id", "ts")
+        return convert_index_to_number(ev, "unix", out_col="idx").select(
+            "event_id", "idx"
+        )
+
+    q["convert_index_unix"] = q_convert_index
+
+    def q_date_offset(s, d):
+        ev = _events(s, d).select("event_id", "ts")
+        return date_offset(ev, 3, "HOUR")
+
+    q["date_offset_3h"] = q_date_offset
+
+    # ---- reshape ---------------------------------------------------------
+    def q_stack(s, d):
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+        return li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice"],
+            variableColumnName="Columns",
+            valueColumnName="Values",
+        )
+
+    q["stack_unpivot"] = q_stack
+
+    def q_unstack(s, d):
+        ev = _events(s, d)
+        hour = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("ts")).pivot(
+            "event_type", ["click", "view", "purchase", "signup", "error"]
+        ).agg(_dsum("value"))
+        return hour
+
+    q["unstack_pivot"] = q_unstack
+
+    # ---- stats -----------------------------------------------------------
+    def q_gof(s, d):
+        ev = _events(s, d).select(
+            F.col("value").alias("o"), (F.col("value") * 1.1 + 5.0).alias("m")
+        )
+        # exact decimal sums; o is 2-dec, m = 1.1*o+5 is double — cast m
+        # to decimal(28,6) (exact for these magnitudes: 1.1*x of a
+        # 2-dec double is not exactly 3-dec, so DON'T decimalize m;
+        # instead compute everything from exact sums of o and the
+        # *formula* for m's sums: sum(m)=1.1*sum(o)+5n etc. — identical
+        # on both sides.
+        n = F.count("o")
+        so = F.sum(F.col("o").cast(DEC)).cast("double")
+        so2 = F.sum(F.col("o").cast(DEC) * F.col("o").cast(DEC)).cast("double")
+        sm = 1.1 * so + 5.0 * n
+        sd = 0.1 * so + 5.0 * n  # sum of (m - o)
+        return ev.agg(
+            (sd / n).alias("bias"),
+            (100.0 * sd / so).alias("pc_bias"),
+            n.alias("n"),
+        )
+
+    q["gof_bias"] = q_gof
+
+    def q_autocorr(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        lagged = ev.withColumn("value_l1", F.lag("value", 1).over(w)).filter(
+            F.col("value_l1").isNotNull()
+        )
+        # pearson from exact sums (deterministic, unlike corr())
+        n = F.count("*").cast("double")
+        sx = F.sum(F.col("value").cast(DEC)).cast("double")
+        sy = F.sum(F.col("value_l1").cast(DEC)).cast("double")
+        sxy = F.sum(F.col("value").cast(DEC) * F.col("value_l1").cast(DEC)).cast("double")
+        sxx = F.sum(F.col("value").cast(DEC) * F.col("value").cast(DEC)).cast("double")
+        syy = F.sum(F.col("value_l1").cast(DEC) * F.col("value_l1").cast(DEC)).cast("double")
+        r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return lagged.groupBy("user_id").agg(r.alias("acf_1"))
+
+    q["autocorr_lag1"] = q_autocorr
+
+    def q_fdc(s, d):
+        ev = _events(s, d).select("event_type", "value")
+        return fdc(ev, "value", key_cols=["event_type"], plotting_position="weibull")
+
+    q["fdc_weibull"] = q_fdc
+
+    def q_peaks(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        before, after = base.rowsBetween(-2, -1), base.rowsBetween(1, 2)
+        v = F.col("value")
+        cond = (v > F.max(v).over(before)) & (v > F.max(v).over(after))
+        return ev.select("event_id", "user_id", F.when(cond, v).alias("value_peak"))
+
+    q["peak_detection_rel2"] = q_peaks
+
+    def q_trend(s, d):
+        ev = _events(s, d).select("event_type", "ts", "value")
+        # x relative to 2024-01-01 in seconds (double, deterministic per
+        # row); every SUM routes through DECIMAL(38,6) so aggregation
+        # order cannot perturb the result (hash-stable vs DuckDB).
+        x = (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)).cast("double") / 1e6
+        v = F.col("value")
+        d6 = "decimal(38,6)"
+        n = F.count("*").cast("double")
+        sx = F.sum(x.cast(d6)).cast("double")
+        sy = F.sum(v.cast(DEC)).cast("double")
+        sxy = F.sum((x * v).cast(d6)).cast("double")
+        sxx = F.sum((x * x).cast(d6)).cast("double")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return ev.groupBy("event_type").agg(
+            slope.alias("slope"), intercept.alias("intercept")
+        )
+
+    q["linear_trend"] = q_trend
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+    DECS = "DECIMAL(28,2)"
+
+    o["agg_hourly"] = f"""
+        SELECT event_type,
+               date_trunc('hour', ts) AS ts,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS value_sum,
+               COUNT(value) AS value_count,
+               MIN(value) AS value_min,
+               MAX(value) AS value_max,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS value_mean
+        FROM events GROUP BY 1, 2
     """
-    return {}
+    o["tier_cascade_1m_1h"] = f"""
+        WITH m AS (
+          SELECT event_type, date_trunc('minute', ts) AS ts,
+                 SUM(CAST(value AS {DECS})) AS s, COUNT(value) AS c,
+                 MIN(value) AS mn, MAX(value) AS mx
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, date_trunc('hour', ts) AS ts,
+               CAST(SUM(s) AS DOUBLE) AS value_sum, SUM(c) AS value_count,
+               MIN(mn) AS value_min, MAX(mx) AS value_max
+        FROM m GROUP BY 1, 2
+    """
+    o["agg_daily_median"] = """
+        SELECT event_type, date_trunc('day', ts) AS ts,
+               quantile_cont(value, 0.5) AS value_median
+        FROM events GROUP BY 1, 2
+    """
+    o["agg_all"] = f"""
+        SELECT event_type, MAX(ts) AS ts,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS value_sum,
+               COUNT(value) AS value_count
+        FROM events GROUP BY 1
+    """
+    o["agg_months_across_years"] = f"""
+        SELECT CAST(month(ts) AS INT) AS month,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS value_mean
+        FROM events GROUP BY 1
+    """
+    o["agg_ohlc_daily"] = """
+        WITH t AS (
+          SELECT event_type, date_trunc('day', ts) AS day, value,
+                 row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT event_type, day AS ts,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS value_open,
+               MAX(value) AS value_high,
+               MIN(value) AS value_low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS value_close
+        FROM t GROUP BY 1, 2
+    """
+    o["describe"] = """
+        SELECT event_type, COUNT(value) AS value_count, MIN(value) AS value_min,
+               quantile_cont(value, 0.25) AS value_25,
+               quantile_cont(value, 0.5) AS value_50,
+               quantile_cont(value, 0.75) AS value_75,
+               MAX(value) AS value_max
+        FROM events GROUP BY 1
+    """
+    o["date_slice"] = """
+        SELECT ts, event_id, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-07'
+    """
+    o["round_index_15min_floor"] = """
+        SELECT event_id,
+               to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))::TIMESTAMP AS ts
+        FROM events
+    """
+    o["clean_dedup"] = """
+        WITH r AS (
+          SELECT user_id,
+                 to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS ts,
+                 value
+          FROM events),
+        d AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY value) AS rn
+          FROM r)
+        SELECT user_id, ts, value FROM d WHERE rn = 1
+    """
+    o["rolling_24row_sum_mean"] = f"""
+        SELECT ts, event_id, user_id,
+               CASE WHEN cnt >= 24 THEN CAST(s AS DOUBLE) END AS value_rolling_24_sum,
+               CASE WHEN cnt >= 24 THEN CAST(s AS DOUBLE) / cnt END AS value_rolling_24_mean
+        FROM (
+          SELECT ts, event_id, user_id,
+                 SUM(CAST(value AS {DECS})) OVER w AS s,
+                 COUNT(value) OVER w AS cnt
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    """
+    o["rolling_6h_time_window"] = f"""
+        SELECT ts, event_id, user_id,
+               CAST(SUM(CAST(value AS {DECS})) OVER w AS DOUBLE) AS value_6h_sum,
+               COUNT(value) OVER w AS value_6h_count
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+    """
+    o["expanding_cumsum_cummax"] = f"""
+        SELECT ts, event_id, user_id,
+               CAST(SUM(CAST(value AS {DECS})) OVER w AS DOUBLE) AS value_cumsum,
+               MAX(value) OVER w AS value_cummax
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    o["lag_lead"] = """
+        SELECT ts, event_id, user_id,
+               lag(value, 1) OVER w AS value_1,
+               lag(value, 3) OVER w AS value_3,
+               lead(value, 1) OVER w AS value_lead1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    o["pct_change"] = """
+        SELECT ts, event_id, user_id,
+               value / lag(value, 1) OVER w - 1 AS value_pct_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    o["rank_average"] = """
+        SELECT event_id, event_type,
+               CAST(rank() OVER wv + (COUNT(value) OVER wt - 1) / 2.0 AS DOUBLE)
+                   AS value_rank,
+               (rank() OVER wv + (COUNT(value) OVER wt - 1) / 2.0)
+                   / COUNT(value) OVER wk AS value_rank_pct
+        FROM events
+        WINDOW wv AS (PARTITION BY event_type ORDER BY value ASC NULLS LAST),
+               wt AS (PARTITION BY event_type, value),
+               wk AS (PARTITION BY event_type)
+    """
+    o["fill_ffill"] = """
+        SELECT ts, event_id, user_id,
+               last_value(CASE WHEN value >= 50.0 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        FROM events
+    """
+    o["fill_linear"] = """
+        WITH t AS (
+          SELECT ts, event_id, user_id,
+                 CASE WHEN value >= 50.0 THEN value END AS v,
+                 CAST(epoch_us(ts) AS DOUBLE) AS e
+          FROM events),
+        x AS (
+          SELECT ts, event_id, user_id, v, e,
+                 last_value(v IGNORE NULLS) OVER wp AS pv,
+                 first_value(v IGNORE NULLS) OVER wn AS nv,
+                 last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER wp AS pt,
+                 first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER wn AS nt
+          FROM t
+          WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT ts, event_id, user_id,
+               COALESCE(v, pv + (nv - pv) * (e - pt) / (nt - pt)) AS value_linear
+        FROM x
+    """
+    o["fill_value"] = """
+        SELECT ts, event_id,
+               COALESCE(CASE WHEN value >= 50.0 THEN value END, -1.0) AS value_filled
+        FROM events
+    """
+    o["clip_convert"] = """
+        SELECT event_id,
+               LEAST(GREATEST(value, 10.0), 500.0) AS value_clip,
+               value * 2.5 - 1.0 AS value_convert
+        FROM events
+    """
+    o["normalization_zscore"] = f"""
+        SELECT event_id, event_type,
+               (value - mean) / std AS value_zscore
+        FROM (
+          SELECT event_id, event_type, value,
+                 CAST(SUM(CAST(value AS {DECS})) OVER wk AS DOUBLE)
+                   / COUNT(value) OVER wk AS mean,
+                 sqrt((CAST(SUM(CAST(value AS {DECS}) * CAST(value AS {DECS})) OVER wk AS DOUBLE)
+                       - CAST(SUM(CAST(value AS {DECS})) OVER wk AS DOUBLE)
+                         * CAST(SUM(CAST(value AS {DECS})) OVER wk AS DOUBLE)
+                         / COUNT(value) OVER wk)
+                      / (COUNT(value) OVER wk - 1)) AS std
+          FROM events
+          WINDOW wk AS (PARTITION BY event_type))
+    """
+    o["normalization_minmax"] = """
+        SELECT event_id, event_type,
+               (value - MIN(value) OVER wk) / (MAX(value) OVER wk - MIN(value) OVER wk)
+                 AS value_minmax
+        FROM events
+        WINDOW wk AS (PARTITION BY event_type)
+    """
+    o["convert_index_unix"] = """
+        SELECT event_id,
+               (CAST(epoch_us(ts) AS DOUBLE) / 1e6 / 86400.0 + 2440587.5) - 2440587.5 AS idx
+        FROM events
+    """
+    o["date_offset_3h"] = """
+        SELECT event_id, ts + INTERVAL 3 HOUR AS ts FROM events
+    """
+    o["stack_unpivot"] = """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS Columns,
+               CAST(l_quantity AS DOUBLE) AS Values FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+    """
+    o["unstack_pivot"] = f"""
+        SELECT date_trunc('hour', ts) AS ts,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS {DECS}) END) AS DOUBLE) AS click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS {DECS}) END) AS DOUBLE) AS view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS {DECS}) END) AS DOUBLE) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS {DECS}) END) AS DOUBLE) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS {DECS}) END) AS DOUBLE) AS error
+        FROM events GROUP BY 1
+    """
+    o["gof_bias"] = f"""
+        SELECT (0.1 * CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) + 5.0 * COUNT(value))
+                 / COUNT(value) AS bias,
+               100.0 * (0.1 * CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) + 5.0 * COUNT(value))
+                 / CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS pc_bias,
+               COUNT(value) AS n
+        FROM events
+    """
+    o["autocorr_lag1"] = f"""
+        WITH l AS (
+          SELECT user_id, value,
+                 lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_l1
+          FROM events),
+        f AS (SELECT * FROM l WHERE value_l1 IS NOT NULL)
+        SELECT user_id,
+               (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(value AS {DECS}) * CAST(value_l1 AS {DECS})) AS DOUBLE)
+                - CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) * CAST(SUM(CAST(value_l1 AS {DECS})) AS DOUBLE))
+               / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(value AS {DECS}) * CAST(value AS {DECS})) AS DOUBLE)
+                       - CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) * CAST(SUM(CAST(value AS {DECS})) AS DOUBLE))
+                      * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(value_l1 AS {DECS}) * CAST(value_l1 AS {DECS})) AS DOUBLE)
+                         - CAST(SUM(CAST(value_l1 AS {DECS})) AS DOUBLE) * CAST(SUM(CAST(value_l1 AS {DECS})) AS DOUBLE)))
+                 AS acf_1
+        FROM f GROUP BY user_id
+    """
+    o["fdc_weibull"] = """
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY value ASC) AS DOUBLE)
+                 / (COUNT(value) OVER (PARTITION BY event_type) + 1) AS exceedance,
+               value
+        FROM events WHERE value IS NOT NULL
+    """
+    o["peak_detection_rel2"] = """
+        SELECT event_id, user_id,
+               CASE WHEN value > MAX(value) OVER wb AND value > MAX(value) OVER wa
+                    THEN value END AS value_peak
+        FROM events
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+               wa AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
+    """
+    o["linear_trend"] = f"""
+        WITH b AS (
+          SELECT event_type, value,
+                 CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1e6 AS x
+          FROM events),
+        s AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+          FROM b GROUP BY event_type)
+        SELECT event_type,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+        FROM s
+    """
+    return o

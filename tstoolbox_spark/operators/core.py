@@ -65,6 +65,17 @@ def parse_freq(freq: str) -> tuple[str, int]:
     return unit, mult * base * INTERVAL_SECONDS[unit]
 
 
+def epoch_micros(col: F.Column) -> F.Column:
+    """NTZ-safe epoch microseconds (parquet timestamps read as
+    TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is identity)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def epoch_seconds(col: F.Column) -> F.Column:
+    """NTZ-safe fractional epoch seconds."""
+    return epoch_micros(col).cast("double") / 1e6
+
+
 def pick(df: DataFrame, columns: Sequence[str], keep: Sequence[str] = ("ts",)) -> DataFrame:
     """Column projection. Ref: tsutils.py:1227-1301 (_pick)."""
     keep = [c for c in keep if c in df.columns and c not in columns]
@@ -127,7 +138,7 @@ def round_index(
         if mode != "floor":
             raise ValueError("calendar intervals support only floor (date_trunc)")
         return df.withColumn(ts_col, F.date_trunc(unit, F.col(ts_col)))
-    e = F.unix_timestamp(F.col(ts_col)).cast("long")
+    e = F.floor(epoch_seconds(F.col(ts_col))).cast("long")
     if mode == "round":
         bucket = F.floor((e + secs // 2) / secs) * secs
     elif mode == "floor":

@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .core import parse_freq
+from .core import epoch_seconds, parse_freq
 
 FILL_METHODS = (
     "ffill",
@@ -68,7 +68,7 @@ def _with_sentinels(
         w = Window.partitionBy(*keys).orderBy(ts_col)
         with_delta = df.withColumn(
             "__delta",
-            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w),
+            epoch_seconds(F.col(ts_col)) - F.lag(epoch_seconds(F.col(ts_col))).over(w),
         )
         extent = with_delta.groupBy(*keys).agg(*aggs, F.min("__delta").alias("__step"))
     else:
@@ -88,8 +88,8 @@ def _with_sentinels(
         cols.append(F.lit(True).alias(_SENTINEL))
         return extent.select(*cols)
 
-    lo = _sentinel(F.timestamp_seconds(F.col("__min_ts").cast("double") - step))
-    hi = _sentinel(F.timestamp_seconds(F.col("__max_ts").cast("double") + step))
+    lo = _sentinel(F.timestamp_seconds(epoch_seconds(F.col("__min_ts")) - step).cast(df.schema[ts_col].dataType))
+    hi = _sentinel(F.timestamp_seconds(epoch_seconds(F.col("__max_ts")) + step).cast(df.schema[ts_col].dataType))
     base = df.withColumn(_SENTINEL, F.lit(False))
     return base.unionByName(lo).unionByName(hi)
 
@@ -159,7 +159,7 @@ def fill(
                 c, _directional(c, method, limit, keys, ts_col, w_prev, w_next)
             )
         else:
-            e = F.col(ts_col).cast("double")
+            e = epoch_seconds(F.col(ts_col))
             prev_v = F.last(v, ignorenulls=True).over(w_prev)
             next_v = F.first(v, ignorenulls=True).over(w_next)
             prev_t = F.last(F.when(v.isNotNull(), e), ignorenulls=True).over(w_prev)

@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .core import epoch_seconds
+
 #: plotting-position (alpha, beta) pairs, tsutils.py:549-572
 PLOTTING_POSITIONS = {
     "weibull": (0.0, 0.0),
@@ -202,7 +204,7 @@ def linear_fit(
         value_cols = [c for c in df.columns if c not in skip]
     keys = list(key_cols)
     wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    x = F.col(ts_col).cast("double")
+    x = epoch_seconds(F.col(ts_col))
     out = df
     for c in value_cols:
         v = F.col(c).cast("double")
@@ -229,7 +231,7 @@ def add_trend(
         value_cols = [c for c in df.columns if c not in skip]
     keys = list(key_cols)
     wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    x = F.col(ts_col).cast("double")
+    x = epoch_seconds(F.col(ts_col))
     x0, x1 = F.min(x).over(wk), F.max(x).over(wk)
     ramp = F.lit(start_offset) + (x - x0) / (x1 - x0) * F.lit(end_offset - start_offset)
     out = df

@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .core import epoch_seconds
+
 #: epoch name → offset in days relative to julian day 0 (reference
 #: table: functions/convert_index.py:234-247, epoch dates :263-276)
 EPOCH_JULIAN_OFFSET = {
@@ -165,7 +167,7 @@ def convert_index_to_number(
     Ref: functions/convert_index.py:326-331 (via to_julian_date)."""
     if epoch not in EPOCH_JULIAN_OFFSET:
         raise ValueError(f"unknown epoch {epoch!r}")
-    julian = F.unix_timestamp(F.col(ts_col)).cast("double") / 86400.0 + 2440587.5
+    julian = epoch_seconds(F.col(ts_col)) / 86400.0 + 2440587.5
     return df.withColumn(out_col, julian - F.lit(EPOCH_JULIAN_OFFSET[epoch]))
 
 

@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .core import parse_freq
+from .core import epoch_micros, parse_freq
 
 ROLLING_STATS = (
     "count",
@@ -60,7 +60,7 @@ def _frame(
             return w.rowsBetween(-(window - 1 - lead), lead)
         return w.rowsBetween(-(window - 1), 0)
     _, secs = parse_freq(window)
-    w = Window.partitionBy(*keys).orderBy(F.unix_micros(F.col(ts_col)))
+    w = Window.partitionBy(*keys).orderBy(epoch_micros(F.col(ts_col)))
     # pandas time rolling: window covers (t - delta, t] — strictly
     # greater than t-delta. Epoch micros are integral, so subtracting
     # (delta_micros - 1) excludes the open endpoint exactly.
