@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the rollup
+pipeline throughput job, printing ONE JSON line::
+
+    {"metric": "rollup throughput", "value": <seq/s>, "unit": "seq/s",
+     "queries": {"agg_hourly": sec, ...}, "sf": 0.1, ...}
+
+The pipeline job (generate → salt → Gorilla-compress → tier cascade)
+is the metric BASELINE.md targets (sequences/sec); the per-query
+timings cover the operator library. Set ``SPARK_GRAFT_BENCH_ROWS`` to
+scale the pipeline input (default 1,000,000 sequences).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tstoolbox_spark.datagen import generate_sequences  # noqa: E402
+from tstoolbox_spark.pipeline.runner import run_pipeline  # noqa: E402
+from tstoolbox_spark.session import get_spark  # noqa: E402
+
+#: queries timed per round (a representative slice: scans, shuffles,
+#: windows, pivots — heaviest first so regressions surface loudly)
+BENCH_QUERIES = [
+    "agg_hourly",
+    "tier_cascade_1m_1h",
+    "agg_daily_median",
+    "rolling_24row_sum_mean",
+    "rolling_6h_time_window",
+    "expanding_cumsum_cummax",
+    "fill_linear",
+    "rank_average",
+    "normalization_zscore",
+    "unstack_pivot",
+    "stack_unpivot",
+    "fdc_weibull",
+    "linear_trend",
+]
+
+
+def force(df) -> int:
+    """Fully materialize a plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark("bench", parallelism=cpus)
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        df.count()  # warm: plan + scan caches
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # pipeline throughput: the BASELINE.md metric. Input is
+    # pre-materialized parquet (generation is not pipeline work — the
+    # production input is an existing table).
+    work = tempfile.mkdtemp(prefix="bench_rollup_")
+    try:
+        inp = os.path.join(work, "input")
+        generate_sequences(spark, rows).write.mode("overwrite").parquet(inp)
+        seq = spark.read.parquet(inp)
+        t0 = time.time()
+        metrics = run_pipeline(
+            spark, seq, os.path.join(work, "tables"), n_buckets=64,
+            target_rows_per_cell=250_000, verify=True,
+        )
+        pipeline_s = time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    out = {
+        "metric": "rollup throughput (sequences/sec, 1m/1h/1d tiers + codec + verify)",
+        "value": round(metrics["sequences_per_second"], 1),
+        "unit": "seq/s",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_rows": rows,
+        "pipeline_seconds": round(pipeline_s, 2),
+        "compression_ratio": round(metrics["compression_ratio"], 3),
+        "roundtrip_mismatched": metrics.get("roundtrip", {}).get("mismatched"),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

