@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linear_trend"] = q_trend
 
+    q.update(_textops_queries())
     return q
 
 
@@ -793,5 +794,260 @@ def oracle_sql() -> dict[str, str]:
                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
                (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
         FROM s
+    """
+    o.update(_textops_oracles())
+    return o
+
+
+# --------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+# --------------------------------------------------------------------------
+
+from tstoolbox_spark.textops import dedup as _dd  # noqa: E402
+from tstoolbox_spark.textops import quality as _tq  # noqa: E402
+from tstoolbox_spark.textops import similarity as _ts  # noqa: E402
+
+_SIMHASH_BITS = 16
+_MINHASH_K = 8
+
+
+def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    q["dedup_exact"] = lambda s, d: _dd.exact_dedup(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: _dd.ngram_jaccard_pairs(
+        _docs(s, d), n=2, threshold=0.2
+    )
+    q["minhash_signature"] = lambda s, d: _dd.minhash_signature(
+        _docs(s, d), k=_MINHASH_K
+    )
+    q["minhash_lsh_dedup"] = lambda s, d: _dd.minhash_lsh_dedup(
+        _docs(s, d), n=2, threshold=0.2, k=_MINHASH_K, bands=2, rows=4
+    )
+    q["simhash"] = lambda s, d: _dd.simhash(_docs(s, d), bits=_SIMHASH_BITS)
+    q["language_id"] = lambda s, d: _tq.language_id(_docs(s, d))
+    q["quality_score"] = lambda s, d: _tq.quality_score(_docs(s, d))
+    q["token_counts"] = lambda s, d: _tq.token_counts(_docs(s, d))
+    q["fingerprint"] = lambda s, d: _tq.fingerprint(_docs(s, d))
+
+    def sim_topk(s, d):
+        emb = _emb(s, d)
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        return _ts.cosine_topk(emb.filter(F.col("vec_id") > 0), [float(x) for x in qvec], k=10)
+
+    q["similarity_topk"] = sim_topk
+
+    def near_dup_emb(s, d):
+        return _ts.embedding_near_dup_pairs(_emb(s, d), threshold=0.9)
+
+    q["embedding_near_dup"] = near_dup_emb
+
+    def ivf_topk_q(s, d):
+        emb = _emb(s, d)
+        rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        cents = [[float(x) for x in r["embedding"]] for r in rows]
+        qvec = [float(x) for x in rows[0]["embedding"]]
+        return _ts.ivf_topk(emb.filter(F.col("vec_id") > 0), qvec, cents, k=10, nprobe=3)
+
+    q["ivf_topk"] = ivf_topk_q  # no SQL oracle (IVF pruning) → rows-only
+
+    def binary_meta(s, d):
+        docs = _docs(s, d).select("doc_id", F.col("text").cast("binary").alias("payload"))
+        from tstoolbox_spark.multimodal import binary_metadata
+
+        return binary_metadata(docs).select("doc_id", "n_bytes", "payload_md5")
+
+    q["multimodal_binary_meta"] = binary_meta
+    return q
+
+
+# ---- portable SQL snippets (DuckDB) ---------------------------------------
+
+_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _md5int_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+def _shingles_sql(n: int = 2) -> str:
+    w = _WORDS
+    if n == 1:
+        return f"list_distinct({w})"
+    return (
+        f"list_distinct(CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({w}, i, i + {n} - 1), ' ')) "
+        f"ELSE [] END)"
+    )
+
+
+def _textops_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["dedup_exact"] = f"""
+        SELECT {_md5int_sql(_NORM)} AS content_hash,
+               MIN(doc_id) AS keeper, COUNT(*) AS dup_count
+        FROM documents GROUP BY 1
+    """
+
+    jacc_base = f"""
+        WITH ex AS (
+          SELECT doc_id AS doc, unnest({_shingles_sql(2)}) AS shingle
+          FROM documents),
+        sizes AS (SELECT doc, COUNT(*) AS ns FROM ex GROUP BY doc),
+        shared AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+          FROM ex a JOIN ex b USING (shingle)
+          WHERE a.doc < b.doc GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(CAST(shared AS DOUBLE) / (sa.ns + sb.ns - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(shared AS DOUBLE) / (sa.ns + sb.ns - shared) >= 0.2 - 5e-7
+    """
+    o["dedup_ngram_jaccard"] = jacc_base
+    # LSH verifies candidates against exact jaccard; with bands=2 rows=4
+    # on k=8 signatures the candidate set ⊇ all pairs above threshold on
+    # this corpus, so the verified output equals the exact result. The
+    # oracle asserts that equality (and the engine-side test asserts
+    # candidates ⊆ exact independently).
+    o["minhash_lsh_dedup"] = jacc_base
+
+    mins = ",\n               ".join(
+        f"MIN({_md5int_sql(chr(39) + str(i) + '|' + chr(39) + ' || shingle')}) AS mh{i}"
+        for i in range(_MINHASH_K)
+    )
+    o["minhash_signature"] = f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({_shingles_sql(2)}) AS shingle FROM documents)
+        SELECT doc_id,
+               {mins}
+        FROM ex GROUP BY doc_id
+    """
+
+    h = _md5int_sql("w")
+    sums = ",\n                 ".join(
+        f"SUM(CASE WHEN (({h} >> {k}) & 1) = 1 THEN cnt ELSE -cnt END) AS s{k}"
+        for k in range(_SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS)
+    )
+    o["simhash"] = f"""
+        WITH w AS (
+          SELECT doc_id AS doc, unnest({_WORDS}) AS w FROM documents),
+        counts AS (SELECT doc, w, COUNT(*) AS cnt FROM w GROUP BY doc, w),
+        sums AS (SELECT doc,
+                 {sums}
+                 FROM counts GROUP BY doc)
+        SELECT doc AS doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+    """
+
+    langs = {
+        "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+        "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+        "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    }
+    hit_exprs = {
+        lang: (
+            "len(list_filter(" + _WORDS + ", x -> x IN ("
+            + ", ".join(f"'{s}'" for s in sw) + ")))"
+        )
+        for lang, sw in langs.items()
+    }
+    best = "GREATEST(" + ", ".join(hit_exprs[l] for l in sorted(langs)) + ")"
+    pred = "'und'"
+    for lang in sorted(langs, reverse=True):
+        pred = (
+            f"CASE WHEN {hit_exprs[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    hit_cols = ",\n               ".join(
+        f"CAST({hit_exprs[l]} AS INT) AS hits_{l}" for l in sorted(langs)
+    )
+    o["language_id"] = f"""
+        SELECT doc_id,
+               {hit_cols},
+               {pred} AS lang_pred
+        FROM documents
+    """
+
+    o["quality_score"] = f"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 length(text) AS n_chars,
+                 len({_WORDS}) AS n_words,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                 length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS punct,
+                 length(regexp_replace(text, '[^\\s]', '', 'g')) AS space,
+                 len(list_filter({_WORDS}, x -> x IN ('the','and','of','to','is','in','that','with'))) AS stop_cnt,
+                 CAST(len(list_distinct({_WORDS})) AS DOUBLE) / len({_WORDS}) AS distinct_ratio
+          FROM documents)
+        SELECT doc_id,
+               n_chars, CAST(n_words AS INT) AS n_words,
+               ROUND(CAST(n_chars - space AS DOUBLE) / n_words, 6) AS mean_word_len,
+               ROUND(CAST(alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+               ROUND(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+               ROUND(CAST(space AS DOUBLE) / n_chars, 6) AS space_ratio,
+               ROUND(CAST(stop_cnt AS DOUBLE) / n_words, 6) AS stopword_ratio,
+               ROUND(1 - distinct_ratio, 6) AS repetition_ratio,
+               (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN CAST(n_chars - space AS DOUBLE)/n_words BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN CAST(alpha AS DOUBLE)/n_chars >= 0.6 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN distinct_ratio >= 0.3 THEN 0.25 ELSE 0.0 END) AS quality_score
+        FROM b
+    """
+
+    o["token_counts"] = """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                   AS regex_tokens,
+               length(text) / 4.0 AS approx_bytes_per_token_est
+        FROM documents
+    """
+
+    sh3 = _shingles_sql(3)
+    o["fingerprint"] = f"""
+        SELECT doc_id,
+               list_min(list_transform({sh3}, s -> {_md5int_sql('s')})) AS fp_min,
+               list_max(list_transform({sh3}, s -> {_md5int_sql('s')})) AS fp_max,
+               {_md5int_sql(_NORM)} AS content_hash
+        FROM documents
+    """
+
+    o["similarity_topk"] = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 ROUND(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cosine_sim
+          FROM embeddings, q WHERE vec_id > 0)
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    o["embedding_near_dup"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+                   AS cosine_sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9 - 5e-7
+    """
+
+    o["multimodal_binary_meta"] = """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
     """
     return o

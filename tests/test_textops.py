@@ -1,0 +1,182 @@
+"""textops tests: dedup families against hand-built oracles, LSH vs
+exact recall, similarity search vs numpy brute force, quality metrics,
+and multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tstoolbox_spark.multimodal import binary_metadata, extract_features, fake_features
+from tstoolbox_spark.textops import dedup, quality, similarity
+
+from .conftest import to_sdf
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (4, "completely different text about spark engines here"),
+    (5, "El perro come la comida de la mesa con los amigos"),
+    (6, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_sdf(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    )
+
+
+def _jaccard(a: str, b: str, n: int = 2) -> float:
+    def sh(t):
+        w = t.lower().split()
+        return set(tuple(w[i : i + n]) for i in range(len(w) - n + 1))
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs_sdf):
+    out = dedup.exact_dedup(docs_sdf).toPandas()
+    dup_groups = out[out.dup_count > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0]["keeper"] == 1
+    assert dup_groups.iloc[0]["dup_count"] == 2
+
+
+def test_ngram_jaccard_pairs(spark, docs_sdf):
+    out = dedup.ngram_jaccard_pairs(docs_sdf, n=2, threshold=0.5).toPandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs and (2, 3) in pairs  # near dup
+    assert not any(4 in p or 5 in p for p in pairs)
+    got = out[(out.doc_a == 1) & (out.doc_b == 3)]["jaccard"].iloc[0]
+    assert np.isclose(got, _jaccard(DOCS[0][1], DOCS[2][1]), atol=1e-6)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_sdf):
+    out = dedup.minhash_lsh_dedup(docs_sdf, n=2, threshold=0.5).toPandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in pairs
+    # LSH pairs must be a subset of exact-jaccard pairs (verify stage)
+    exact = dedup.ngram_jaccard_pairs(docs_sdf, n=2, threshold=0.5).toPandas()
+    assert pairs <= set(zip(exact.doc_a, exact.doc_b))
+
+
+def test_minhash_signature_deterministic(spark, docs_sdf):
+    s1 = dedup.minhash_signature(docs_sdf).orderBy("doc_id").toPandas()
+    s2 = dedup.minhash_signature(docs_sdf).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(s1, s2)
+    # identical docs → identical signatures
+    assert (s1.iloc[0, 1:] == s1.iloc[1, 1:]).all()
+
+
+def test_simhash_properties(spark, docs_sdf):
+    sig = dedup.simhash(docs_sdf).orderBy("doc_id").toPandas()
+    h = dict(zip(sig.doc_id, sig.simhash))
+    assert h[1] == h[2]  # identical text → identical simhash
+    ham_near = bin(h[1] ^ h[3]).count("1")
+    ham_far = bin(h[1] ^ h[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+    pairs = dedup.simhash_pairs(
+        dedup.simhash(docs_sdf), max_hamming=ham_near
+    ).toPandas()
+    assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": list(vecs)})
+    sdf = spark.createDataFrame(pdf)
+    q = vecs[0]
+    got = similarity.cosine_topk(sdf, [float(x) for x in q], k=5).toPandas()
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    exp_ids = np.argsort(-sims)[:5]
+    assert got["vec_id"].tolist() == list(exp_ids)
+    np.testing.assert_allclose(
+        got["cosine_sim"].values, np.round(sims[exp_ids], 6), atol=2e-6
+    )
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    sdf = spark.createDataFrame(pdf)
+    q = [float(x) for x in vecs[3]]
+    centroids = [[float(x) for x in vecs[i]] for i in range(8)]
+    exact = similarity.cosine_topk(sdf, q, k=10).toPandas()["vec_id"].tolist()
+    approx = similarity.ivf_topk(sdf, q, centroids, k=10, nprobe=4).toPandas()[
+        "vec_id"
+    ].tolist()
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # nprobe=4 of 8 cells
+
+
+def test_embedding_near_dup_pairs(spark):
+    base = np.random.RandomState(1).randn(20, 8).astype(np.float32)
+    vecs = np.vstack([base, base[0] * 1.001, base[5] * 0.999])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    out = similarity.embedding_near_dup_pairs(
+        spark.createDataFrame(pdf), threshold=0.999
+    ).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (0, 20) in pairs and (5, 21) in pairs
+
+
+def test_language_id(spark, docs_sdf):
+    out = language_out = quality.language_id(docs_sdf).orderBy("doc_id").toPandas()
+    pred = dict(zip(out.doc_id, out.lang_pred))
+    assert pred[1] == "en"
+    assert pred[5] == "es"
+    assert pred[6] == "und"  # no stopword hits
+
+
+def test_quality_and_tokens(spark, docs_sdf):
+    out = quality.quality_score(docs_sdf).orderBy("doc_id").toPandas()
+    row = out[out.doc_id == 1].iloc[0]
+    text = DOCS[0][1]
+    assert row["n_chars"] == len(text)
+    assert row["n_words"] == len(text.split())
+    assert np.isclose(row["repetition_ratio"], 1 - 8 / 9, atol=1e-6)  # 'the' twice
+    toks = quality.token_counts(docs_sdf).orderBy("doc_id").toPandas()
+    assert toks[toks.doc_id == 1].iloc[0]["ws_tokens"] == 9
+    assert toks[toks.doc_id == 1].iloc[0]["regex_tokens"] == 9  # no punct
+
+
+def test_fingerprint_stability(spark, docs_sdf):
+    fp = quality.fingerprint(docs_sdf).orderBy("doc_id").toPandas()
+    by_id = fp.set_index("doc_id")
+    assert by_id.loc[1, "content_hash"] == by_id.loc[2, "content_hash"]
+    assert by_id.loc[1, "content_hash"] != by_id.loc[4, "content_hash"]
+    assert by_id.loc[1, "fp_min"] == by_id.loc[2, "fp_min"]
+
+
+def test_multimodal_plumbing(spark):
+    payloads = [b"\x01\x02\x03\x04" * 10, b"", b"zz" * 100]
+    pdf = pd.DataFrame(
+        {
+            "asset_id": ["a", "b", "c"],
+            "modality": ["image", "image", "audio"],
+            "payload": payloads,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    meta = binary_metadata(sdf).orderBy("asset_id").toPandas()
+    assert meta["n_bytes"].tolist() == [40, 0, 200]
+    feats = extract_features(sdf).orderBy("asset_id").toPandas()
+    assert all(len(f) == 8 for f in feats["features"])
+    np.testing.assert_allclose(
+        np.array(feats[feats.asset_id == "a"]["features"].iloc[0]),
+        fake_features(payloads[0], 8),
+    )
+    from tstoolbox_spark.multimodal import resize_stub
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(sdf, 224, 224)

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The container has no image/audio libraries, so the DECODE step is
+stubbed (NotImplementedError or a deterministic fake) — but everything
+Spark-side is real and tested: the schema, the mapInPandas batch
+shape, partition sizing, and the metadata fast paths that never touch
+Python (octet_length / md5 are JVM expressions).
+
+Schema convention::
+
+    asset_id: string, modality: string ('image'|'audio'|'video'),
+    payload: binary, meta: struct<width int, height int, sample_rate
+    int, duration_ms int>
+
+At 100 TB: payloads stay in parquet binary columns; metadata-only
+queries prune the payload column entirely (columnar projection), and
+decode stages size partitions by bytes (`spark.sql.files.
+maxPartitionBytes`) so a batch of payloads fits worker memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id string, modality string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
+)
+
+HAVE_PIL = False
+try:  # pragma: no cover - not installed in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+
+def binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata fast path — JVM expressions only, payload column is the
+    single column read (check ReadSchema in the plan)."""
+    p = F.col(payload_col)
+    return df.withColumn("n_bytes", F.octet_length(p)).withColumn(
+        "payload_md5", F.md5(p)
+    )
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Real decode requires PIL/libjpeg — absent here by design."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; install pillow on the cluster "
+            "image. Use fake_features for plumbing tests."
+        )
+    raise NotImplementedError  # pragma: no cover
+
+
+def fake_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for decode→feature-extract: dim float32
+    features derived from payload bytes (stable across runs/machines).
+    Keeps the UDF signature, batch shape and schema identical to a
+    real extractor."""
+    h = np.frombuffer(payload, dtype=np.uint8)
+    if h.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    idx = np.arange(dim)
+    sums = np.array(
+        [h[i::dim].astype(np.int64).sum() for i in idx], dtype=np.float64
+    )
+    return ((sums % 1000) / 1000.0).astype(np.float32)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id", dim: int = 8
+) -> DataFrame:
+    """Feature extraction stage: mapInPandas over payload batches.
+    Swap ``fake_features`` for a real decoder on a cluster with the
+    codec libraries installed — the Spark plumbing is unchanged."""
+    out_schema = f"{id_col} string, features array<float>"
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                fake_features(bytes(p) if p is not None else b"", dim)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(_extract, schema=out_schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stage — stub: decode unavailable in this container."""
+    raise NotImplementedError(
+        "resize requires an image decoder (PIL) on the executors; the "
+        "pipeline wiring is extract_features with a resize-aware decoder."
+    )
+
+
+def frame_sample_stub(df: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame sampling — stub: no video codec in this container."""
+    raise NotImplementedError(
+        "frame sampling requires pyav/ffmpeg on the executors."
+    )

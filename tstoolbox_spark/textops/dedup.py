@@ -1,0 +1,261 @@
+"""Deduplication operators.
+
+Scale design notes (100 TB corpus):
+- exact: one hash-groupBy on the normalized text digest — map-side
+  combine, no payload shuffle (only digests move).
+- n-gram Jaccard: candidate pairs via equi-join on shared shingles
+  (inverted-index join), never an all-pairs product; hot shingles
+  (stopword bigrams) are capped by document frequency before the join
+  (standard posting-list pruning).
+- MinHash-LSH: k=16 signature / 4 bands × 4 rows; pairs form only
+  within equal band hashes. Signatures + bands are pure column
+  expressions; the band join moves (band_hash, doc_id) pairs only.
+- SimHash: 16-bit majority signature via one explode + one groupBy.
+
+Portable hashing: ``md5int`` = first 15 hex chars of md5 as int64 —
+identical in Spark and ANSI/DuckDB SQL, so every signature here is
+oracle-checkable (xxhash64 would be Spark-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+SIMHASH_BITS = 16
+
+
+def md5int(col: Column) -> Column:
+    """Portable 60-bit hash: int(md5(x)[:15], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace."""
+    out = F.lower(col)
+    out = F.regexp_replace(out, r"[^a-z0-9\s]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def words(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col: Column, n: int = 2) -> Column:
+    """Distinct word n-grams as an array of strings (built-in
+    transform/slice — no UDF)."""
+    w = words(col)
+    if n == 1:
+        return F.array_distinct(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    # drop trailing partial grams when len(words) < n
+    grams = F.when(F.size(w) >= n, grams).otherwise(F.array())
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups on normalized text: one row per distinct
+    content with the keeper id (min id) and the duplicate count."""
+    return (
+        df.select(md5int(normalize_text(F.col(text_col))).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("dup_count"))
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs with Jaccard(shingle sets) ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count shared per pair, |A∪B| = |A|+|B|-shared. At corpus
+    scale pass ``max_doc_freq`` to drop stopword-like shingles whose
+    posting lists would quadratically blow up the pair count.
+    """
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = ex.groupBy("shingle").agg(F.count("*").alias("df_"))
+        ex = ex.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle")
+        ex = ex.select("doc", "shingle")
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = MINHASH_K, n: int = 2,
+) -> DataFrame:
+    """k-permutation MinHash signature columns mh0..mh{k-1}
+    (hash_i(s) = md5int(i || '|' || s); min per doc)."""
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(md5int(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id",
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of ≥1 band become a
+    candidate pair. Output distinct (doc_a < doc_b)."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("bh"))
+        )
+    exploded = signatures.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bandrec")
+    ).select("doc", F.col("bandrec.band").alias("band"), F.col("bandrec.bh").alias("bh"))
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 2, threshold: float = 0.5, k: int = MINHASH_K,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    shingle → minhash → band → bucket-join → verify: candidates come
+    from LSH (sub-quadratic), and each candidate's true Jaccard is
+    computed via the shingle join RESTRICTED to candidate pairs (a
+    semi-join keeps the verify stage linear in candidates).
+    """
+    sig = minhash_signature(df, text_col, id_col, k, n)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows)
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a, b_ = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(b_, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash signature: bit k set iff the count-weighted majority of
+    word hashes has bit k set. One explode + one groupBy."""
+    w = df.select(F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w"))
+    counts = w.groupBy("doc", "w").agg(F.count("*").alias("cnt"))
+    h = md5int(F.col("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{k}")
+        for k in range(bits)
+    ]
+    agg = counts.groupBy("doc").agg(*bit_sums)
+    sig = None
+    for k in range(bits):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col("doc").alias(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 2,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banded join (pigeonhole): split the signature into
+    (max_hamming + 1) chunks — near-dups must agree exactly on ≥1
+    chunk, so candidates come from equality joins, not a cross join.
+    """
+    chunks = max_hamming + 1
+    width = bits // chunks
+    cand = None
+    for c in range(chunks):
+        part = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        side = sig.select(F.col(id_col).alias("doc"), F.col("simhash"), part.alias("chunk"))
+        a, b = side.alias("a"), side.alias("b")
+        pairs = (
+            a.join(b, "chunk")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.col("a.simhash").alias("ha"),
+                F.col("b.simhash").alias("hb"),
+            )
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
