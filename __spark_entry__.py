@@ -795,6 +795,12 @@ def oracle_sql() -> dict[str, str]:
                (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
         FROM s
     """
+    o["equation_expr"] = """
+        SELECT event_id, user_id,
+               value * 2 + abs(lag(value, 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) - 1 AS eq
+        FROM events
+    """
     o.update(_textops_oracles())
     return o
 
@@ -858,6 +864,39 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return binary_metadata(docs).select("doc_id", "n_bytes", "payload_md5")
 
     q["multimodal_binary_meta"] = binary_meta
+
+    # ---- equation compiler + signal verbs -----------------------------
+    def q_equation(s, d):
+        from tstoolbox_spark.operators.equation import equation as _eq
+
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        out = _eq(
+            ev, "x1 * 2 + abs(x1[t-1]) - 1", value_cols=["value"],
+            key_cols=["user_id"], out_col="eq",
+        )
+        return out.select("event_id", "user_id", "eq")
+
+    q["equation_expr"] = q_equation
+
+    def q_fft(s, d):
+        from tstoolbox_spark.operators.signal import fft_filter
+
+        hourly = _q_agg_hourly(_events(s, d)).select("event_type", "ts", "value_mean")
+        return fft_filter(
+            hourly, cutoff_period=12, value_cols=["value_mean"], key_cols=["event_type"]
+        )
+
+    q["fft_lowpass"] = q_fft  # whole-series FFT → rows-only check
+
+    def q_kde(s, d):
+        from tstoolbox_spark.operators.signal import gaussian_kde
+
+        return gaussian_kde(
+            _events(s, d).select("event_type", "ts", "value"),
+            "value", key_cols=["event_type"], points=50,
+        )
+
+    q["gaussian_kde"] = q_kde  # rows-only (kernel sums not SQL-friendly)
     return q
 
 

@@ -1,0 +1,156 @@
+"""equation compiler + signal verbs parity tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstoolbox_spark.operators.equation import equation
+from tstoolbox_spark.operators.signal import (
+    butterworth_filter,
+    dtw_distance,
+    fft_filter,
+    gaussian_kde,
+    kernel_filter,
+    moving_average,
+)
+
+from .conftest import to_sdf
+
+
+def test_equation_arithmetic(spark, twocol_pdf):
+    out = (
+        equation(to_sdf(spark, twocol_pdf), "x1 * 2 + x2 - 1", value_cols=["a", "b"])
+        .orderBy("ts")
+        .toPandas()
+    )
+    exp = twocol_pdf["a"] * 2 + twocol_pdf["b"] - 1
+    pd.testing.assert_series_equal(out["equation"], exp, check_names=False)
+
+
+def test_equation_functions_and_compare(spark, twocol_pdf):
+    out = (
+        equation(to_sdf(spark, twocol_pdf), "abs(x1) + sqrt(abs(x2)) * (x1 > 0)",
+                 value_cols=["a", "b"])
+        .orderBy("ts")
+        .toPandas()
+    )
+    a, b = twocol_pdf["a"], twocol_pdf["b"]
+    exp = a.abs() + np.sqrt(b.abs()) * (a > 0)
+    pd.testing.assert_series_equal(out["equation"], exp, check_names=False)
+
+
+def test_equation_time_shift(spark, twocol_pdf):
+    out = (
+        equation(to_sdf(spark, twocol_pdf), "x1[t-1] + x1[t+1]", value_cols=["a"])
+        .orderBy("ts")
+        .toPandas()
+    )
+    exp = twocol_pdf["a"].shift(1) + twocol_pdf["a"].shift(-1)
+    pd.testing.assert_series_equal(out["equation"], exp, check_names=False)
+
+
+def test_equation_t_ordinal(spark, flat_pdf):
+    out = equation(to_sdf(spark, flat_pdf), "x1 * t", value_cols=["value"]).orderBy("ts").toPandas()
+    exp = flat_pdf["value"] * np.arange(len(flat_pdf))
+    np.testing.assert_allclose(out["equation"].values, exp.values)
+
+
+def test_equation_rejects_unsafe(spark, flat_pdf):
+    sdf = to_sdf(spark, flat_pdf)
+    for bad in ["__import__('os')", "x1.attr", "open('f')", "x9 + 1", "lambda: 1"]:
+        with pytest.raises(ValueError):
+            equation(sdf, bad, value_cols=["value"])
+
+
+def test_kernel_filter_matches_numpy_reference(spark, twocol_pdf):
+    """Oracle = the reference's own recipe (reflect pad + convolve)."""
+    wlen = 7
+    out = (
+        kernel_filter(to_sdf(spark, twocol_pdf), wlen, "hanning", ["a"])
+        .orderBy("ts")
+        .toPandas()["a_filter"]
+        .to_numpy()
+    )
+    x = twocol_pdf["a"].to_numpy()
+    w = np.hanning(wlen)
+    w = w / w.sum()
+    s = np.r_[x[wlen - 1 : 0 : -1], x, x[-2 : -wlen - 1 : -1]]
+    y = np.convolve(w, s, mode="valid")
+    start = (len(y) - len(x)) // 2
+    np.testing.assert_allclose(out, y[start : start + len(x)], atol=1e-12)
+
+
+def test_moving_average_flat(spark, twocol_pdf):
+    out = (
+        moving_average(to_sdf(spark, twocol_pdf), 5, ["a"]).orderBy("ts").toPandas()["a_ma"]
+    )
+    exp = twocol_pdf["a"].rolling(5, center=True, min_periods=1).mean()
+    pd.testing.assert_series_equal(out, exp, check_names=False)
+
+
+def test_fft_filter_lowpass(spark):
+    t = np.arange(256, dtype=float)
+    slow = np.sin(2 * np.pi * t / 64)
+    fast = 0.5 * np.sin(2 * np.pi * t / 4)
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=256, freq="h"), "value": slow + fast}
+    )
+    out = (
+        fft_filter(to_sdf(spark, pdf), cutoff_period=16, lowpass=True)
+        .orderBy("ts")
+        .toPandas()["value_fft"]
+        .to_numpy()
+    )
+    # low-pass keeps the slow component, kills the 4-sample wave
+    np.testing.assert_allclose(out, slow, atol=1e-8)
+
+
+def test_butterworth_stub():
+    with pytest.raises(NotImplementedError):
+        butterworth_filter()
+
+
+def test_dtw(spark):
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [1.0, 2.0, 2.0, 3.0, 4.0]
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2020-01-01", periods=5, freq="D"),
+            "a": a + [np.nan],
+            "b": b,
+        }
+    )
+    out = dtw_distance(to_sdf(spark, pdf), "a", "b").toPandas()
+    assert out["dtw"].iloc[0] == 0.0  # b is a with one repeat → free under DTW
+
+    pdf2 = pdf.assign(b=[10.0, 20.0, 20.0, 30.0, 40.0])
+    out2 = dtw_distance(to_sdf(spark, pdf2), "a", "b").toPandas()
+    # classic DP oracle
+    def dtw_ref(x, y):
+        m, n = len(x), len(y)
+        D = np.full((m + 1, n + 1), np.inf)
+        D[0, 0] = 0
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                D[i, j] = abs(x[i - 1] - y[j - 1]) + min(
+                    D[i - 1, j], D[i - 1, j - 1], D[i, j - 1]
+                )
+        return D[m, n]
+
+    assert np.isclose(out2["dtw"].iloc[0], dtw_ref(a, [10.0, 20, 20, 30, 40]))
+
+
+def test_gaussian_kde(spark, twocol_pdf):
+    out = gaussian_kde(to_sdf(spark, twocol_pdf), "a", points=50).orderBy("x").toPandas()
+    assert len(out) == 50
+    x = twocol_pdf["a"].to_numpy()
+    n = len(x)
+    bw = n ** (-0.2) * x.std(ddof=1)
+    grid = np.linspace(x.min(), x.max(), 50)
+    z = (grid[:, None] - x[None, :]) / bw
+    exp = np.exp(-0.5 * z * z).sum(axis=1) / (n * bw * np.sqrt(2 * np.pi))
+    np.testing.assert_allclose(out["density"].to_numpy(), exp, rtol=1e-10)
+    # density integrates to ~1 over the grid span
+    assert 0.8 < np.trapz(out["density"], out["x"]) < 1.05

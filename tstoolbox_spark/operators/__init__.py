@@ -12,4 +12,4 @@ for partitioned execution — no driver-side collects, no per-row
 Python.
 """
 
-from . import accumulate, aggregate, core, fill, peaks, reshape, stats, transform, window  # noqa: F401
+from . import accumulate, aggregate, core, equation, fill, peaks, reshape, signal, stats, transform, window  # noqa: F401
