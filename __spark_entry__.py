@@ -510,7 +510,230 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["linear_trend"] = q_trend
 
+    q.update(_verb_queries_round2())
     q.update(_textops_queries())
+    return q
+
+
+# --------------------------------------------------------------------------
+# second wave of verb coverage (regularize, fill family, reshape merges,
+# spearman, gof battery, tz, rolling median, centered MA, createts)
+# --------------------------------------------------------------------------
+
+
+def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def q_regularize(s, d):
+        """asbestfreq analog: hourly grid per user with null gap rows
+        (ref tsutils.py:1349-1473)."""
+        ev = _events(s, d).select("user_id", "ts", "value")
+        r = clean(round_index(ev, "H", mode="floor"), key_cols=["user_id"])
+        return regularize(r, "H", key_cols=["user_id"])
+
+    q["regularize_hourly_grid"] = q_regularize
+
+    def q_bfill(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        ev = ev.withColumn("v", F.when(F.col("value") >= 50.0, F.col("value")))
+        wn = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        return ev.select(
+            "ts",
+            "event_id",
+            "user_id",
+            F.first("v", ignorenulls=True).over(wn).alias("value_bfill"),
+        )
+
+    q["fill_bfill"] = q_bfill
+
+    def q_fill_mean(s, d):
+        """fill method='mean': nulls replaced by the per-key mean of the
+        observed values (ref fill.py:299-306); exact decimal sums keep
+        the hash stable."""
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        v = F.when(F.col("value") >= 50.0, F.col("value"))
+        wk = Window.partitionBy("user_id")
+        mean = F.sum(v.cast(DEC)).over(wk).cast("double") / F.count(v).over(wk)
+        return ev.select(
+            "ts", "event_id", "user_id", F.coalesce(v, mean).alias("value_fill_mean")
+        )
+
+    q["fill_mean_stat"] = q_fill_mean
+
+    def q_fill_from(s, d):
+        """fill method='from': coalesce donor columns in priority order
+        (ref fill.py:307-314)."""
+        ev = _events(s, d).select("ts", "event_id", "value")
+        v1 = F.when(F.col("value") >= 50.0, F.col("value"))
+        v2 = F.when(F.col("value") >= 20.0, F.col("value") * 0.5)
+        return ev.select(
+            "ts", "event_id", F.coalesce(v1, v2).alias("value_fill_from")
+        )
+
+    q["fill_from_donor"] = q_fill_from
+
+    def q_replace(s, d):
+        from tstoolbox_spark.operators.transform import replace as _replace
+
+        ev = _events(s, d).select(
+            "event_id", F.floor(F.col("value") / 100.0).cast("double").alias("vv")
+        )
+        return _replace(ev, [1.0, 3.0], [-1.0, -3.0], value_cols=["vv"], ts_col="event_id")
+
+    q["replace_values"] = q_replace
+
+    def q_createts(s, d):
+        from tstoolbox_spark.operators.reshape import createts as _createts
+
+        return _createts(s, "2024-01-01", "2024-01-03", freq="30T")
+
+    q["createts_30min"] = q_createts
+
+    def q_combine(s, d):
+        """read --append=combine: priority COALESCE merge of two frames
+        on the time axis (ref read.py:168)."""
+        from tstoolbox_spark.operators.reshape import merge_combine
+
+        ev = _events(s, d)
+        hour = F.date_trunc("hour", F.col("ts")).alias("ts")
+        a = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy(hour)
+            .agg((_dsum("value") / F.count("value")).alias("value_mean"))
+        )
+        b = ev.groupBy(hour).agg(
+            (_dsum("value") / F.count("value")).alias("value_mean")
+        )
+        return merge_combine([a, b])
+
+    q["merge_combine_priority"] = q_combine
+
+    def q_rolling_median(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        out = rolling_window(
+            ev, "median", window=11, value_cols=["value"], key_cols=["user_id"]
+        )
+        return out.select("ts", "event_id", "user_id", "value_rolling_11_median")
+
+    q["rolling_median_11"] = q_rolling_median
+
+    def q_ma_centered(s, d):
+        """Centered 5-row moving average (signal.moving_average frame:
+        rowsBetween(-2, 2), partial edges); decimal sums for hash parity."""
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-2, 2)
+        )
+        ma = F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count(
+            "value"
+        ).over(w)
+        return ev.select("ts", "event_id", "user_id", ma.alias("value_ma5"))
+
+    q["moving_average_centered5"] = q_ma_centered
+
+    def q_spearman(s, d):
+        """Spearman rank correlation value vs lag-1 value per event_type
+        (ref correlation.py:125-176): pearson of average-method ranks,
+        computed from exact decimal sums of the half-integer ranks."""
+        ev = _events(s, d).select("ts", "event_id", "user_id", "event_type", "value")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pair = ev.withColumn("vl", F.lag("value", 1).over(w)).filter(
+            F.col("vl").isNotNull()
+        )
+
+        def avg_rank(c):
+            wv = Window.partitionBy("event_type").orderBy(F.col(c).asc())
+            wt = Window.partitionBy("event_type", c)
+            return F.rank().over(wv) + (F.count(c).over(wt) - 1) / 2.0
+
+        ranked = pair.select(
+            "event_type",
+            avg_rank("value").alias("rx"),
+            avg_rank("vl").alias("ry"),
+        )
+        n = F.count("*").cast("double")
+        sx = F.sum(F.col("rx").cast(DEC)).cast("double")
+        sy = F.sum(F.col("ry").cast(DEC)).cast("double")
+        sxy = F.sum(F.col("rx").cast(DEC) * F.col("ry").cast(DEC)).cast("double")
+        sxx = F.sum(F.col("rx").cast(DEC) * F.col("rx").cast(DEC)).cast("double")
+        syy = F.sum(F.col("ry").cast(DEC) * F.col("ry").cast(DEC)).cast("double")
+        r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return ranked.groupBy("event_type").agg(r.alias("spearman_1"))
+
+    q["spearman_lag1"] = q_spearman
+
+    def q_gof_battery(s, d):
+        """gof battery (ref gof.py:232-248): with sim = 1.1*obs + 5 the
+        residual d = 0.1*obs + 5 > 0, so bias/mae/rmsd/nse are all exact
+        algebra over decimal sums of obs and obs² — identical expression
+        order on both engines."""
+        ev = _events(s, d).select(F.col("value").alias("o"))
+        n = F.count("o").cast("double")
+        so = F.sum(F.col("o").cast(DEC)).cast("double")
+        so2 = F.sum(F.col("o").cast(DEC) * F.col("o").cast(DEC)).cast("double")
+        sd = 0.1 * so + 5.0 * n
+        sdd = 0.01 * so2 + so + 25.0 * n
+        return ev.agg(
+            (sd / n).alias("bias"),
+            (sd / n).alias("mae"),
+            F.sqrt(sdd / n).alias("rmsd"),
+            (1.0 - sdd / (so2 - so * so / n)).alias("nse"),
+        )
+
+    q["gof_battery"] = q_gof_battery
+
+    def q_converttz(s, d):
+        from tstoolbox_spark.operators.transform import converttz
+
+        ev = _events(s, d).select("event_id", "ts")
+        return converttz(ev, "UTC", "America/New_York")
+
+    q["converttz_nyc"] = q_converttz
+
+    # ---- rows-only checks (pandas-UDF verbs with no SQL twin) ---------
+    def q_ewm(s, d):
+        from tstoolbox_spark.operators.window import ewm_window
+
+        hourly = _q_agg_hourly(_events(s, d)).select("event_type", "ts", "value_mean")
+        out = ewm_window(
+            hourly, "mean", value_cols=["value_mean"], key_cols=["event_type"], span=12
+        )
+        return out.select("event_type", "ts", "value_mean_ewm_mean")
+
+    q["ewm_mean_span12"] = q_ewm  # sequential recurrence → rows-only
+
+    def q_dtw(s, d):
+        from tstoolbox_spark.operators.signal import dtw_distance
+
+        ev = _events(s, d)
+        hour = F.date_trunc("hour", F.col("ts")).alias("ts")
+        wide = (
+            ev.filter(F.col("event_type").isin("click", "view"))
+            .groupBy(hour)
+            .pivot("event_type", ["click", "view"])
+            .agg((_dsum("value") / F.count("value")))
+        )
+        return dtw_distance(wide, "click", "view", window=24)
+
+    q["dtw_click_view"] = q_dtw  # O(M·N) DP → rows-only
+
+    def q_kernel(s, d):
+        from tstoolbox_spark.operators.signal import kernel_filter
+
+        hourly = _q_agg_hourly(_events(s, d)).select("event_type", "ts", "value_mean")
+        out = kernel_filter(
+            hourly, window_len=9, kernel="hanning",
+            value_cols=["value_mean"], key_cols=["event_type"],
+        )
+        return out.select("event_type", "ts", "value_mean_filter")
+
+    q["kernel_filter_hanning"] = q_kernel  # reflect-pad convolve → rows-only
     return q
 
 
@@ -801,7 +1024,147 @@ def oracle_sql() -> dict[str, str]:
                    (PARTITION BY user_id ORDER BY ts, event_id)) - 1 AS eq
         FROM events
     """
+    o.update(_verb_oracles_round2())
     o.update(_textops_oracles())
+    return o
+
+
+def _verb_oracles_round2() -> dict[str, str]:
+    o: dict[str, str] = {}
+    DECS = "DECIMAL(28,2)"
+
+    o["regularize_hourly_grid"] = """
+        WITH r AS (
+          SELECT user_id,
+                 to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))::TIMESTAMP AS ts,
+                 value
+          FROM events),
+        d AS (
+          SELECT user_id, ts, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY value) AS rn
+            FROM r) WHERE rn = 1),
+        b AS (SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx FROM d GROUP BY 1),
+        g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts FROM b)
+        SELECT g.user_id, g.ts, d.value
+        FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.ts = d.ts
+    """
+
+    o["fill_bfill"] = """
+        SELECT ts, event_id, user_id,
+               first_value(CASE WHEN value >= 50.0 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
+        FROM events
+    """
+
+    o["fill_mean_stat"] = f"""
+        SELECT ts, event_id, user_id,
+               COALESCE(
+                 CASE WHEN value >= 50.0 THEN value END,
+                 CAST(SUM(CAST(CASE WHEN value >= 50.0 THEN value END AS {DECS}))
+                        OVER wk AS DOUBLE)
+                   / COUNT(CASE WHEN value >= 50.0 THEN value END) OVER wk
+               ) AS value_fill_mean
+        FROM events
+        WINDOW wk AS (PARTITION BY user_id)
+    """
+
+    o["fill_from_donor"] = """
+        SELECT ts, event_id,
+               COALESCE(CASE WHEN value >= 50.0 THEN value END,
+                        CASE WHEN value >= 20.0 THEN value * 0.5 END) AS value_fill_from
+        FROM events
+    """
+
+    o["replace_values"] = """
+        SELECT event_id,
+               CASE CAST(floor(value / 100.0) AS DOUBLE)
+                    WHEN 1.0 THEN -1.0 WHEN 3.0 THEN -3.0
+                    ELSE CAST(floor(value / 100.0) AS DOUBLE) END AS vv
+        FROM events
+    """
+
+    o["createts_30min"] = """
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-03',
+                                      INTERVAL 30 MINUTE)) AS ts
+    """
+
+    o["merge_combine_priority"] = f"""
+        WITH a AS (
+          SELECT date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS value_mean
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+        b AS (
+          SELECT date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS value_mean
+          FROM events GROUP BY 1)
+        SELECT COALESCE(a.ts, b.ts) AS ts,
+               COALESCE(a.value_mean, b.value_mean) AS value_mean
+        FROM a FULL JOIN b ON a.ts = b.ts
+    """
+
+    o["rolling_median_11"] = """
+        SELECT ts, event_id, user_id,
+               CASE WHEN COUNT(value) OVER w >= 11
+                    THEN quantile_cont(value, 0.5) OVER w END AS value_rolling_11_median
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+    """
+
+    o["moving_average_centered5"] = f"""
+        SELECT ts, event_id, user_id,
+               CAST(SUM(CAST(value AS {DECS})) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w AS value_ma5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    """
+
+    o["spearman_lag1"] = f"""
+        WITH pair AS (
+          SELECT event_type, value,
+                 lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vl
+          FROM events),
+        p AS (SELECT * FROM pair WHERE vl IS NOT NULL),
+        ranked AS (
+          SELECT event_type,
+                 rank() OVER (PARTITION BY event_type ORDER BY value ASC)
+                   + (COUNT(value) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rx,
+                 rank() OVER (PARTITION BY event_type ORDER BY vl ASC)
+                   + (COUNT(vl) OVER (PARTITION BY event_type, vl) - 1) / 2.0 AS ry
+          FROM p)
+        SELECT event_type,
+               (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(rx AS {DECS}) * CAST(ry AS {DECS})) AS DOUBLE)
+                - CAST(SUM(CAST(rx AS {DECS})) AS DOUBLE) * CAST(SUM(CAST(ry AS {DECS})) AS DOUBLE))
+               / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(rx AS {DECS}) * CAST(rx AS {DECS})) AS DOUBLE)
+                       - CAST(SUM(CAST(rx AS {DECS})) AS DOUBLE) * CAST(SUM(CAST(rx AS {DECS})) AS DOUBLE))
+                      * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(ry AS {DECS}) * CAST(ry AS {DECS})) AS DOUBLE)
+                         - CAST(SUM(CAST(ry AS {DECS})) AS DOUBLE) * CAST(SUM(CAST(ry AS {DECS})) AS DOUBLE)))
+                 AS spearman_1
+        FROM ranked GROUP BY event_type
+    """
+
+    o["gof_battery"] = f"""
+        WITH s AS (
+          SELECT CAST(COUNT(value) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS so,
+                 CAST(SUM(CAST(value AS {DECS}) * CAST(value AS {DECS})) AS DOUBLE) AS so2
+          FROM events)
+        SELECT (0.1 * so + 5.0 * n) / n AS bias,
+               (0.1 * so + 5.0 * n) / n AS mae,
+               sqrt((0.01 * so2 + so + 25.0 * n) / n) AS rmsd,
+               1.0 - (0.01 * so2 + so + 25.0 * n) / (so2 - so * so / n) AS nse
+        FROM s
+    """
+
+    o["converttz_nyc"] = """
+        SELECT event_id,
+               CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+                    AS TIMESTAMP) AS ts
+        FROM events
+    """
     return o
 
 
@@ -844,7 +1207,9 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["similarity_topk"] = sim_topk
 
     def near_dup_emb(s, d):
-        return _ts.embedding_near_dup_pairs(_emb(s, d), threshold=0.9)
+        # 0.4 yields a small non-empty pair set on the driver corpus
+        # (max pairwise cosine there is ~0.51) so the check is non-trivial.
+        return _ts.embedding_near_dup_pairs(_emb(s, d), threshold=0.4)
 
     q["embedding_near_dup"] = near_dup_emb
 
@@ -1081,7 +1446,7 @@ def _textops_oracles() -> dict[str, str]:
         WHERE a.vec_id < b.vec_id
           AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9 - 5e-7
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4 - 5e-7
     """
 
     o["multimodal_binary_meta"] = """
