@@ -734,6 +734,74 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
         return out.select("event_type", "ts", "value_mean_filter")
 
     q["kernel_filter_hanning"] = q_kernel  # reflect-pad convolve → rows-only
+
+    def q_robust(s, d):
+        """normalization mode='robust': (v - median) / IQR per key
+        (ref normalization.py:199-214); exact percentiles both sides."""
+        ev = _events(s, d).select("event_id", "event_type", "value")
+        wk = Window.partitionBy("event_type")
+        med = F.percentile("value", F.lit(0.5)).over(wk)
+        q25 = F.percentile("value", F.lit(0.25)).over(wk)
+        q75 = F.percentile("value", F.lit(0.75)).over(wk)
+        return ev.select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - med) / (q75 - q25)).alias("value_robust"),
+        )
+
+    q["normalization_robust"] = q_robust
+
+    def q_detrend(s, d):
+        """remove_trend: per-row OLS residual v - (slope*x + intercept)
+        per event_type (ref remove_trend.py:111); slope/intercept from
+        the same exact decimal sums as linear_trend, broadcast back over
+        a key window."""
+        ev = _events(s, d).select("event_id", "event_type", "ts", "value")
+        x = (
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)
+        ).cast("double") / 1e6
+        v = F.col("value")
+        d6 = "decimal(38,6)"
+        wk = Window.partitionBy("event_type")
+        n = F.count("*").over(wk).cast("double")
+        sx = F.sum(x.cast(d6)).over(wk).cast("double")
+        sy = F.sum(v.cast(DEC)).over(wk).cast("double")
+        sxy = F.sum((x * v).cast(d6)).over(wk).cast("double")
+        sxx = F.sum((x * x).cast(d6)).over(wk).cast("double")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return ev.select(
+            "event_id",
+            "event_type",
+            (v - (slope * x + intercept)).alias("value_detrend"),
+        )
+
+    q["detrend_residuals"] = q_detrend
+
+    def q_add_trend(s, d):
+        """add_trend: linear ramp start→end offset across each key's
+        time extent (ref add_trend.py:147-153)."""
+        ev = _events(s, d).select("event_id", "event_type", "ts")
+        e = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6
+        wk = Window.partitionBy("event_type")
+        x0, x1 = F.min(e).over(wk), F.max(e).over(wk)
+        ramp = F.lit(2.0) + (e - x0) / (x1 - x0) * F.lit(8.0)
+        return ev.select("event_id", "event_type", ramp.alias("value_trend"))
+
+    q["add_trend_ramp"] = q_add_trend
+
+    def q_cumprod(s, d):
+        from tstoolbox_spark.operators.accumulate import accumulate
+
+        ev = _events(s, d).select(
+            "ts", "event_id", "user_id", (1.0 + F.col("value") / 1000.0).alias("g")
+        )
+        out = accumulate(ev, "prod", value_cols=["g"], key_cols=["user_id"])
+        return out.select("event_id", "user_id", "g_cumprod")
+
+    # FP multiply is only approximately associative; windowed products
+    # associate differently across engines → rows-only check.
+    q["accumulate_cumprod"] = q_cumprod
     return q
 
 
@@ -1164,6 +1232,46 @@ def _verb_oracles_round2() -> dict[str, str]:
                CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
                     AS TIMESTAMP) AS ts
         FROM events
+    """
+
+    o["normalization_robust"] = """
+        SELECT event_id, event_type,
+               (value - quantile_cont(value, 0.5) OVER wk)
+                 / (quantile_cont(value, 0.75) OVER wk
+                    - quantile_cont(value, 0.25) OVER wk) AS value_robust
+        FROM events
+        WINDOW wk AS (PARTITION BY event_type)
+    """
+
+    o["detrend_residuals"] = f"""
+        WITH b AS (
+          SELECT event_id, event_type, value,
+                 CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1e6 AS x
+          FROM events),
+        w AS (
+          SELECT event_id, event_type, value, x,
+                 CAST(COUNT(*) OVER wk AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,6))) OVER wk AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value AS {DECS})) OVER wk AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * value AS DECIMAL(38,6))) OVER wk AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,6))) OVER wk AS DOUBLE) AS sxx
+          FROM b
+          WINDOW wk AS (PARTITION BY event_type))
+        SELECT event_id, event_type,
+               value - ((n * sxy - sx * sy) / (n * sxx - sx * sx) * x
+                        + (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                 AS value_detrend
+        FROM w
+    """
+
+    o["add_trend_ramp"] = """
+        SELECT event_id, event_type,
+               2.0 + (e - MIN(e) OVER wk) / (MAX(e) OVER wk - MIN(e) OVER wk) * 8.0
+                 AS value_trend
+        FROM (SELECT event_id, event_type,
+                     CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS e
+              FROM events)
+        WINDOW wk AS (PARTITION BY event_type)
     """
     return o
 
