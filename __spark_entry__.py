@@ -802,6 +802,96 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
     # FP multiply is only approximately associative; windowed products
     # associate differently across engines → rows-only check.
     q["accumulate_cumprod"] = q_cumprod
+
+    def q_zrxp(s, d):
+        """stdtozrxp sink format (ref stdtozrxp.py:117-123): one line
+        per point, 'YYYYMMDDhhmmss' timestamp key."""
+        ev = _events(s, d).filter(F.col("event_type") == "click")
+        return ev.select(
+            F.date_format("ts", "yyyyMMddHHmmss").alias("zrxp_ts"),
+            F.col("value"),
+        )
+
+    q["stdtozrxp_format"] = q_zrxp
+
+    def q_julian(s, d):
+        ev = _events(s, d).select("event_id", "ts")
+        return convert_index_to_number(ev, "julian", out_col="jday").select(
+            "event_id", "jday"
+        )
+
+    q["convert_index_julian"] = q_julian
+
+    def q_valleys(s, d):
+        """peak_detection method='rel' for minima (ref
+        peak_detection.py:17-73, order=2 valleys)."""
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        before, after = base.rowsBetween(-2, -1), base.rowsBetween(1, 2)
+        v = F.col("value")
+        cond = (v < F.min(v).over(before)) & (v < F.min(v).over(after))
+        return ev.select("event_id", "user_id", F.when(cond, v).alias("value_valley"))
+
+    q["valley_detection_rel2"] = q_valleys
+
+    def q_eq_lead(s, d):
+        """equation compiler: sqrt (IEEE correctly-rounded → portable)
+        plus a forward shift x1[t+1] → lead."""
+        from tstoolbox_spark.operators.equation import equation as _eq
+
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        out = _eq(
+            ev, "sqrt(x1) * 2 + x1[t+1]", value_cols=["value"],
+            key_cols=["user_id"], out_col="eq",
+        )
+        return out.select("event_id", "user_id", "eq")
+
+    q["equation_sqrt_lead"] = q_eq_lead
+
+    def q_dropna(s, d):
+        from tstoolbox_spark.operators.core import dropna as _dropna
+
+        ev = _events(s, d).select(
+            "ts", "event_id", F.when(F.col("value") >= 50.0, F.col("value")).alias("v")
+        )
+        return _dropna(ev, "any", value_cols=["v"])
+
+    q["dropna_any"] = q_dropna
+
+    def q_pick(s, d):
+        from tstoolbox_spark.operators.core import pick as _pick
+
+        ev = _events(s, d)
+        return _pick(ev, ["event_id", "value"])
+
+    q["pick_projection"] = q_pick
+
+    def q_dim_join(s, d):
+        """Fact-to-dimension rollup: monthly revenue per market segment.
+        The dimension side is explicitly broadcast — the plan every
+        small-dim join should have at 100 TB (no shuffle of the fact
+        table beyond the groupBy)."""
+        orders = s.read.parquet(f"{d}/orders.parquet").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        )
+        cust = s.read.parquet(f"{d}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+        return (
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+            )
+            .groupBy(
+                "c_mktsegment",
+                F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            )
+            .agg(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+                F.count("*").alias("n_orders"),
+            )
+        )
+
+    q["broadcast_dim_rollup"] = q_dim_join
     return q
 
 
@@ -1272,6 +1362,52 @@ def _verb_oracles_round2() -> dict[str, str]:
                      CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS e
               FROM events)
         WINDOW wk AS (PARTITION BY event_type)
+    """
+
+    o["stdtozrxp_format"] = """
+        SELECT strftime(ts, '%Y%m%d%H%M%S') AS zrxp_ts, value
+        FROM events WHERE event_type = 'click'
+    """
+
+    o["convert_index_julian"] = """
+        SELECT event_id,
+               CAST(epoch_us(ts) AS DOUBLE) / 1e6 / 86400.0 + 2440587.5 AS jday
+        FROM events
+    """
+
+    o["valley_detection_rel2"] = """
+        SELECT event_id, user_id,
+               CASE WHEN value < MIN(value) OVER wb AND value < MIN(value) OVER wa
+                    THEN value END AS value_valley
+        FROM events
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+               wa AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
+    """
+
+    o["equation_sqrt_lead"] = """
+        SELECT event_id, user_id,
+               sqrt(value) * 2 + lead(value, 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS eq
+        FROM events
+    """
+
+    o["dropna_any"] = """
+        SELECT ts, event_id, value AS v FROM events WHERE value >= 50.0
+    """
+
+    o["pick_projection"] = """
+        SELECT ts, event_id, value FROM events
+    """
+
+    o["broadcast_dim_rollup"] = """
+        SELECT c_mktsegment,
+               date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
     """
     return o
 

@@ -32,7 +32,7 @@ from ..codec.gorilla import decode_bucket, encode_bucket
 
 COMPRESSED_SCHEMA = (
     "source string, bucket int, salt int, n_rows long, n_tokens long, "
-    "raw_bytes long, blob binary"
+    "raw_bytes long, enc_bytes long, blob binary"
 )
 
 SEQUENCE_SCHEMA = (
@@ -77,6 +77,9 @@ def _encode_cell_arrow(tbl: pa.Table) -> pa.Table:
             "n_rows": pa.array([len(tbl)], pa.int64()),
             "n_tokens": pa.array([int(tokens_flat.size)], pa.int64()),
             "raw_bytes": pa.array([int(raw)], pa.int64()),
+            # stored alongside so size accounting never re-scans blobs
+            # (parquet column pruning skips the payload entirely)
+            "enc_bytes": pa.array([len(blob)], pa.int64()),
             "blob": pa.array([blob], pa.binary()),
         }
     )

@@ -94,8 +94,10 @@ def run_pipeline(
     mark("compress_write_lineage", tick)
 
     comp = catalog.read(spark, "compressed")
+    # int columns only — parquet column pruning keeps the blob payload
+    # on disk (F.length(blob) here would re-scan every encoded byte)
     sizes = comp.agg(
-        F.sum("raw_bytes").alias("raw"), F.sum(F.length("blob")).alias("enc")
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
     ).collect()[0]
     metrics["raw_bytes"] = sizes["raw"]
     metrics["encoded_bytes"] = sizes["enc"]
