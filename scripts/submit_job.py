@@ -43,7 +43,9 @@ def main() -> None:
 
     spark = get_spark("rollup_pipeline", parallelism=args.parallelism)
     if args.input:
-        seq = spark.read.parquet(args.input)
+        # comma-separated paths = disjoint shards of one table (used by
+        # the multi-worker scaling protocol)
+        seq = spark.read.parquet(*args.input.split(","))
     else:
         seq = generate_sequences(spark, args.rows)
     ttl = {"1m": args.ttl_1m_days} if args.ttl_1m_days else None
