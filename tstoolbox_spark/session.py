@@ -75,6 +75,11 @@ def get_spark(
         .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # NOTE: tmpfs (/dev/shm) for spark.local.dir was tried and is a
+        # trap on this box: shuffle spill pages become unevictable,
+        # push the input out of page cache, and scans re-read from disk
+        # at 10x cost. Plain /tmp (ext4, writeback) behaves better.
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCALDIR", "/tmp"))
     )
     # Only force a master when none was provided externally (spark-submit
     # on a cluster sets it; local tests get local[N]).
