@@ -1,0 +1,108 @@
+"""CSV source/sink semantics (reference read_iso_ts / printiso) and
+the streaming continuous 1m rollup."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tstoolbox_spark.datagen import generate_sequences
+from tstoolbox_spark.pipeline.rollup import rollup_base
+from tstoolbox_spark.sources import read_timeseries_csv, write_iso_csv
+from tstoolbox_spark.streaming import continuous_rollup
+from tstoolbox_spark.timeaxis import with_time_axis
+
+CSV = """Datetime,Value,Value
+2011-01-01 00:00:00,2.0,10
+2011-01-01 01:00:00,  ,11
+2011-01-01 02:00:00,9.0,
+"""
+
+
+def test_read_csv_blank_to_null_and_dedup(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(CSV)
+    df = read_timeseries_csv(spark, str(p))
+    assert df.columns == ["ts", "Value1", "Value2"]  # Spark-side header dedup
+    rows = {r["ts"].hour: (r["Value1"], r["Value2"]) for r in df.collect()}
+    assert rows[0] == (2.0, 10.0)
+    assert rows[1] == (None, 11.0)
+    assert rows[2] == (9.0, None)
+
+
+def test_read_csv_tab_sniff_and_gzip(spark, tmp_path):
+    p = tmp_path / "in.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(CSV.replace(",", "\t"))
+    df = read_timeseries_csv(spark, str(p))
+    assert df.count() == 3
+    assert df.filter(F.col("Value1").isNull()).count() == 1
+
+
+def test_read_csv_numeric_index_and_skiprows(spark, tmp_path):
+    p = tmp_path / "n.csv"
+    p.write_text("idx,v\n0,1\n1,2\n2,3\n")
+    df = read_timeseries_csv(spark, str(p), index_type="number", skiprows=1)
+    got = sorted((r["idx"], r["v"]) for r in df.collect())
+    assert got == [(1.0, 2.0), (2.0, 3.0)]
+
+
+def test_write_iso_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(CSV)
+    df = read_timeseries_csv(spark, str(p))
+    text = write_iso_csv(df)
+    assert text.splitlines()[0] == "Datetime,Value1,Value2"
+    assert "2011-01-01 00:00:00,2,10" in text  # %g float format
+    out_dir = tmp_path / "outdir"
+    write_iso_csv(df, str(out_dir), single_file=True)
+    again = spark.read.option("header", True).csv(str(out_dir))
+    assert again.count() == 3
+
+
+@pytest.mark.slow
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    seq = generate_sequences(spark, 20_000)
+    in_dir = tmp_path / "stream_in"
+    # two arrivals split BY EVENT TIME (early rows land first) so the
+    # second file never carries data older than the advanced watermark
+    # — mirrors an in-order ingest; late-data policy itself is the
+    # watermark's job, not this parity test's.
+    with_ts = with_time_axis(seq)
+    cutoff = with_ts.agg(F.percentile_approx("ts", 0.8)).collect()[0][0]
+    early = with_ts.filter(F.col("ts") <= F.lit(cutoff)).drop("ts")
+    late = with_ts.filter(F.col("ts") > F.lit(cutoff)).drop("ts")
+    early.write.mode("overwrite").parquet(str(in_dir))
+    q = continuous_rollup(
+        spark, str(in_dir), str(tmp_path / "tier"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    late.write.mode("append").parquet(str(in_dir))
+    q2 = continuous_rollup(
+        spark, str(in_dir), str(tmp_path / "tier"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(180)
+
+    streamed = spark.read.parquet(str(tmp_path / "tier"))
+    n_streamed = streamed.count()
+    assert n_streamed > 0
+    # exactly-once: no duplicate (ts, source) cells across restarts
+    assert (
+        streamed.groupBy("ts", "source").count().filter(F.col("count") > 1).count() == 0
+    )
+    # every emitted minute matches the batch rollup bit-for-bit
+    batch = rollup_base(with_time_axis(seq), "1m", ("source",))
+    joined = streamed.alias("s").join(
+        batch.alias("b"), ["ts", "source"], "inner"
+    )
+    assert joined.count() == n_streamed
+    mismatch = joined.filter(
+        (F.col("s.n_tok_sum") != F.col("b.n_tok_sum"))
+        | (F.col("s.n_tok_count") != F.col("b.n_tok_count"))
+        | (F.col("s.n_tok_min") != F.col("b.n_tok_min"))
+        | (F.col("s.n_tok_max") != F.col("b.n_tok_max"))
+    )
+    assert mismatch.count() == 0

@@ -1,0 +1,1 @@
+from .csv import read_timeseries_csv, write_iso_csv  # noqa: F401

@@ -1,0 +1,120 @@
+"""CSV time-series source/sink with the reference's ingestion
+semantics, Spark-first.
+
+Reference: /root/reference/tstoolbox/tsutils.py:1745-1926
+(``read_iso_ts``) — separator sniffing, optional header, whitespace
+cells → NaN, duplicate column-name dedup, gzip/bz2 transparency,
+first column = datetime index; and tsutils.py:1555-1634 (``printiso``)
+— CSV out with ``float_format='g'`` and the index named ``Datetime``.
+
+Spark mapping: ``spark.read.csv`` already handles compression codecs,
+headers, and distributed parsing; the reference quirks are layered as
+column expressions (trim-to-null, double casts, timestamp parse), so
+ingestion stays a single pushdown-friendly scan — no driver-side
+parsing beyond a one-line separator sniff.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SEPS = [",", "\t", ";", "|"]
+
+
+def _sniff_sep(path: str) -> str:
+    """Pick the candidate separator with the most splits on the first
+    line (reference: pandas ``sep=None`` engine sniffing,
+    tsutils.py:1842-1855). One small driver-side read — metadata
+    scale, not data scale."""
+    first = path.split(",")[0]
+    opener = gzip.open if first.endswith(".gz") else open
+    try:
+        with opener(first, "rb") as f:
+            line = io.TextIOWrapper(f, errors="replace").readline()
+    except (OSError, IsADirectoryError):
+        # directory of part files — sniff the first part
+        parts = [p for p in os.listdir(first) if not p.startswith(("_", "."))]
+        if not parts:
+            return ","
+        return _sniff_sep(os.path.join(first, sorted(parts)[0]))
+    counts = {s: line.count(s) for s in _SEPS}
+    best = max(counts, key=counts.get)
+    return best if counts[best] > 0 else ","
+
+
+def read_timeseries_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str | None = None,
+    header: bool = True,
+    skiprows: int = 0,
+    ts_col: str = "ts",
+    index_type: str = "datetime",
+) -> DataFrame:
+    """Read CSV/TSV into the engine's long-form shape: ``ts`` timestamp
+    (or ``idx`` double for ``index_type='number'``) + double value
+    columns. Whitespace-only cells become null (tsutils.py:1830-1835).
+    """
+    sep = sep or _sniff_sep(path)
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+        .option("comment", "#")
+    )
+    # duplicate header names: Spark's CSV reader dedups them itself
+    # (a, a1, a2 — same disambiguation the reference does pandas-style
+    # as a, a.1, a.2; suffix shape differs, role identical)
+    df = reader.csv(path)
+    if skiprows:
+        # header already consumed; drop the next `skiprows` physical rows
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.monotonically_increasing_id())
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > skiprows)
+            .drop("__rn")
+        )
+    names = df.columns
+    first, rest = names[0], names[1:]
+    blank_to_null = lambda c: F.when(F.trim(F.col(c)) == "", None).otherwise(  # noqa: E731
+        F.trim(F.col(c))
+    )
+    if index_type == "datetime":
+        idx = F.to_timestamp(blank_to_null(first)).alias(ts_col)
+    elif index_type == "number":
+        idx = blank_to_null(first).cast("double").alias("idx")
+    else:
+        raise ValueError(f"unknown index_type {index_type!r}")
+    values = [blank_to_null(c).cast("double").alias(c) for c in rest]
+    return df.select(idx, *values)
+
+
+def write_iso_csv(
+    df: DataFrame,
+    path: str | None = None,
+    ts_col: str = "ts",
+    single_file: bool = False,
+) -> str | None:
+    """printiso sink: CSV with the time column first, named
+    ``Datetime`` (tsutils.py:1604-1617). With ``path=None`` returns the
+    CSV text (test/driver scale only — collects); with a path, writes a
+    distributed CSV directory (``single_file=True`` coalesces to one
+    part for tool interop — driver-scale outputs only)."""
+    cols = [F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("Datetime")] + [
+        F.col(c) for c in df.columns if c != ts_col
+    ]
+    out = df.select(*cols).orderBy("Datetime")
+    if path is None:
+        pdf = out.toPandas()
+        return pdf.to_csv(index=False, float_format="%g")
+    writer = out.coalesce(1) if single_file else out
+    writer.write.option("header", True).mode("overwrite").csv(path)
+    return None

@@ -1,0 +1,73 @@
+"""Continuous (streaming) tier materialization.
+
+The reference is batch-only (no watermarks, no stateful operators —
+SURVEY.md §2.9), and the north rule's continuous aggregates are batch
+rollups; this module is the *incremental-ingest* mode of the same 1m
+tier: new sequence files appear under a directory, Structured
+Streaming folds them into the finest tier with exactly the batch
+partial-aggregate schema, so the 1h/1d cascade and all readers are
+oblivious to which mode produced the minutes.
+
+Design (Spark-first):
+- ``readStream`` file source over the sequence directory (schema
+  pinned — streaming requires it).
+- Event-time tumbling window of 1 minute + watermark for late data;
+  append output mode emits a minute only once its watermark passes —
+  the streaming analog of a closed tier bucket.
+- Sink = parquet directory with checkpointLocation: exactly-once file
+  sink; resume = restart with the same checkpoint (the streaming
+  analog of the batch pipeline's snapshot/lineage resume).
+- ``trigger(availableNow=True)`` drains what exists then stops, which
+  is also how the test drives it deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..timeaxis import with_time_axis
+
+SEQ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def continuous_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    tier_dir: str,
+    checkpoint_dir: str,
+    tier: str = "1m",
+    watermark: str = "2 minutes",
+    key_cols: tuple[str, ...] = ("source",),
+    available_now: bool = True,
+):
+    """Start the streaming 1m rollup; returns the StreamingQuery.
+
+    Output schema matches pipeline.rollup.rollup_base exactly
+    (ts, keys, n_tok_sum/count/min/max partials), so
+    ``rollup_cascade`` consumes it unchanged.
+    """
+    unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(input_dir)
+    seq = with_time_axis(stream)
+    agg = (
+        seq.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", unit).alias("w"), *key_cols)
+        .agg(
+            F.sum("n_tok").alias("n_tok_sum"),
+            F.count("n_tok").alias("n_tok_count"),
+            F.min("n_tok").alias("n_tok_min"),
+            F.max("n_tok").alias("n_tok_max"),
+        )
+        .select(F.col("w.start").alias("ts"), *key_cols,
+                "n_tok_sum", "n_tok_count", "n_tok_min", "n_tok_max")
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
