@@ -87,21 +87,41 @@ def date_slice(
     start: str | None = None,
     end: str | None = None,
     ts_col: str = "ts",
+    insert_boundaries: bool = False,
 ) -> DataFrame:
     """Inclusive [start, end] row slice. Ref: tsutils.py:1304-1327,
     functions/date_slice.py:77-104.
 
     Pure predicate → pushed down to the scan (PushedFilters on ts).
-    The reference's NaN-boundary-row insertion quirk (tsutils.py:
-    1317-1323) is intentionally NOT reproduced here; regularized tier
-    outputs always contain boundary instants, which is the case the
-    oracle exercises.
+
+    ``insert_boundaries=True`` reproduces the reference quirk
+    (tsutils.py:1317-1323): a boundary timestamp absent from the data
+    is first inserted as an all-null row, so slice outputs always
+    contain both endpoints. Default off — regularized tier outputs
+    already contain boundary instants; enable only for bit-for-bit
+    parity with the reference CLI.
     """
     out = df
     if start is not None:
         out = out.filter(F.col(ts_col) >= F.to_timestamp(F.lit(start)))
     if end is not None:
         out = out.filter(F.col(ts_col) <= F.to_timestamp(F.lit(end)))
+    if insert_boundaries:
+        spark = df.sparkSession
+        for bound in (start, end):
+            if bound is None:
+                continue
+            row = spark.range(1).select(
+                F.to_timestamp(F.lit(bound)).alias(ts_col),
+                *[
+                    F.lit(None).cast(df.schema[c].dataType).alias(c)
+                    for c in df.columns
+                    if c != ts_col
+                ],
+            ).select(*df.columns)
+            # left-anti on ts: insert only when the instant is absent
+            missing = row.join(out.select(ts_col), ts_col, "left_anti")
+            out = out.unionByName(missing)
     return out
 
 
