@@ -89,3 +89,60 @@ def test_fill_constant_reference_values(spark):
 def test_mean_is_reference_mean():
     pdf = _fixture()
     assert pdf["value"].mean() == MEAN
+
+
+def test_aggregate_daily_reference_values(spark):
+    """reference tests/test_aggregate.py:16-51 — hourly constant 2 over
+    two days: daily mean = [2, 2], daily sum = [48, 48]."""
+    from tstoolbox_spark.operators.aggregate import aggregate
+
+    t0 = pd.Timestamp("2011-01-01")
+    pdf = pd.DataFrame(
+        {"ts": [t0 + pd.Timedelta(hours=h) for h in range(48)], "value": 2.0}
+    )
+    out = (
+        aggregate(to_sdf(spark, pdf), "D", ["mean", "sum"])
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert list(out["value_mean"]) == [2.0, 2.0]
+    assert list(out["value_sum"]) == [48.0, 48.0]
+    assert [t.strftime("%Y-%m-%d") for t in out["ts"]] == ["2011-01-01", "2011-01-02"]
+
+
+def test_rolling_window_reference_values(spark):
+    """reference tests/test_rolling_window.py:17-53 — data_simple.csv
+    [4.5, 4.6]: window-2 sum = [NaN, 9.1], mean = [NaN, 4.55]."""
+    from tstoolbox_spark.operators.window import rolling_window
+
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2000-01-01", "2000-01-02"]), "value": [4.5, 4.6]}
+    )
+    out = (
+        rolling_window(to_sdf(spark, pdf), ["sum", "mean"], window=2)
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert pd.isna(out["value_rolling_2_sum"][0])
+    assert out["value_rolling_2_sum"][1] == 9.1
+    assert pd.isna(out["value_rolling_2_mean"][0])
+    assert out["value_rolling_2_mean"][1] == 4.55
+
+
+def test_date_slice_reference_values(spark):
+    """reference tests/test_date_slice.py:15-44 — 3-row inclusive slice
+    of a flat hourly series."""
+    from tstoolbox_spark.operators.core import date_slice
+
+    t0 = pd.Timestamp("2011-01-01")
+    pdf = pd.DataFrame(
+        {"ts": [t0 + pd.Timedelta(hours=h) for h in range(24)], "value": 2.0}
+    )
+    out = (
+        date_slice(to_sdf(spark, pdf), "2011-01-01T12:00:00", "2011-01-01T14:00:00")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert len(out) == 3
+    assert list(out["value"]) == [2.0, 2.0, 2.0]
+    assert out["ts"].iloc[0].hour == 12 and out["ts"].iloc[-1].hour == 14
