@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions: the optimizations the engine's
+scale story depends on must be visible in the executed plan, so a
+refactor that silently loses pushdown / map-side combine / broadcast
+fails here rather than at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tstoolbox_spark.operators.core import date_slice
+from tstoolbox_spark.operators.window import rolling_window
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_date_slice_pushes_filters_to_scan(spark):
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    plan = _plan(date_slice(ev.select("ts", "value"), "2024-01-02", "2024-01-03"))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThanOrEqual(ts" in plan
+
+
+def test_projection_prunes_scan_schema(spark):
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    plan = _plan(ev.select("ts", "value").filter(F.col("value") > 0))
+    # ReadSchema carries only the projected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" in read_schema and "value" in read_schema
+    assert "event_type" not in read_schema and "props" not in read_schema
+
+
+def test_rollup_has_mapside_partial_aggregation(spark):
+    from tstoolbox_spark.datagen import generate_sequences
+    from tstoolbox_spark.pipeline.rollup import rollup_base
+    from tstoolbox_spark.timeaxis import with_time_axis
+
+    seq = with_time_axis(generate_sequences(spark, 1000))
+    plan = _plan(rollup_base(seq, "1m"))
+    assert "partial_sum" in plan and "partial_min" in plan
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_broadcast_join_is_broadcast(spark):
+    orders = spark.read.parquet(f"{TESTDATA}/orders.parquet")
+    cust = spark.read.parquet(f"{TESTDATA}/customer.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_multi_stat_rolling_reuses_one_sort(spark):
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").select(
+        "ts", "user_id", "value"
+    )
+    out = rolling_window(
+        ev, ["sum", "mean", "min", "max", "count"], window=10, key_cols=["user_id"]
+    )
+    plan = _plan(out)
+    # five statistics over the same frame: one shuffle, one sort
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") + plan.count("[SORT") <= 2
+
+
+def test_tier_cascade_reads_partials_not_raw(spark):
+    from tstoolbox_spark.datagen import generate_sequences
+    from tstoolbox_spark.pipeline.rollup import rollup_base, rollup_cascade
+    from tstoolbox_spark.timeaxis import with_time_axis
+
+    seq = with_time_axis(generate_sequences(spark, 1000))
+    m = rollup_base(seq, "1m")
+    h = rollup_cascade(m, "1h")
+    # the optimized cascade aggregates the 1m partial columns, never
+    # the raw token payload
+    opt = _optimized(h)
+    assert "n_tok_sum" in opt
+    assert "tokens" not in opt.split("Aggregate")[0]
