@@ -1437,6 +1437,15 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_dedup"] = lambda s, d: _dd.minhash_lsh_dedup(
         _docs(s, d), n=2, threshold=0.2, k=_MINHASH_K, bands=2, rows=4
     )
+
+    def dedup_clusters(s, d):
+        docs = _docs(s, d)
+        pairs = _dd.minhash_lsh_dedup(
+            docs, n=2, threshold=0.2, k=_MINHASH_K, bands=2, rows=4
+        )
+        return _dd.near_dup_clusters(docs, pairs=pairs)
+
+    q["dedup_clusters"] = dedup_clusters
     q["simhash"] = lambda s, d: _dd.simhash(_docs(s, d), bits=_SIMHASH_BITS)
     q["language_id"] = lambda s, d: _tq.language_id(_docs(s, d))
     q["quality_score"] = lambda s, d: _tq.quality_score(_docs(s, d))
@@ -1563,6 +1572,23 @@ def _textops_oracles() -> dict[str, str]:
     # oracle asserts that equality (and the engine-side test asserts
     # candidates ⊆ exact independently).
     o["minhash_lsh_dedup"] = jacc_base
+
+    # connected components over the pair graph: recursive transitive
+    # closure; a doc's cluster = min doc reachable from it
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE p AS ({jacc_base}),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b, doc_a FROM p),
+        reach(doc, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.doc)
+        SELECT doc AS doc_id, MIN(label) AS cluster,
+               doc = MIN(label) AS keeper
+        FROM reach GROUP BY doc
+    """
 
     mins = ",\n               ".join(
         f"MIN({_md5int_sql(chr(39) + str(i) + '|' + chr(39) + ' || shingle')}) AS mh{i}"

@@ -46,6 +46,13 @@ BENCH_QUERIES = [
     "stack_unpivot",
     "fdc_weibull",
     "linear_trend",
+    "regularize_hourly_grid",
+    "broadcast_dim_rollup",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "simhash",
+    "similarity_topk",
+    "quality_score",
 ]
 
 

@@ -180,3 +180,29 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         resize_stub(sdf, 224, 224)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must land in one cluster even when A!~C directly."""
+    import pandas as pd
+
+    from tstoolbox_spark.textops.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "x"],
+            "text": [
+                base * 4,
+                base * 4 + "slightly changed tail words here now",
+                base * 4 + "slightly changed tail words here now plus more drift tokens appended",
+                "completely unrelated content about spark catalyst optimizer internals",
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+    out = near_dup_clusters(sdf, threshold=0.3).toPandas().set_index("doc_id")
+    assert out.loc["a", "cluster"] == out.loc["b", "cluster"] == out.loc["c", "cluster"] == "a"
+    assert out.loc["x", "cluster"] == "x"
+    assert bool(out.loc["a", "keeper"]) and bool(out.loc["x", "keeper"])
+    assert not bool(out.loc["b", "keeper"]) and not bool(out.loc["c", "keeper"])
