@@ -892,6 +892,24 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
         )
 
     q["broadcast_dim_rollup"] = q_dim_join
+
+    def q_eq_multi(s, d):
+        """equation over two series columns with a shift: x1 - x2 +
+        x1[t-1] on the hourly click/view mean grid."""
+        from tstoolbox_spark.operators.equation import equation as _eq
+
+        ev = _events(s, d)
+        hour = F.date_trunc("hour", F.col("ts")).alias("ts")
+        wide = (
+            ev.filter(F.col("event_type").isin("click", "view"))
+            .groupBy(hour)
+            .pivot("event_type", ["click", "view"])
+            .agg((_dsum("value") / F.count("value")))
+        )
+        out = _eq(wide, "x1 - x2 + x1[t-1]", value_cols=["click", "view"], out_col="eq")
+        return out.select("ts", "eq")
+
+    q["equation_multi_column"] = q_eq_multi
     return q
 
 
@@ -1408,6 +1426,19 @@ def _verb_oracles_round2() -> dict[str, str]:
                COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
+    """
+
+    o["equation_multi_column"] = f"""
+        WITH wide AS (
+          SELECT date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS {DECS}) END) AS DOUBLE)
+                   / COUNT(CASE WHEN event_type = 'click' THEN value END) AS click,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS {DECS}) END) AS DOUBLE)
+                   / COUNT(CASE WHEN event_type = 'view' THEN value END) AS view
+          FROM events WHERE event_type IN ('click', 'view') GROUP BY 1)
+        SELECT ts,
+               click - view + lag(click, 1) OVER (ORDER BY ts) AS eq
+        FROM wide
     """
     return o
 
