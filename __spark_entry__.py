@@ -910,6 +910,29 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
         return out.select("ts", "eq")
 
     q["equation_multi_column"] = q_eq_multi
+
+    def q_rolling_cov(s, d):
+        """Rolling 12-row sample covariance of value vs its lag-1
+        (window.rolling_corr closed form; decimal sums for hash
+        parity)."""
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pair = ev.withColumn("vl", F.lag("value", 1).over(wo))
+        w = wo.rowsBetween(-11, 0)
+        both = F.when(F.col("vl").isNotNull(), 1)
+        n = F.sum(both).over(w).cast("double")
+        dv = F.when(both.isNotNull(), F.col("value").cast(DEC))
+        dl = F.when(both.isNotNull(), F.col("vl").cast(DEC))
+        sa = F.sum(dv).over(w).cast("double")
+        sb = F.sum(dl).over(w).cast("double")
+        sab = F.sum(dv * dl).over(w).cast("double")
+        cov = (sab - sa * sb / n) / (n - 1)
+        return pair.select(
+            "ts", "event_id", "user_id",
+            F.when(n >= 12, cov).alias("value_rolling_12_cov"),
+        )
+
+    q["rolling_cov_12"] = q_rolling_cov
     return q
 
 
@@ -1439,6 +1462,26 @@ def _verb_oracles_round2() -> dict[str, str]:
         SELECT ts,
                click - view + lag(click, 1) OVER (ORDER BY ts) AS eq
         FROM wide
+    """
+
+    o["rolling_cov_12"] = f"""
+        WITH p AS (
+          SELECT ts, event_id, user_id, value,
+                 lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vl
+          FROM events),
+        s AS (
+          SELECT ts, event_id, user_id,
+                 CAST(SUM(CASE WHEN vl IS NOT NULL THEN 1 END) OVER w AS DOUBLE) AS n,
+                 CAST(SUM(CASE WHEN vl IS NOT NULL THEN CAST(value AS {DECS}) END) OVER w AS DOUBLE) AS sa,
+                 CAST(SUM(CASE WHEN vl IS NOT NULL THEN CAST(vl AS {DECS}) END) OVER w AS DOUBLE) AS sb,
+                 CAST(SUM(CASE WHEN vl IS NOT NULL THEN CAST(value AS {DECS}) * CAST(vl AS {DECS}) END) OVER w AS DOUBLE) AS sab
+          FROM p
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        SELECT ts, event_id, user_id,
+               CASE WHEN n >= 12 THEN (sab - sa * sb / n) / (n - 1) END
+                 AS value_rolling_12_cov
+        FROM s
     """
     return o
 

@@ -161,3 +161,37 @@ def test_rolling_per_key_partitioning(spark):
     pd.testing.assert_series_equal(
         out["value_rolling_2_sum"], exp, check_names=False
     )
+
+
+def test_rolling_corr_cov_match_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.window import rolling_corr
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=60, freq="h"),
+            "a": rng.normal(10, 3, 60).round(2),
+            "b": rng.normal(5, 2, 60).round(2),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        rolling_corr(sdf, "a", "b", window=12)
+        .orderBy("ts")
+        .toPandas()["a_b_rolling_12_corr"]
+        .to_numpy()
+    )
+    want = pdf["a"].rolling(12).corr(pdf["b"]).to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-9, equal_nan=True)
+
+    got_cov = (
+        rolling_corr(sdf, "a", "b", window=12, stat="cov")
+        .orderBy("ts")
+        .toPandas()["a_b_rolling_12_cov"]
+        .to_numpy()
+    )
+    want_cov = pdf["a"].rolling(12).cov(pdf["b"]).to_numpy()
+    np.testing.assert_allclose(got_cov, want_cov, rtol=1e-9, equal_nan=True)

@@ -283,3 +283,44 @@ def rank(
             r = r / F.count(v).over(wk)
         out = out.withColumn(f"{c}_rank", r)
     return out
+
+
+def rolling_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    window: int = 2,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    min_periods: int | None = None,
+    stat: str = "corr",
+) -> DataFrame:
+    """Rolling pairwise Pearson correlation / sample covariance between
+    two columns (the reference's rolling corr/cov stats,
+    rolling_window.py:189-218) — closed form over frame sums so the
+    whole expression stays in whole-stage codegen on one (key, ts)
+    sort.
+    """
+    if stat not in ("corr", "cov"):
+        raise ValueError(f"stat must be 'corr' or 'cov', got {stat!r}")
+    if min_periods is None:
+        min_periods = window
+    frame = _frame(key_cols, ts_col, window, center=False)
+    a, b = F.col(col_a), F.col(col_b)
+    both = F.when(a.isNotNull() & b.isNotNull(), 1)
+    n = F.sum(both).over(frame).cast("double")
+    ab = lambda x: F.when(both.isNotNull(), x)  # noqa: E731 — pairwise-complete
+    sa = F.sum(ab(a)).over(frame)
+    sb = F.sum(ab(b)).over(frame)
+    sab = F.sum(ab(a * b)).over(frame)
+    cov = (sab - sa * sb / n) / (n - 1)
+    if stat == "cov":
+        expr = cov
+    else:
+        saa = F.sum(ab(a * a)).over(frame)
+        sbb = F.sum(ab(b * b)).over(frame)
+        var_a = (saa - sa * sa / n) / (n - 1)
+        var_b = (sbb - sb * sb / n) / (n - 1)
+        expr = cov / F.sqrt(var_a * var_b)
+    name = f"{col_a}_{col_b}_rolling_{window}_{stat}"
+    return df.withColumn(name, F.when(n >= min_periods, expr))
