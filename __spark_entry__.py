@@ -933,6 +933,35 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
         )
 
     q["rolling_cov_12"] = q_rolling_cov
+
+    def q_kendall(s, d):
+        """Kendall tau-b between hourly click/view means (ref
+        correlation.py method='kendall'); concordance and tie counts
+        are integers, so the statistic is hash-stable."""
+        from tstoolbox_spark.operators.stats import correlation_kendall
+
+        ev = _events(s, d)
+        hour = F.date_trunc("hour", F.col("ts")).alias("ts")
+        wide = (
+            ev.filter(F.col("event_type").isin("click", "view"))
+            .groupBy(hour)
+            .pivot("event_type", ["click", "view"])
+            .agg((_dsum("value") / F.count("value")))
+        )
+        return correlation_kendall(wide.drop("ts"), ["click", "view"])
+
+    q["kendall_click_view"] = q_kendall
+
+    def q_emb_lsh(s, d):
+        from tstoolbox_spark.textops.similarity import embedding_lsh_near_dup
+
+        return embedding_lsh_near_dup(
+            _emb(s, d), threshold=0.4, planes=16, bands=8
+        )
+
+    # LSH recall is probabilistic (candidates ⊆ exact) → rows-only;
+    # the unit test bounds recall ≥ 0.8 and false-positives = 0.
+    q["embedding_lsh_near_dup"] = q_emb_lsh
     return q
 
 
@@ -1482,6 +1511,30 @@ def _verb_oracles_round2() -> dict[str, str]:
                CASE WHEN n >= 12 THEN (sab - sa * sb / n) / (n - 1) END
                  AS value_rolling_12_cov
         FROM s
+    """
+
+    o["kendall_click_view"] = f"""
+        WITH wide AS (
+          SELECT date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS {DECS}) END) AS DOUBLE)
+                   / COUNT(CASE WHEN event_type = 'click' THEN value END) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS {DECS}) END) AS DOUBLE)
+                   / COUNT(CASE WHEN event_type = 'view' THEN value END) AS y
+          FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        clean AS (SELECT ts, x, y FROM wide WHERE x IS NOT NULL AND y IS NOT NULL),
+        num AS (
+          SELECT SUM(CAST(sign(a.x - b.x) * sign(a.y - b.y) AS BIGINT)) AS cmd
+          FROM clean a JOIN clean b ON a.ts < b.ts
+        ),
+        n AS (SELECT COUNT(*) AS cnt FROM clean),
+        tx AS (SELECT COALESCE(SUM(c * (c - 1) / 2), 0) AS t FROM (
+                 SELECT COUNT(*) AS c FROM clean GROUP BY x HAVING COUNT(*) > 1)),
+        ty AS (SELECT COALESCE(SUM(c * (c - 1) / 2), 0) AS t FROM (
+                 SELECT COUNT(*) AS c FROM clean GROUP BY y HAVING COUNT(*) > 1))
+        SELECT CAST(cmd AS DOUBLE)
+               / sqrt((cnt * (cnt - 1) / 2.0 - tx.t) * (cnt * (cnt - 1) / 2.0 - ty.t))
+                 AS corr_click_view
+        FROM num, n, tx, ty
     """
     return o
 

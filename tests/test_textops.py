@@ -206,3 +206,82 @@ def test_near_dup_clusters_transitive(spark):
     assert out.loc["x", "cluster"] == "x"
     assert bool(out.loc["a", "keeper"]) and bool(out.loc["x", "keeper"])
     assert not bool(out.loc["b", "keeper"]) and not bool(out.loc["c", "keeper"])
+
+
+def test_train_centroids_and_ivf_recall(spark):
+    """k-means centroids should give IVF top-k containing most of the
+    exact top-k (recall on a small corpus with nprobe=4 of 8)."""
+    from tstoolbox_spark.textops import similarity as ts
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = ts.train_centroids(emb, k=8, iters=3)
+    assert len(cents) == 8 and len(cents[0]) == len(cents[7])
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = {r["vec_id"] for r in ts.cosine_topk(emb.filter("vec_id > 0"), q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ts.ivf_topk(emb.filter("vec_id > 0"), q, cents, k=10, nprobe=4).collect()
+    }
+    assert len(exact & approx) >= 5  # recall >= 0.5 at nprobe=nlist/2
+
+
+def test_embedding_lsh_near_dup_matches_bruteforce(spark):
+    """LSH candidates, exact-verified, must reproduce the brute-force
+    pair set at a recall >= 0.8 with zero false positives."""
+    from tstoolbox_spark.textops import similarity as ts
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ts.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in ts.embedding_lsh_near_dup(
+            emb, threshold=0.4, planes=16, bands=8
+        ).collect()
+    }
+    assert lsh <= exact  # verify stage guarantees no false positives
+    assert len(exact) > 0
+    assert len(lsh & exact) / len(exact) >= 0.8
+
+
+def test_correlation_kendall_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.stats import correlation_kendall
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 50 + ["b"] * 50,
+            "x": rng.normal(size=100).round(3),
+            "y": rng.normal(size=100).round(3),
+        }
+    )
+    out = (
+        correlation_kendall(spark.createDataFrame(pdf), ["x", "y"], key_cols=["k"])
+        .toPandas()
+        .set_index("k")["corr_x_y"]
+    )
+
+    def tau_b_bruteforce(x, y):
+        # independent O(n^2) loop oracle (scipy is not installed here)
+        n = len(x)
+        num = sum(
+            (1 if x[i] > x[j] else -1 if x[i] < x[j] else 0)
+            * (1 if y[i] > y[j] else -1 if y[i] < y[j] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        n0 = n * (n - 1) / 2
+        t = lambda v: sum(  # noqa: E731
+            c * (c - 1) / 2 for c in pd.Series(v).value_counts() if c > 1
+        )
+        return num / ((n0 - t(x)) * (n0 - t(y))) ** 0.5
+
+    for k in ("a", "b"):
+        sub = pdf[pdf["k"] == k]
+        want = tau_b_bruteforce(sub["x"].tolist(), sub["y"].tolist())
+        assert abs(out[k] - want) < 1e-12

@@ -162,6 +162,61 @@ def correlation_matrix(
     return src.groupBy(*keys).agg(*aggs)
 
 
+def correlation_kendall(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kendall tau-b matrix per key (ref correlation.py:125-176,
+    method='kendall'). Concordance counting is O(n²) per series pair
+    with no SQL closed form → grouped-map pandas (pandas .corr is the
+    oracle itself, so parity is free); each key's series must fit one
+    worker, which holds for per-entity panels, not raw corpora."""
+    import pandas as pd
+
+    keys = list(key_cols)
+    pairs = [
+        (a, b) for i, a in enumerate(value_cols) for b in value_cols[i + 1 :]
+    ]
+    out_cols = ", ".join(f"corr_{a}_{b} double" for a, b in pairs)
+    key_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    schema = f"{key_schema}, {out_cols}" if keys else out_cols
+
+    def _tau_b(x, y):
+        # scipy-free tau-b: vectorized sign matrices over the pair grid
+        import numpy as np
+
+        m = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[m], y[m]
+        n = len(x)
+        if n < 2:
+            return float("nan")
+        iu = np.triu_indices(n, 1)
+        sx = np.sign(x[:, None] - x[None, :])[iu]
+        sy = np.sign(y[:, None] - y[None, :])[iu]
+        num = float((sx * sy).sum())
+        n0 = n * (n - 1) / 2.0
+        ties = lambda v: sum(  # noqa: E731
+            c * (c - 1) / 2.0 for c in pd.Series(v).value_counts() if c > 1
+        )
+        d = (n0 - ties(x)) * (n0 - ties(y))
+        return num / d**0.5 if d > 0 else float("nan")
+
+    def _kendall(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        for a, b in pairs:
+            row[f"corr_{a}_{b}"] = [
+                _tau_b(pdf[a].to_numpy(float), pdf[b].to_numpy(float))
+            ]
+        return pd.DataFrame(row)
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__g"))
+    out = grouped.applyInPandas(_kendall, schema=schema)
+    return out
+
+
 def fdc(
     df: DataFrame,
     value_col: str,

@@ -122,3 +122,113 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Init = the k lowest-id vectors (deterministic, resume-safe). Each
+    iteration: broadcast centroids → per-row argmax-cosine cell
+    assignment (narrow) → new centroid = per-cell mean via
+    posexplode + groupBy(cell, dim) — one shuffle of (cell, dim,
+    value) triples, k·dim result rows collected to the driver (the
+    centroid table is driver-resident by design; k·dim ≪ data).
+    """
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = assign_cells(df, centroids, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = {r["cell"]: [float(x) for x in r["centroid"]] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def _hyperplanes(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — identical on
+    every run/cluster-size (no RNG state)."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def embedding_lsh_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane (SimHash)
+    LSH. sign(v·h_i) bits → band join → exact-cosine verify on the
+    candidate pairs only. P[bit match] = 1 − θ/π, so high-cosine pairs
+    collide in ≥1 band w.h.p. while the corpus never cross-joins.
+    """
+    head = df.select(F.size(vec_col)).head()
+    if head is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    dim = head[0]
+    hps = _hyperplanes(dim, planes)
+    rows_per_band = planes // bands
+    bits = [
+        (F.when(_dot(F.col(vec_col), F.array(*[F.lit(x) for x in h])) >= 0, 1).otherwise(0))
+        for h in hps
+    ]
+    band_cols = []
+    for b in range(bands):
+        chunk = bits[b * rows_per_band : (b + 1) * rows_per_band]
+        code = None
+        for bit in chunk:
+            code = bit if code is None else code * 2 + bit
+        band_cols.append(F.struct(F.lit(b).alias("band"), code.alias("bh")))
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*band_cols)).alias("br"),
+    ).select("doc", "vec", F.col("br.band").alias("band"), F.col("br.bh").alias("bh"))
+    a, b_ = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
