@@ -962,6 +962,30 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
     # LSH recall is probabilistic (candidates ⊆ exact) → rows-only;
     # the unit test bounds recall ≥ 0.8 and false-positives = 0.
     q["embedding_lsh_near_dup"] = q_emb_lsh
+
+    def q_agg_7day(s, d):
+        """Multi-unit offset tier ('7D' — aggregate.py:149 numeric
+        prefixes); epoch-floored 7-day buckets."""
+        ev = _events(s, d)
+        bucket = F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / (7 * 86400)) * (7 * 86400)).cast("long")
+        ).alias("ts")
+        return ev.groupBy("event_type", bucket).agg(
+            _dsum("value").alias("value_sum"),
+            F.count("value").alias("value_count"),
+        )
+
+    q["agg_7day"] = q_agg_7day
+
+    def q_pct_change3(s, d):
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "ts", "event_id", "user_id",
+            (F.col("value") / F.lag("value", 3).over(w) - 1).alias("value_pct_change_3"),
+        )
+
+    q["pct_change_periods3"] = q_pct_change3
     return q
 
 
@@ -1535,6 +1559,22 @@ def _verb_oracles_round2() -> dict[str, str]:
                / sqrt((cnt * (cnt - 1) / 2.0 - tx.t) * (cnt * (cnt - 1) / 2.0 - ty.t))
                  AS corr_click_view
         FROM num, n, tx, ty
+    """
+
+    o["agg_7day"] = f"""
+        SELECT event_type,
+               to_timestamp(CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT))::TIMESTAMP AS ts,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS value_sum,
+               COUNT(value) AS value_count
+        FROM events GROUP BY 1, 2
+    """
+
+    o["pct_change_periods3"] = """
+        SELECT ts, event_id, user_id,
+               value / lag(value, 3) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                 AS value_pct_change_3
+        FROM events
     """
     return o
 
