@@ -365,16 +365,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clip_convert"] = q_clip_convert
 
     def q_zscore(s, d):
+        """Per-key stats via map-side-combinable agg + broadcast join —
+        the plan shape that survives low-cardinality keys at 100 TB (a
+        key window would single-task each event_type)."""
         ev = _events(s, d).select("event_id", "event_type", "value")
-        wk = Window.partitionBy("event_type")
-        n = F.count("value").over(wk)
-        s1 = F.sum(F.col("value").cast(DEC)).over(wk).cast("double")
-        s2 = (
-            F.sum((F.col("value").cast(DEC) * F.col("value").cast(DEC))).over(wk)
-        ).cast("double")
-        mean = s1 / n
-        std = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
-        return ev.select(
+        stats = ev.groupBy("event_type").agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("s1"),
+            F.sum(F.col("value").cast(DEC) * F.col("value").cast(DEC))
+            .cast("double")
+            .alias("s2"),
+        )
+        j = ev.join(F.broadcast(stats), "event_type")
+        mean = F.col("s1") / F.col("n")
+        std = F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+        )
+        return j.select(
             "event_id",
             "event_type",
             ((F.col("value") - mean) / std).alias("value_zscore"),
@@ -384,12 +391,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_minmax(s, d):
         ev = _events(s, d).select("event_id", "event_type", "value")
-        wk = Window.partitionBy("event_type")
-        lo, hi = F.min("value").over(wk), F.max("value").over(wk)
-        return ev.select(
+        stats = ev.groupBy("event_type").agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")
+        )
+        return ev.join(F.broadcast(stats), "event_type").select(
             "event_id",
             "event_type",
-            ((F.col("value") - lo) / (hi - lo)).alias("value_minmax"),
+            ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+                "value_minmax"
+            ),
         )
 
     q["normalization_minmax"] = q_minmax
@@ -553,13 +563,17 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
     def q_fill_mean(s, d):
         """fill method='mean': nulls replaced by the per-key mean of the
         observed values (ref fill.py:299-306); exact decimal sums keep
-        the hash stable."""
+        the hash stable. Stats via agg + broadcast join (scale shape)."""
         ev = _events(s, d).select("ts", "event_id", "user_id", "value")
         v = F.when(F.col("value") >= 50.0, F.col("value"))
-        wk = Window.partitionBy("user_id")
-        mean = F.sum(v.cast(DEC)).over(wk).cast("double") / F.count(v).over(wk)
-        return ev.select(
-            "ts", "event_id", "user_id", F.coalesce(v, mean).alias("value_fill_mean")
+        stats = ev.groupBy("user_id").agg(
+            (F.sum(v.cast(DEC)).cast("double") / F.count(v)).alias("mu")
+        )
+        return ev.join(F.broadcast(stats), "user_id").select(
+            "ts",
+            "event_id",
+            "user_id",
+            F.coalesce(v, F.col("mu")).alias("value_fill_mean"),
         )
 
     q["fill_mean_stat"] = q_fill_mean
@@ -739,14 +753,17 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
         """normalization mode='robust': (v - median) / IQR per key
         (ref normalization.py:199-214); exact percentiles both sides."""
         ev = _events(s, d).select("event_id", "event_type", "value")
-        wk = Window.partitionBy("event_type")
-        med = F.percentile("value", F.lit(0.5)).over(wk)
-        q25 = F.percentile("value", F.lit(0.25)).over(wk)
-        q75 = F.percentile("value", F.lit(0.75)).over(wk)
-        return ev.select(
+        stats = ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.25)).alias("q1"),
+            F.percentile("value", F.lit(0.5)).alias("q2"),
+            F.percentile("value", F.lit(0.75)).alias("q3"),
+        )
+        return ev.join(F.broadcast(stats), "event_type").select(
             "event_id",
             "event_type",
-            ((F.col("value") - med) / (q75 - q25)).alias("value_robust"),
+            ((F.col("value") - F.col("q2")) / (F.col("q3") - F.col("q1"))).alias(
+                "value_robust"
+            ),
         )
 
     q["normalization_robust"] = q_robust
@@ -762,15 +779,19 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
         ).cast("double") / 1e6
         v = F.col("value")
         d6 = "decimal(38,6)"
-        wk = Window.partitionBy("event_type")
-        n = F.count("*").over(wk).cast("double")
-        sx = F.sum(x.cast(d6)).over(wk).cast("double")
-        sy = F.sum(v.cast(DEC)).over(wk).cast("double")
-        sxy = F.sum((x * v).cast(d6)).over(wk).cast("double")
-        sxx = F.sum((x * x).cast(d6)).over(wk).cast("double")
+        sums = ev.groupBy("event_type").agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(x.cast(d6)).cast("double").alias("sx"),
+            F.sum(v.cast(DEC)).cast("double").alias("sy"),
+            F.sum((x * v).cast(d6)).cast("double").alias("sxy"),
+            F.sum((x * x).cast(d6)).cast("double").alias("sxx"),
+        )
+        j = ev.join(F.broadcast(sums), "event_type")
+        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+        sxy, sxx = F.col("sxy"), F.col("sxx")
         slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         intercept = (sy - slope * sx) / n
-        return ev.select(
+        return j.select(
             "event_id",
             "event_type",
             (v - (slope * x + intercept)).alias("value_detrend"),
@@ -783,10 +804,12 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
         time extent (ref add_trend.py:147-153)."""
         ev = _events(s, d).select("event_id", "event_type", "ts")
         e = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6
-        wk = Window.partitionBy("event_type")
-        x0, x1 = F.min(e).over(wk), F.max(e).over(wk)
-        ramp = F.lit(2.0) + (e - x0) / (x1 - x0) * F.lit(8.0)
-        return ev.select("event_id", "event_type", ramp.alias("value_trend"))
+        extent = ev.groupBy("event_type").agg(
+            F.min(e).alias("x0"), F.max(e).alias("x1")
+        )
+        j = ev.join(F.broadcast(extent), "event_type")
+        ramp = F.lit(2.0) + (e - F.col("x0")) / (F.col("x1") - F.col("x0")) * F.lit(8.0)
+        return j.select("event_id", "event_type", ramp.alias("value_trend"))
 
     q["add_trend_ramp"] = q_add_trend
 

@@ -94,12 +94,17 @@ def gof(
 
 def _gof_two_pass(df, obs_col, sim_col, key_cols, exprs, selected):
     """Metrics whose formula nests a global mean inside a row-level term
-    (nse, crmsd, index_agreement) get the mean via a window pre-pass;
-    the final reduction is still one aggregate."""
+    (nse, crmsd, index_agreement) get the mean via a small aggregate
+    broadcast-joined back (NOT a key window — one task per key at
+    scale); the final reduction is still one aggregate."""
     o, s = F.col(obs_col), F.col(sim_col)
     keys = list(key_cols)
-    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    pre = df.withColumn("__mo", F.avg(o).over(wk)).withColumn("__ms", F.avg(s).over(wk))
+    means = df.groupBy(*keys).agg(F.avg(o).alias("__mo"), F.avg(s).alias("__ms"))
+    pre = (
+        df.join(F.broadcast(means), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(means))
+    )
     mo, ms = F.col("__mo"), F.col("__ms")
     d = s - o
     agg: dict[str, Column] = dict(exprs)
@@ -258,17 +263,30 @@ def linear_fit(
         skip = {ts_col, *key_cols}
         value_cols = [c for c in df.columns if c not in skip]
     keys = list(key_cols)
-    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
     x = epoch_seconds(F.col(ts_col))
-    out = df
+    # per-key regression coefficients: map-side-combinable aggregate,
+    # broadcast back (a key window would single-task each key at scale)
+    aggs = []
     for c in value_cols:
         v = F.col(c).cast("double")
-        slope = F.regr_slope(v, x).over(wk)
-        intercept = F.regr_intercept(v, x).over(wk)
-        line = slope * x + intercept
+        aggs += [
+            F.regr_slope(v, x).alias(f"__sl_{c}"),
+            F.regr_intercept(v, x).alias(f"__ic_{c}"),
+        ]
+    coef = df.groupBy(*keys).agg(*aggs)
+    out = (
+        df.join(F.broadcast(coef), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(coef))
+    )
+    drop = []
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        line = F.col(f"__sl_{c}") * x + F.col(f"__ic_{c}")
         name = f"{c}_detrend" if remove else f"{c}_fit"
         out = out.withColumn(name, (v - line) if remove else line)
-    return out
+        drop += [f"__sl_{c}", f"__ic_{c}"]
+    return out.drop(*drop)
 
 
 def add_trend(
@@ -285,11 +303,16 @@ def add_trend(
         skip = {ts_col, *key_cols}
         value_cols = [c for c in df.columns if c not in skip]
     keys = list(key_cols)
-    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
     x = epoch_seconds(F.col(ts_col))
-    x0, x1 = F.min(x).over(wk), F.max(x).over(wk)
-    ramp = F.lit(start_offset) + (x - x0) / (x1 - x0) * F.lit(end_offset - start_offset)
-    out = df
+    extent = df.groupBy(*keys).agg(F.min(x).alias("__x0"), F.max(x).alias("__x1"))
+    out = (
+        df.join(F.broadcast(extent), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(extent))
+    )
+    ramp = F.lit(start_offset) + (x - F.col("__x0")) / (
+        F.col("__x1") - F.col("__x0")
+    ) * F.lit(end_offset - start_offset)
     for c in value_cols:
         out = out.withColumn(f"{c}_trend", ramp)
-    return out
+    return out.drop("__x0", "__x1")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .core import epoch_seconds
@@ -115,36 +115,66 @@ def normalization(
     ts_col: str = "ts",
     key_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """minmax / zscore / pct_rank / maxabs / robust rescaling."""
+    """minmax / zscore / pct_rank / maxabs / robust rescaling.
+
+    Scale shape: per-key statistics come from a map-side-combinable
+    ``groupBy().agg()`` broadcast-joined back onto the rows — NOT a
+    ``Window.partitionBy(key)``, which would funnel every row of a
+    low-cardinality key through one task at corpus scale. (pct_rank is
+    the exception: a rank is inherently a per-key sort.)
+    """
     if value_cols is None:
         skip = {ts_col, *key_cols}
         value_cols = [c for c in df.columns if c not in skip]
-    wk = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy(F.lit(1))
+    keys = list(key_cols)
     out = df
+
+    if mode == "pct_rank":
+        for c in value_cols:
+            v = F.col(c)
+            expr = F.percent_rank().over(
+                Window.partitionBy(*keys).orderBy(v.asc_nulls_last())
+            )
+            out = out.withColumn(f"{c}_{mode}", F.when(v.isNotNull(), expr))
+        return out
+
+    aggs: list[Column] = []
+    for c in value_cols:
+        v = F.col(c)
+        if mode == "minmax":
+            aggs += [F.min(v).alias(f"__lo_{c}"), F.max(v).alias(f"__hi_{c}")]
+        elif mode == "zscore":
+            aggs += [F.avg(v).alias(f"__mu_{c}"), F.stddev_samp(v).alias(f"__sd_{c}")]
+        elif mode == "maxabs":
+            aggs += [F.max(F.abs(v)).alias(f"__ma_{c}")]
+        elif mode == "robust":
+            aggs += [
+                F.percentile(v, F.lit(0.25)).alias(f"__q1_{c}"),
+                F.percentile(v, F.lit(0.5)).alias(f"__q2_{c}"),
+                F.percentile(v, F.lit(0.75)).alias(f"__q3_{c}"),
+            ]
+        else:
+            raise ValueError(f"unknown normalization mode {mode!r}")
+    stats = df.groupBy(*keys).agg(*aggs)
+    out = (
+        df.join(F.broadcast(stats), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
     for c in value_cols:
         v = F.col(c)
         name = f"{c}_{mode}"
         if mode == "minmax":
-            lo, hi = F.min(v).over(wk), F.max(v).over(wk)
+            lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
             expr = F.lit(min_limit) + (v - lo) / (hi - lo) * F.lit(max_limit - min_limit)
         elif mode == "zscore":
-            expr = (v - F.avg(v).over(wk)) / F.stddev_samp(v).over(wk)
-        elif mode == "pct_rank":
-            expr = F.percent_rank().over(
-                Window.partitionBy(*key_cols).orderBy(v.asc_nulls_last())
-            )
-            expr = F.when(v.isNotNull(), expr)
+            expr = (v - F.col(f"__mu_{c}")) / F.col(f"__sd_{c}")
         elif mode == "maxabs":
-            expr = v / F.max(F.abs(v)).over(wk)
-        elif mode == "robust":
-            q1 = F.percentile(v, F.lit(0.25)).over(wk)
-            q2 = F.percentile(v, F.lit(0.5)).over(wk)
-            q3 = F.percentile(v, F.lit(0.75)).over(wk)
-            expr = (v - q2) / (q3 - q1)
-        else:
-            raise ValueError(f"unknown normalization mode {mode!r}")
+            expr = v / F.col(f"__ma_{c}")
+        else:  # robust
+            expr = (v - F.col(f"__q2_{c}")) / (F.col(f"__q3_{c}") - F.col(f"__q1_{c}"))
         out = out.withColumn(name, expr)
-    return out
+    return out.drop(*[f.name for f in stats.schema.fields if f.name.startswith("__")])
 
 
 def converttz(df: DataFrame, fromtz: str, totz: str, ts_col: str = "ts") -> DataFrame:
