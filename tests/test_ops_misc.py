@@ -249,3 +249,37 @@ def test_peak_detection_rel(spark):
     valleys = out["value_valley"].dropna().tolist()
     assert peaks == [2.0, 3.0, 4.0]
     assert valleys == [1.0, 0.2]
+
+
+def test_distributed_rank_matches_window_rank(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tstoolbox_spark.operators.stats import distributed_rank
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = distributed_rank(
+        ev, "value", ["event_type"], tiebreak_cols=["event_id"], num_partitions=8
+    ).select("event_id", "rank")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    want = ev.select("event_id", F.row_number().over(w).alias("rank"))
+    diff = got.join(want, "event_id").filter(got["rank"] != want["rank"]).count()
+    assert diff == 0
+
+
+def test_fdc_scalable_matches_fdc(spark):
+    from tstoolbox_spark.operators.stats import fdc, fdc_scalable
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    base = fdc(ev, "value", key_cols=["event_type"]).toPandas()
+    scal = fdc_scalable(
+        ev, "value", key_cols=["event_type"], tiebreak_cols=["event_id"]
+    ).toPandas()
+    key = lambda df: df.sort_values(  # noqa: E731
+        ["event_type", "exceedance"]
+    ).reset_index(drop=True)
+    a, b = key(base), key(scal[["event_type", "exceedance", "value"]])
+    assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
+    assert abs(a["exceedance"].to_numpy() - b["exceedance"].to_numpy()).max() < 1e-12

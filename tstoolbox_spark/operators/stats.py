@@ -316,3 +316,90 @@ def add_trend(
     for c in value_cols:
         out = out.withColumn(f"{c}_trend", ramp)
     return out.drop("__x0", "__x1")
+
+
+def distributed_rank(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Parallel global row-number per key for LOW-cardinality keys.
+
+    ``row_number() over (partition by key order by value)`` sorts each
+    key in ONE task — a 20 TB key is a straggler. This ranks in
+    parallel: range-repartition on (key, value, tiebreak) gives a total
+    order across partitions; each partition ranks locally (a window
+    over the (key, partition) pair — parallel across partitions); the
+    global rank adds the count of same-key rows in earlier partitions,
+    a keys×partitions bookkeeping aggregate collected to the driver
+    (metadata scale) and broadcast back.
+
+    Ties: deterministic 'first' semantics given tiebreak_cols; include
+    a unique column there for reproducible output.
+    """
+    keys = list(key_cols)
+    order_cols = [*keys, value_col, *tiebreak_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = (
+        with_pid.groupBy(*keys, "__pid").count().collect()
+    )
+    # offset(key, pid) = Σ count(key, p) for p < pid
+    by_key: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(
+            (r["__pid"], r["count"])
+        )
+    rows = []
+    for key, lst in by_key.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            rows.append((*key, pid, acc))
+            acc += cnt
+    spark = df.sparkSession
+    off_schema = ", ".join(
+        [f"{k} {df.schema[k].dataType.simpleString()}" for k in keys]
+        + ["__pid int", "__offset long"]
+    )
+    offsets = spark.createDataFrame(rows, off_schema)
+    local = Window.partitionBy(*keys, "__pid").orderBy(
+        *[F.col(c) for c in [value_col, *tiebreak_cols]]
+    )
+    out = (
+        with_pid.join(F.broadcast(offsets), [*keys, "__pid"])
+        .withColumn(out_col, F.col("__offset") + F.row_number().over(local))
+        .drop("__pid", "__offset")
+    )
+    return out
+
+
+def fdc_scalable(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    plotting_position: str = "weibull",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """fdc via distributed_rank — same output as ``fdc`` (given a
+    deterministic tiebreak) with per-key parallelism instead of one
+    task per key."""
+    a, b = PLOTTING_POSITIONS[plotting_position]
+    keys = list(key_cols)
+    nn = df.filter(F.col(value_col).isNotNull())
+    ranked = distributed_rank(nn, value_col, keys, tiebreak_cols, out_col="__i")
+    totals = nn.groupBy(*keys).agg(F.count(value_col).alias("__n"))
+    joined = (
+        ranked.join(F.broadcast(totals), on=keys)
+        if keys
+        else ranked.crossJoin(F.broadcast(totals))
+    )
+    i, n = F.col("__i").cast("double"), F.col("__n").cast("double")
+    return joined.select(
+        *keys,
+        ((i - F.lit(a)) / (n + 1 - F.lit(a) - F.lit(b))).alias("exceedance"),
+        F.col(value_col),
+    )
