@@ -89,6 +89,12 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # settle before the query sweep: drop pipeline heap garbage so the
+    # first timed queries don't pay its GC debt (observed 6.9s vs 0.5s
+    # for the same query with/without the settle)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
