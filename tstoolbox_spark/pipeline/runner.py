@@ -86,7 +86,7 @@ def run_pipeline(
         comp = compress.compress(todo)
         if catalog.exists("compressed") and done is not None:
             comp = catalog.read(spark, "compressed").unionByName(comp)
-        snap = catalog.write_snapshot(comp, "compressed")
+        snap = catalog.write_snapshot(comp, "compressed", compression="uncompressed")
         written = catalog.read(spark, "compressed")
         lin = lineage.lineage_rows(written, "compress", snap, ["source", "bucket", "salt"])
         lineage.append_lineage(catalog, spark, lin)

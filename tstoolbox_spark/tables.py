@@ -63,15 +63,23 @@ class ParquetSnapshotCatalog:
         table: str,
         partition_by: list[str] | None = None,
         properties: dict | None = None,
+        compression: str | None = None,
     ) -> str:
         """Write df as a new snapshot of ``table``; returns snapshot id.
         The snapshot becomes current only when the manifest swap lands.
+
+        ``compression`` overrides the session parquet codec — pass
+        'uncompressed' for tables whose payload is already
+        entropy-coded (the Gorilla blob table), where zstd burns CPU on
+        every write AND every read for ~0 size gain.
         """
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, table, f"snap-{snap_id}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if compression:
+            writer = writer.option("compression", compression)
         writer.parquet(data_dir)
         manifest = self._read_manifest(table)
         manifest["snapshots"].append(
