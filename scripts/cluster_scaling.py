@@ -186,9 +186,9 @@ Round-trip mismatches across all 4-worker runs: {result['roundtrip_mismatched']}
 
 Command: `python scripts/cluster_scaling.py {rows} {cores} {repeats}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+    with open(os.path.join(REPO, "BENCH", "evidence_process_protocol.md"), "w") as f:
         f.write(md)
-    print("appended to BENCH/BASELINE.md")
+    print("wrote BENCH/evidence_process_protocol.md")
 
 
 if __name__ == "__main__":

@@ -173,9 +173,9 @@ mismatches {b_best.get('roundtrip', {}).get('mismatched')} of {rows:,}.
 Command: `python scripts/scaling_evidence.py {rows} {n_level} {repeats}`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "evidence_thread_protocol.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/evidence_thread_protocol.md")
 
 
 if __name__ == "__main__":
