@@ -957,6 +957,48 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     q["rolling_cov_12"] = q_rolling_cov
 
+    def q_asof(s, d):
+        """As-of join (union + forward-fill formulation — one shuffle,
+        both sides can be large): each event gets the most recent
+        hourly mean for its type."""
+        from tstoolbox_spark.operators.joins import asof_join
+
+        ev = _events(s, d).select("ts", "event_id", "event_type", "value")
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = asof_join(ev, hourly, by=["event_type"])
+        return out.select("event_id", "event_type", "value_mean")
+
+    q["asof_join_hourly"] = q_asof
+
+    def q_sessionize(s, d):
+        from tstoolbox_spark.operators.joins import sessionize
+
+        ev = _events(s, d).select("ts", "event_id", "user_id")
+        out = sessionize(ev, "30 minutes", key_cols=["user_id"])
+        return out.select("event_id", "user_id", "session_id")
+
+    q["sessionize_30m"] = q_sessionize
+
+    def q_session_stats(s, d):
+        """Per-session aggregates (sessionize + exact decimal sums)."""
+        from tstoolbox_spark.operators.joins import sessionize
+
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        sess = sessionize(ev, "30 minutes", key_cols=["user_id"])
+        return sess.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("duration_us"),
+            _dsum("value").alias("value_sum"),
+        )
+
+    q["session_stats_30m"] = q_session_stats
+
     def q_kendall(s, d):
         """Kendall tau-b between hourly click/view means (ref
         correlation.py method='kendall'); concordance and tie counts
@@ -1558,6 +1600,49 @@ def _verb_oracles_round2() -> dict[str, str]:
                CASE WHEN n >= 12 THEN (sab - sa * sb / n) / (n - 1) END
                  AS value_rolling_12_cov
         FROM s
+    """
+
+    o["asof_join_hourly"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS value_mean
+          FROM events GROUP BY 1, 2)
+        SELECT e.event_id, e.event_type, h.value_mean
+        FROM events e ASOF LEFT JOIN h
+          ON e.event_type = h.event_type AND e.ts >= h.ts
+    """
+
+    o["sessionize_30m"] = """
+        SELECT event_id, user_id,
+               SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (
+          SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+    """
+
+    o["session_stats_30m"] = f"""
+        WITH s AS (
+          SELECT user_id, ts, value,
+                 SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM (
+            SELECT event_id, user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events))
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS value_sum
+        FROM s GROUP BY 1, 2
     """
 
     o["kendall_click_view"] = f"""

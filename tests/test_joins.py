@@ -1,0 +1,113 @@
+"""as-of join + sessionization correctness (vs pandas merge_asof and
+hand-computed sessions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tstoolbox_spark.operators.joins import asof_join, session_stats, sessionize
+
+
+def _quotes_trades():
+    rng = np.random.default_rng(11)
+    quotes = pd.DataFrame(
+        {
+            "sym": ["a"] * 30 + ["b"] * 30,
+            "ts": list(pd.date_range("2024-01-01", periods=30, freq="7min")) * 2,
+            "px": rng.normal(100, 5, 60).round(2),
+        }
+    )
+    trades = pd.DataFrame(
+        {
+            "sym": ["a", "b"] * 40,
+            "ts": list(
+                pd.date_range("2024-01-01 00:03", periods=40, freq="5min")
+            )
+            + list(pd.date_range("2023-12-31 23:50", periods=40, freq="5min")),
+            "qty": rng.integers(1, 100, 80),
+        }
+    )
+    return quotes, trades
+
+
+def test_asof_backward_matches_pandas(spark):
+    quotes, trades = _quotes_trades()
+    got = (
+        asof_join(
+            spark.createDataFrame(trades),
+            spark.createDataFrame(quotes),
+            by=["sym"],
+        )
+        .orderBy("sym", "ts")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        trades.sort_values("ts"),
+        quotes.sort_values("ts"),
+        on="ts",
+        by="sym",
+        direction="backward",
+    ).sort_values(["sym", "ts"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["px"].to_numpy(float), want["px"].to_numpy(float), equal_nan=True
+    )
+
+
+def test_asof_forward_and_tolerance(spark):
+    quotes, trades = _quotes_trades()
+    got = (
+        asof_join(
+            spark.createDataFrame(trades),
+            spark.createDataFrame(quotes),
+            by=["sym"],
+            direction="forward",
+            tolerance="10 minutes",
+        )
+        .orderBy("sym", "ts")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        trades.sort_values("ts"),
+        quotes.sort_values("ts"),
+        on="ts",
+        by="sym",
+        direction="forward",
+        tolerance=pd.Timedelta("10 minutes"),
+    ).sort_values(["sym", "ts"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["px"].to_numpy(float), want["px"].to_numpy(float), equal_nan=True
+    )
+
+
+def test_sessionize_known_gaps(spark):
+    pdf = pd.DataFrame(
+        {
+            "user": ["u"] * 6,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:10",   # same session (gap 10m)
+                    "2024-01-01 01:00",   # new (gap 50m)
+                    "2024-01-01 01:20",   # same
+                    "2024-01-01 03:00",   # new
+                    "2024-01-01 03:29",   # same (29m < 30m)
+                ]
+            ),
+            "v": [1.0] * 6,
+        }
+    )
+    out = (
+        sessionize(spark.createDataFrame(pdf), "30 minutes", key_cols=["user"])
+        .orderBy("ts")
+        .toPandas()["session_id"]
+        .tolist()
+    )
+    assert out == [1, 1, 2, 2, 3, 3]
+    stats = session_stats(
+        spark.createDataFrame(pdf), "30 minutes", key_cols=["user"], value_col="v"
+    ).orderBy("session_id").toPandas()
+    assert stats["n_events"].tolist() == [2, 2, 2]
+    assert stats["duration_s"].tolist() == [600, 1200, 1740]
+    assert stats["v_sum"].tolist() == [2.0, 2.0, 2.0]

@@ -1,0 +1,129 @@
+"""Time-series joins Spark lacks natively: as-of join and
+gap-based sessionization.
+
+Neither exists in the reference (its only joins are timestamp-aligned
+outer joins, read.py:160-171) — these are the operators a time-series
+engine over event data needs at scale (SURVEY.md §2.9 context).
+
+as-of join — the shuffle-friendly formulation: instead of a
+per-left-row subquery ("latest right row ≤ ts"), union both sides
+tagged, sort once per key, and forward-fill the right-side payload
+over the combined timeline. One shuffle on (key, ts), no range
+predicate explosion, no broadcast requirement on either side —
+exactly the plan that survives both sides being large.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_ts: str = "ts",
+    by: Sequence[str] = (),
+    right_cols: Sequence[str] | None = None,
+    tolerance: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` (direction='backward'; 'forward' =
+    earliest right row ≥ ts) within the same ``by`` key.
+
+    tolerance: optional max staleness ('15 minutes' style interval);
+    matches older than it become null.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    keys = list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on_ts and c not in keys]
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.select(
+        *keys, on_ts, *right_cols
+    ).withColumn("__side", F.lit(0))
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts, so an exact-ts
+    # match is visible to the left row (pandas merge_asof semantics)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(on_ts).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(on_ts).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    out = merged
+    for c in right_cols:
+        src = F.when(F.col("__side") == 0, F.col(c))
+        out = out.withColumn(f"__m_{c}", pick(src))
+    m_ts = pick(F.when(F.col("__side") == 0, F.col(on_ts)))
+    out = out.withColumn("__m_ts", m_ts)
+    out = out.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        if direction == "backward":
+            fresh = F.col("__m_ts") >= F.col(on_ts) - F.expr(f"INTERVAL {tolerance}")
+        else:
+            fresh = F.col("__m_ts") <= F.col(on_ts) + F.expr(f"INTERVAL {tolerance}")
+        for c in right_cols:
+            out = out.withColumn(f"__m_{c}", F.when(fresh, F.col(f"__m_{c}")))
+    keep = [c for c in left.columns]
+    renames = [F.col(f"__m_{c}").alias(c) for c in right_cols]
+    return out.select(*keep, *renames)
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based session assignment: a new session starts when the gap
+    to the previous event exceeds ``gap``. session_id = running count
+    of session starts per key (1-based) — one sort per key, two window
+    expressions, no state store needed for batch data.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    return df.withColumn(session_col, F.sum(is_new).over(wrun))
+
+
+def session_stats(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """One row per session: bounds, event count, duration seconds,
+    optional value sum (left in whatever numeric type ``value_col``
+    carries)."""
+    keys = list(key_cols)
+    s = sessionize(df, gap, ts_col, key_cols)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_s"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"{value_col}_sum"))
+    return s.groupBy(*keys, "session_id").agg(*aggs)
