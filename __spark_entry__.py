@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as _np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -710,17 +711,24 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     q["converttz_nyc"] = q_converttz
 
-    # ---- rows-only checks (pandas-UDF verbs with no SQL twin) ---------
     def q_ewm(s, d):
+        """ewm mean span=12, adjust=True (ref ewm_window.py:222-230).
+        Oracle: DuckDB recursive CTE carrying the (num, den) recurrence
+        num_t = x_t + (1-α)·num_{t-1}, den_t = 1 + (1-α)·den_{t-1} —
+        algebraically identical to pandas adjust=True; ROUND(6) absorbs
+        the ~1e-13 FP-association difference."""
         from tstoolbox_spark.operators.window import ewm_window
 
         hourly = _q_agg_hourly(_events(s, d)).select("event_type", "ts", "value_mean")
         out = ewm_window(
             hourly, "mean", value_cols=["value_mean"], key_cols=["event_type"], span=12
         )
-        return out.select("event_type", "ts", "value_mean_ewm_mean")
+        return out.select(
+            "event_type", "ts",
+            F.round("value_mean_ewm_mean", 6).alias("value_mean_ewm_mean"),
+        )
 
-    q["ewm_mean_span12"] = q_ewm  # sequential recurrence → rows-only
+    q["ewm_mean_span12"] = q_ewm
 
     def q_dtw(s, d):
         from tstoolbox_spark.operators.signal import dtw_distance
@@ -745,9 +753,16 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
             hourly, window_len=9, kernel="hanning",
             value_cols=["value_mean"], key_cols=["event_type"],
         )
-        return out.select("event_type", "ts", "value_mean_filter")
+        # Oracle: reflect-index offset join with the literal normalized
+        # hanning(9) weights (embedded at 17-sig-digit repr, so both
+        # engines use bitwise-identical coefficients); ROUND(6) absorbs
+        # summation-order differences.
+        return out.select(
+            "event_type", "ts",
+            F.round("value_mean_filter", 6).alias("value_mean_filter"),
+        )
 
-    q["kernel_filter_hanning"] = q_kernel  # reflect-pad convolve → rows-only
+    q["kernel_filter_hanning"] = q_kernel
 
     def q_robust(s, d):
         """normalization mode='robust': (v - median) / IQR per key
@@ -820,10 +835,15 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
             "ts", "event_id", "user_id", (1.0 + F.col("value") / 1000.0).alias("g")
         )
         out = accumulate(ev, "prod", value_cols=["g"], key_cols=["user_id"])
-        return out.select("event_id", "user_id", "g_cumprod")
+        # Running products span ~10 orders of magnitude, so a fixed
+        # decimal rounding can't hash-stably compare them; LN maps the
+        # product's relative FP error (~n·ε) to an absolute ~1e-13,
+        # which ROUND(6) absorbs. DuckDB twin: LN(PRODUCT() OVER w).
+        return out.select(
+            "event_id", "user_id",
+            F.round(F.log("g_cumprod"), 6).alias("g_cumprod_ln"),
+        )
 
-    # FP multiply is only approximately associative; windowed products
-    # associate differently across engines → rows-only check.
     q["accumulate_cumprod"] = q_cumprod
 
     def q_zrxp(s, d):
@@ -1024,8 +1044,9 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
             _emb(s, d), threshold=0.4, planes=16, bands=8
         )
 
-    # LSH recall is probabilistic (candidates ⊆ exact) → rows-only;
-    # the unit test bounds recall ≥ 0.8 and false-positives = 0.
+    # Oracle: the md5-derived hyperplanes are reproduced bit-for-bit
+    # in SQL, so candidates + verified pairs compare exactly; the unit
+    # test additionally bounds recall ≥ 0.8 and false-positives = 0.
     q["embedding_lsh_near_dup"] = q_emb_lsh
 
     def q_agg_7day(s, d):
@@ -1075,7 +1096,8 @@ def oracle_sql() -> dict[str, str]:
                  MIN(value) AS mn, MAX(value) AS mx
           FROM events GROUP BY 1, 2)
         SELECT event_type, date_trunc('hour', ts) AS ts,
-               CAST(SUM(s) AS DOUBLE) AS value_sum, SUM(c) AS value_count,
+               CAST(SUM(s) AS DOUBLE) AS value_sum,
+               CAST(SUM(c) AS BIGINT) AS value_count,
                MIN(mn) AS value_min, MAX(mx) AS value_max
         FROM m GROUP BY 1, 2
     """
@@ -1614,11 +1636,11 @@ def _verb_oracles_round2() -> dict[str, str]:
 
     o["sessionize_30m"] = """
         SELECT event_id, user_id,
-               SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+               CAST(SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
+                 AS BIGINT) AS session_id
         FROM (
           SELECT event_id, user_id, ts,
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -1628,11 +1650,11 @@ def _verb_oracles_round2() -> dict[str, str]:
     o["session_stats_30m"] = f"""
         WITH s AS (
           SELECT user_id, ts, value,
-                 SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                 CAST(SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+                   AS BIGINT) AS session_id
           FROM (
             SELECT event_id, user_id, ts, value,
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -1683,6 +1705,88 @@ def _verb_oracles_round2() -> dict[str, str]:
                    (PARTITION BY user_id ORDER BY ts, event_id) - 1
                  AS value_pct_change_3
         FROM events
+    """
+
+    # ewm mean span=12 adjust=True: the pandas weighted-sum recurrence
+    # num_t = x_t + (1-α)num_{t-1}, den_t = 1 + (1-α)den_{t-1} as a
+    # recursive CTE stepping rn per key (≈677 iterations per
+    # event_type); α = 2/(span+1) written as the same IEEE expression.
+    _hourly_mean = f"""
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2
+    """
+    o["ewm_mean_span12"] = f"""
+        WITH RECURSIVE h AS ({_hourly_mean}),
+        r AS (
+          -- 1e0-style literals: DuckDB's 1.0 is DECIMAL(2,1) and the
+          -- recursive UNION would coerce den to that type (1.846→1.8).
+          SELECT event_type, ts, rn, x AS num, 1e0 AS den FROM h WHERE rn = 1
+          UNION ALL
+          SELECT h.event_type, h.ts, h.rn,
+                 h.x + (1e0 - 2e0 / 13e0) * r.num,
+                 1e0 + (1e0 - 2e0 / 13e0) * r.den
+          FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        SELECT event_type, ts, ROUND(num / den, 6) AS value_mean_ewm_mean
+        FROM r
+    """
+
+    # hanning(9) reflect-pad convolution: offset join over rn with the
+    # reference's reflect rule (t<0 → -t; t>n-1 → 2n-2-t) and the
+    # exact normalized weights numpy computed (repr = bitwise round-trip).
+    _hw = _np.hanning(9)
+    _hw = _hw / _hw.sum()
+    _wvals = ", ".join(f"({j - 4}, {_hw[j]!r})" for j in range(9))
+    o["kernel_filter_hanning"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events GROUP BY 1, 2),
+        w(off, wt) AS (VALUES {_wvals})
+        SELECT a.event_type, a.ts, ROUND(SUM(b.x * w.wt), 6) AS value_mean_filter
+        FROM h a CROSS JOIN w
+        JOIN h b ON b.event_type = a.event_type
+               AND b.rn = CASE WHEN a.rn + w.off < 0 THEN -(a.rn + w.off)
+                               WHEN a.rn + w.off > a.n - 1
+                                 THEN 2 * a.n - 2 - (a.rn + w.off)
+                               ELSE a.rn + w.off END
+        GROUP BY a.event_type, a.ts
+    """
+
+    # cumprod compared in log space (see q_cumprod): PRODUCT() is a
+    # windowed aggregate in DuckDB; (user_id, ts) is unique in the
+    # corpus so ORDER BY ts is a total order within each key.
+    o["accumulate_cumprod"] = """
+        SELECT event_id, user_id,
+               ROUND(LN(PRODUCT(1.0 + value / 1000.0) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                 AS g_cumprod_ln
+        FROM events
+    """
+
+    # Scott-rule Gaussian KDE: same closed form (grid = mn + g·step,
+    # bw = sd·n^-0.2, density = Σexp(-0.5z²)/(n·bw·√2π)).
+    o["gaussian_kde"] = """
+        WITH st AS (
+          SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx,
+                 STDDEV_SAMP(value) AS sd
+          FROM events GROUP BY 1),
+        grid AS (
+          SELECT event_type, n, sd * POWER(n, -0.2) AS bw,
+                 mn + g * ((mx - mn) / 49.0) AS gx
+          FROM st CROSS JOIN (SELECT unnest(range(50)) AS g))
+        SELECT g.event_type, ROUND(g.gx, 6) AS x,
+               ROUND(SUM(EXP((-0.5 * ((g.gx - s.value) / g.bw))
+                             * ((g.gx - s.value) / g.bw)))
+                     / (g.n * g.bw * SQRT(2 * PI())), 6) AS density
+        FROM grid g JOIN events s ON s.event_type = g.event_type
+        GROUP BY g.event_type, g.gx, g.n, g.bw
     """
     return o
 
@@ -1748,7 +1852,9 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = [float(x) for x in rows[0]["embedding"]]
         return _ts.ivf_topk(emb.filter(F.col("vec_id") > 0), qvec, cents, k=10, nprobe=3)
 
-    q["ivf_topk"] = ivf_topk_q  # no SQL oracle (IVF pruning) → rows-only
+    # Centroids/query are pinned (vec_id<8 / vec_id=0), so the probe→
+    # assign→top-k chain has an exact SQL twin (see oracle_sql).
+    q["ivf_topk"] = ivf_topk_q
 
     def binary_meta(s, d):
         docs = _docs(s, d).select("doc_id", F.col("text").cast("binary").alias("payload"))
@@ -1782,14 +1888,23 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fft_lowpass"] = q_fft  # whole-series FFT → rows-only check
 
     def q_kde(s, d):
+        """Scott-rule Gaussian KDE on a 50-point grid. Oracle: the
+        same closed form in DuckDB (grid = mn + g·step, z = (gx-v)/bw,
+        density = Σexp(-0.5·z²)/(n·bw·√2π)); ROUND(6) absorbs the
+        stddev/summation-order FP differences (~1e-12)."""
         from tstoolbox_spark.operators.signal import gaussian_kde
 
-        return gaussian_kde(
+        out = gaussian_kde(
             _events(s, d).select("event_type", "ts", "value"),
             "value", key_cols=["event_type"], points=50,
         )
+        return out.select(
+            "event_type",
+            F.round("x", 6).alias("x"),
+            F.round("density", 6).alias("density"),
+        )
 
-    q["gaussian_kde"] = q_kde  # rows-only (kernel sums not SQL-friendly)
+    q["gaussian_kde"] = q_kde
     return q
 
 
@@ -1998,5 +2113,73 @@ def _textops_oracles() -> dict[str, str]:
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                md5(text) AS payload_md5
         FROM documents
+    """
+
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    # ivf_topk: the driver query pins centroids = vectors vec_id<8 and
+    # query = vec_id 0, so the whole probe→assign→top-k chain is
+    # deterministic closed-form SQL (similarity.py:72-91 semantics:
+    # probe = top-nprobe centroid cosines with +1e-30 guard, ties to
+    # the lower cell; assignment = argmax cosine, first-max tie-break).
+    o["ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        probe AS (
+          SELECT cell FROM c, q
+          ORDER BY list_dot_product(cv, qv)
+                   / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))
+                      + 1e-30) DESC, cell ASC
+          LIMIT 3),
+        assigned AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT cell FROM c
+                  ORDER BY {_cos('c.cv', 'e.v')} DESC, cell ASC LIMIT 1) AS cell
+          FROM e WHERE e.vec_id > 0)
+        SELECT a.vec_id, ROUND({_cos('a.v', 'q.qv')}, 6) AS cosine_sim
+        FROM assigned a, q
+        WHERE a.cell IN (SELECT cell FROM probe)
+        ORDER BY cosine_sim DESC, a.vec_id ASC
+        LIMIT 10
+    """
+
+    # embedding_lsh_near_dup: the md5-derived hyperplanes
+    # (similarity.py:166-178) are reproduced bit-for-bit in SQL —
+    # weight(p,d) = (md5int15("p|d") % 2001 - 1000)/1000 — so the band
+    # signatures, candidate set, and verified pairs are all exact.
+    # planes=16, bands=8 → 2 planes/band, band code = 2·bit0 + bit1.
+    _w_pd = (
+        "(CAST(('0x' || substr(md5(p || '|' || d), 1, 15)) AS UBIGINT)::BIGINT"
+        " % 2001 - 1000) / 1000.0"
+    )
+    o["embedding_lsh_near_dup"] = f"""
+        WITH pd AS (
+          SELECT p, d, {_w_pd} AS w
+          FROM (SELECT unnest(range(16)) AS p), (SELECT unnest(range(64)) AS d)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dots AS (
+          SELECT e.vec_id, pd.p, SUM(e.v[pd.d + 1] * pd.w) AS dot
+          FROM e CROSS JOIN pd GROUP BY 1, 2),
+        sig AS (
+          SELECT vec_id, p // 2 AS band,
+                 SUM(CASE WHEN dot >= 0
+                          THEN (CASE WHEN p % 2 = 0 THEN 2 ELSE 1 END)
+                          ELSE 0 END) AS bh
+          FROM dots GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b, ROUND({_cos('ea.v', 'eb.v')}, 6) AS cosine_sim
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE {_cos('ea.v', 'eb.v')} >= 0.4 - 5e-7
     """
     return o
