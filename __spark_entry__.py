@@ -278,19 +278,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pct_change"] = q_pct_change
 
     def q_rank(s, d):
+        """pandas-rank(method='average') + pct — through the library's
+        distributed rank (range-partitioned parallel row numbers +
+        per-(key, value) components join; no single-task per-key sort —
+        the oracle's window SQL is the semantic spec, not the plan)."""
+        from tstoolbox_spark.operators.window import rank as _rank
+
         ev = _events(s, d).select("ts", "event_id", "event_type", "value")
-        wv = Window.partitionBy("event_type").orderBy(F.col("value").asc_nulls_last())
-        wt = Window.partitionBy("event_type", "value")
-        wk = Window.partitionBy("event_type")
-        avg_rank = F.rank().over(wv) + (F.count("value").over(wt) - 1) / 2.0
-        return ev.select(
+        ranked = _rank(ev, "average", value_cols=["value"], key_cols=["event_type"])
+        counts = ev.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
+            F.count("value").alias("__n")
+        )
+        return ranked.join(F.broadcast(counts), "event_type").select(
             "event_id",
             "event_type",
-            F.when(F.col("value").isNotNull(), avg_rank.cast("double")).alias("value_rank"),
-            (
-                F.when(F.col("value").isNotNull(), avg_rank)
-                / F.count("value").over(wk)
-            ).alias("value_rank_pct"),
+            F.col("value_rank"),
+            (F.col("value_rank") / F.col("__n")).alias("value_rank_pct"),
         )
 
     q["rank_average"] = q_rank
@@ -485,8 +488,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["autocorr_lag1"] = q_autocorr
 
     def q_fdc(s, d):
+        """fdc through the scale path (fdc_scalable → distributed_rank;
+        tie order doesn't affect the (exceedance, value) multiset so no
+        tiebreak column is needed)."""
+        from tstoolbox_spark.operators.stats import fdc_scalable
+
         ev = _events(s, d).select("event_type", "value")
-        return fdc(ev, "value", key_cols=["event_type"], plotting_position="weibull")
+        return fdc_scalable(
+            ev, "value", key_cols=["event_type"], plotting_position="weibull"
+        )
 
     q["fdc_weibull"] = q_fdc
 
@@ -523,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(_verb_queries_round2())
     q.update(_textops_queries())
+    q.update(_verb_queries_round3())
     return q
 
 
@@ -662,16 +673,18 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
             F.col("vl").isNotNull()
         )
 
-        def avg_rank(c):
-            wv = Window.partitionBy("event_type").orderBy(F.col(c).asc())
-            wt = Window.partitionBy("event_type", c)
-            return F.rank().over(wv) + (F.count(c).over(wt) - 1) / 2.0
+        # average ranks via the scalable rank components (parallel
+        # range-partitioned row numbers; no per-event_type sort task)
+        from tstoolbox_spark.operators.stats import rank_components
 
-        ranked = pair.select(
-            "event_type",
-            avg_rank("value").alias("rx"),
-            avg_rank("vl").alias("ry"),
-        )
+        ranked = pair
+        for c, alias in (("value", "rx"), ("vl", "ry")):
+            comps = rank_components(pair, c, ["event_type"])
+            avg_r = ((F.col("__mn") + F.col("__mx")) / 2.0).alias(alias)
+            ranked = ranked.join(
+                comps.select("event_type", c, avg_r), ["event_type", c], "left"
+            )
+        ranked = ranked.select("event_type", "rx", "ry")
         n = F.count("*").cast("double")
         sx = F.sum(F.col("rx").cast(DEC)).cast("double")
         sy = F.sum(F.col("ry").cast(DEC)).cast("double")
@@ -699,6 +712,7 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
             (sd / n).alias("mae"),
             F.sqrt(sdd / n).alias("rmsd"),
             (1.0 - sdd / (so2 - so * so / n)).alias("nse"),
+            (sd * sd / n).alias("brierss"),
         )
 
     q["gof_battery"] = q_gof_battery
@@ -1365,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o.update(_verb_oracles_round2())
     o.update(_textops_oracles())
+    o.update(_verb_oracles_round3())
     return o
 
 
@@ -1494,7 +1509,8 @@ def _verb_oracles_round2() -> dict[str, str]:
         SELECT (0.1 * so + 5.0 * n) / n AS bias,
                (0.1 * so + 5.0 * n) / n AS mae,
                sqrt((0.01 * so2 + so + 25.0 * n) / n) AS rmsd,
-               1.0 - (0.01 * so2 + so + 25.0 * n) / (so2 - so * so / n) AS nse
+               1.0 - (0.01 * so2 + so + 25.0 * n) / (so2 - so * so / n) AS nse,
+               (0.1 * so + 5.0 * n) * (0.1 * so + 5.0 * n) / n AS brierss
         FROM s
     """
 
@@ -2181,5 +2197,336 @@ def _textops_oracles() -> dict[str, str]:
         JOIN e ea ON ea.vec_id = c.id_a
         JOIN e eb ON eb.vec_id = c.id_b
         WHERE {_cos('ea.v', 'eb.v')} >= 0.4 - 5e-7
+    """
+    return o
+
+
+# --------------------------------------------------------------------------
+# third wave (round 2 of the build): whole-series peak detection,
+# lowess, PPF-transformed fdc, scalable pct_rank
+# --------------------------------------------------------------------------
+
+
+def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def _hourly_mean(s, d):
+        return _q_agg_hourly(_events(s, d)).select("event_type", "ts", "value_mean")
+
+    def q_peak_minmax(s, d):
+        """peak_detection method='minmax' (ref peak_detection.py:198-300
+        state machine; public window=24 → lookahead 12). Oracle: the
+        identical state machine as a DuckDB recursive CTE stepping one
+        row per key per iteration — all inputs are the bit-exact hourly
+        means, so emissions match exactly."""
+        from tstoolbox_spark.operators.peaks import peak_detection_scan
+
+        out = peak_detection_scan(
+            _hourly_mean(s, d), method="minmax",
+            value_cols=["value_mean"], key_cols=["event_type"],
+            window=24, peaks=True, valleys=True,
+        )
+        return out.select(
+            "event_type", "ts", "value_mean_peak", "value_mean_valley"
+        )
+
+    q["peak_minmax"] = q_peak_minmax
+
+    def q_peak_zero_crossing(s, d):
+        """peak_detection method='zero_crossing' (ref :408-490): bins
+        between the zero crossings of the mean-subtracted
+        hanning(11)-smoothed series; even/odd bins alternate max/min.
+        Oracle: the same binning written declaratively (running
+        bin-start window + per-bin argmax/argmin)."""
+        from tstoolbox_spark.operators.peaks import peak_detection_scan
+
+        out = peak_detection_scan(
+            _hourly_mean(s, d), method="zero_crossing",
+            value_cols=["value_mean"], key_cols=["event_type"],
+            window=11, peaks=True, valleys=True,
+        )
+        return out.select(
+            "event_type", "ts", "value_mean_peak", "value_mean_valley"
+        )
+
+    q["peak_zero_crossing"] = q_peak_zero_crossing
+
+    def q_lowess(s, d):
+        """fit method='lowess' (ref fit.py:130-135; statsmodels absent →
+        the engine defines the same Cleveland tricube-WLS algorithm
+        declaratively, stats.lowess_fit). frac=0.05, iterations=0;
+        ROUND(6) absorbs summation-order FP (~1e-12)."""
+        from tstoolbox_spark.operators.stats import lowess_fit
+
+        out = lowess_fit(
+            _hourly_mean(s, d), "value_mean", key_cols=["event_type"],
+            frac=0.05, iterations=0,
+        )
+        return out.select(
+            "event_type", "ts",
+            F.round("value_mean_lowess", 6).alias("value_mean_lowess"),
+        )
+
+    q["fit_lowess"] = q_lowess
+
+    def q_fdc_norm(s, d):
+        """calculate_fdc with percent_point_function='norm'
+        (tsutils.py:523-541): plotting positions through the probit
+        (Acklam's rational approximation — the engine's defined probit,
+        scipy absent), ×100 like the reference index. Same Acklam
+        expression inlined in the oracle; ROUND(6) absorbs the 1-ulp
+        libm differences in ln/sqrt."""
+        from tstoolbox_spark.operators.stats import fdc_scalable
+
+        ev = _events(s, d).select("event_type", "value")
+        out = fdc_scalable(
+            ev, "value", key_cols=["event_type"],
+            plotting_position="weibull", percent_point_function="norm",
+        )
+        return out.select(
+            "event_type",
+            F.round("exceedance", 6).alias("exceedance"),
+            "value",
+        )
+
+    q["fdc_norm_ppf"] = q_fdc_norm
+
+    def q_pct_rank(s, d):
+        """normalization mode='pct_rank' (ref normalization.py,
+        tests/data_sunspot_normalized_pct_rank.csv semantics ==
+        percent_rank) via the distributed rank components — exact
+        rational (mn-1)/(n-1), no float drift."""
+        from tstoolbox_spark.operators.transform import normalization
+
+        ev = _events(s, d).select("event_id", "event_type", "value")
+        out = normalization(ev, mode="pct_rank", value_cols=["value"],
+                            key_cols=["event_type"])
+        return out.select("event_id", "event_type", "value_pct_rank")
+
+    q["normalization_pct_rank"] = q_pct_rank
+    return q
+
+
+def _verb_oracles_round3() -> dict[str, str]:
+    o: dict[str, str] = {}
+    DECS = "DECIMAL(28,2)"
+    hourly = f"""
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS y,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events GROUP BY 1, 2
+    """
+
+    # ---- minmax: the billauer state machine as a recursive CTE --------
+    LA = 12  # lookahead = int(24/2)
+    INF = "'infinity'::DOUBLE"
+    NINF = "'-infinity'::DOUBLE"
+    mx1 = "(CASE WHEN h.y > r.mx THEN h.y ELSE r.mx END)"
+    mxpos1 = "(CASE WHEN h.y > r.mx THEN h.rn ELSE r.mxpos END)"
+    mn1 = "(CASE WHEN h.y < r.mn THEN h.y ELSE r.mn END)"
+    mnpos1 = "(CASE WHEN h.y < r.mn THEN h.rn ELSE r.mnpos END)"
+    emax = f"(h.y < {mx1} AND {mx1} <> {INF} AND h.fwdmax < {mx1})"
+    emin = (
+        f"(NOT {emax} AND h.y > {mn1} AND {mn1} <> {NINF}"
+        f" AND h.fwdmin > {mn1})"
+    )
+    o["peak_minmax"] = f"""
+        WITH RECURSIVE h0 AS ({hourly}),
+        hf AS (
+          SELECT *,
+                 MAX(y) OVER (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN CURRENT ROW AND {LA - 1} FOLLOWING)
+                   AS fwdmax,
+                 MIN(y) OVER (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN CURRENT ROW AND {LA - 1} FOLLOWING)
+                   AS fwdmin
+          FROM h0),
+        r AS (
+          SELECT event_type, rn, y AS mn, y AS mx,
+                 rn AS mnpos, rn AS mxpos,
+                 CAST(NULL AS VARCHAR) AS ekind,
+                 CAST(NULL AS BIGINT) AS epos,
+                 CAST(NULL AS DOUBLE) AS eval
+          FROM hf WHERE rn = 1
+          UNION ALL
+          SELECT h.event_type, h.rn,
+                 CASE WHEN {emax} THEN {INF}
+                      WHEN {emin} THEN {NINF} ELSE {mn1} END,
+                 CASE WHEN {emax} THEN {INF}
+                      WHEN {emin} THEN {NINF} ELSE {mx1} END,
+                 {mnpos1}, {mxpos1},
+                 CASE WHEN {emax} THEN 'max' WHEN {emin} THEN 'min' END,
+                 CASE WHEN {emax} THEN {mxpos1} WHEN {emin} THEN {mnpos1} END,
+                 CASE WHEN {emax} THEN {mx1} WHEN {emin} THEN {mn1} END
+          FROM r JOIN hf h
+            ON h.event_type = r.event_type AND h.rn = r.rn + 1
+               AND h.rn <= h.n - {LA}),
+        emis AS (
+          SELECT event_type, rn, ekind, epos, eval
+          FROM r WHERE ekind IS NOT NULL),
+        firste AS (SELECT event_type, MIN(rn) AS frn FROM emis GROUP BY 1),
+        kept AS (
+          SELECT e.* FROM emis e
+          JOIN firste f ON e.event_type = f.event_type AND e.rn <> f.frn)
+        SELECT h0.event_type, h0.ts,
+               pk.eval AS value_mean_peak,
+               vl.eval AS value_mean_valley
+        FROM h0
+        LEFT JOIN kept pk ON pk.event_type = h0.event_type
+               AND pk.epos = h0.rn AND pk.ekind = 'max'
+        LEFT JOIN kept vl ON vl.event_type = h0.event_type
+               AND vl.epos = h0.rn AND vl.ekind = 'min'
+    """
+
+    # ---- zero_crossing: declarative binning ---------------------------
+    _zw = _np.hanning(11)
+    _zw = _zw / _zw.sum()
+    # smoothing is BACKWARD-looking: offset m-(wl-1) for m in 0..wl-1
+    _zvals = ", ".join(f"({m - 10}, {_zw[m]!r})" for m in range(11))
+    o["peak_zero_crossing"] = f"""
+        WITH h AS ({hourly}),
+        st AS (SELECT event_type, AVG(y) AS mu FROM (
+                 SELECT event_type, CAST(SUM(CAST(value AS {DECS})) AS DOUBLE)
+                        / COUNT(value) AS y
+                 FROM events GROUP BY event_type, date_trunc('hour', ts))
+               GROUP BY 1),
+        hm AS (SELECT h.*, h.y - st.mu AS ym, h.rn - 1 AS i
+               FROM h JOIN st USING (event_type)),
+        w(off, wt) AS (VALUES {_zvals}),
+        sm AS (
+          SELECT a.event_type, a.i,
+                 SUM(b.ym * w.wt) AS s
+          FROM hm a CROSS JOIN w
+          JOIN hm b ON b.event_type = a.event_type
+                 AND b.i = CASE WHEN a.i + w.off < 0
+                                THEN -(a.i + w.off) ELSE a.i + w.off END
+          GROUP BY 1, 2),
+        sg AS (SELECT event_type, i,
+                      CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS sgn
+               FROM sm),
+        crossers AS (
+          SELECT event_type, i FROM (
+            SELECT event_type, i, sgn,
+                   lead(sgn) OVER (PARTITION BY event_type ORDER BY i) AS nxt
+            FROM sg)
+          WHERE nxt IS NOT NULL AND nxt <> sgn AND i <> 0),
+        zi AS (
+          SELECT DISTINCT event_type, i FROM (
+            SELECT event_type, i FROM crossers
+            UNION ALL SELECT event_type, 0 FROM st
+            UNION ALL SELECT event_type, n - 1 FROM hm WHERE i = 0)),
+        binned AS (
+          SELECT hm.event_type, hm.i, hm.y,
+                 MAX(CASE WHEN zi.i IS NOT NULL THEN hm.i END)
+                   OVER (PARTITION BY hm.event_type ORDER BY hm.i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS bstart,
+                 COUNT(zi.i)
+                   OVER (PARTITION BY hm.event_type ORDER BY hm.i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                   AS k
+          FROM hm LEFT JOIN zi ON zi.event_type = hm.event_type AND zi.i = hm.i
+          WHERE hm.i < hm.n - 1),
+        b0 AS (
+          SELECT event_type,
+                 CASE WHEN ABS(MAX(y)) > ABS(MIN(y)) THEN 0 ELSE 1 END AS hi_par
+          FROM binned WHERE bstart = 0 GROUP BY 1),
+        bins AS (
+          SELECT b.event_type, b.bstart, b.k % 2 AS par,
+                 MAX(b.y) AS bmax, MIN(b.y) AS bmin
+          FROM binned b GROUP BY 1, 2, 3),
+        peaks AS (
+          SELECT bn.event_type,
+                 (SELECT MIN(x.i) FROM binned x
+                  WHERE x.event_type = bn.event_type
+                    AND x.bstart = bn.bstart AND x.y = bn.bmax) AS pos,
+                 bn.bmax AS val
+          FROM bins bn JOIN b0 USING (event_type)
+          WHERE bn.par = b0.hi_par),
+        valleys AS (
+          SELECT bn.event_type,
+                 (SELECT MIN(x.i) FROM binned x
+                  WHERE x.event_type = bn.event_type
+                    AND x.bstart = bn.bstart AND x.y = bn.bmin) AS pos,
+                 bn.bmin AS val
+          FROM bins bn JOIN b0 USING (event_type)
+          WHERE bn.par = 1 - b0.hi_par)
+        SELECT hm.event_type, hm.ts,
+               pk.val AS value_mean_peak,
+               vl.val AS value_mean_valley
+        FROM hm
+        LEFT JOIN peaks pk ON pk.event_type = hm.event_type
+               AND pk.pos = hm.i AND pk.pos <> 0
+        LEFT JOIN valleys vl ON vl.event_type = hm.event_type
+               AND vl.pos = hm.i AND vl.pos <> 0
+    """
+
+    # ---- lowess (iterations=0): tricube WLS closed form ---------------
+    o["fit_lowess"] = f"""
+        WITH h AS ({hourly}),
+        base AS (
+          SELECT event_type, ts, y, rn - 1 AS i, n,
+                 LEAST(GREATEST(2, CAST(CEIL(5e-2 * CAST(n AS DOUBLE)) AS BIGINT)), n) AS k
+          FROM h),
+        base2 AS (
+          SELECT *,
+                 LEAST(GREATEST(i - CAST(FLOOR((k - 1) / 2.0) AS BIGINT), 0), n - k) AS lo
+          FROM base),
+        nbrs AS (
+          SELECT b.event_type, b.i, b.ts, b.lo, b.k,
+                 j.j, s.y AS yj
+          FROM base2 b
+          CROSS JOIN LATERAL (SELECT unnest(range(b.lo, b.lo + b.k)) AS j) j
+          JOIN (SELECT event_type, rn - 1 AS j, y FROM h) s
+            ON s.event_type = b.event_type AND s.j = j.j),
+        g AS (
+          SELECT event_type, i, ts,
+                 SUM(w) AS sw, SUM(w * x) AS sx, SUM(w * yj) AS sy,
+                 SUM(w * x * x) AS sxx, SUM(w * x * yj) AS sxy
+          FROM (
+            SELECT *,
+                   CAST(j AS DOUBLE) AS x,
+                   POWER(1e0 - u * u * u, 3) AS w
+            FROM (
+              SELECT *,
+                     CAST(ABS(j - i) AS DOUBLE)
+                       / CAST(GREATEST(lo + k - 1 - i, i - lo) AS DOUBLE) AS u
+              FROM nbrs))
+          GROUP BY 1, 2, 3)
+        SELECT event_type, ts,
+               ROUND(CASE WHEN ABS(sw * sxx - sx * sx) > 1e-12
+                 THEN (sy - (sw * sxy - sx * sy) / (sw * sxx - sx * sx) * sx) / sw
+                      + (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
+                        * CAST(i AS DOUBLE)
+                 ELSE sy / sw END, 6) AS value_mean_lowess
+        FROM g
+    """
+
+    # ---- fdc with probit PPF ------------------------------------------
+    from tstoolbox_spark.operators.stats import norm_ppf_sql
+
+    pos = (
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY value ASC) AS DOUBLE)"
+        " / (COUNT(value) OVER (PARTITION BY event_type) + 1)"
+    )
+    o["fdc_norm_ppf"] = f"""
+        SELECT event_type,
+               ROUND(({norm_ppf_sql('__p')}) * 1e2, 6) AS exceedance,
+               value
+        FROM (
+          SELECT event_type, value, {pos} AS __p
+          FROM events WHERE value IS NOT NULL)
+    """
+
+    o["normalization_pct_rank"] = """
+        SELECT e.event_id, e.event_type, r.value_pct_rank
+        FROM events e
+        LEFT JOIN (
+          SELECT event_id,
+                 percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value ASC) AS value_pct_rank
+          FROM events WHERE value IS NOT NULL) r USING (event_id)
     """
     return o

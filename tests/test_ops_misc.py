@@ -192,6 +192,9 @@ def test_gof_metrics(spark, twocol_pdf):
     assert np.isclose(out["mae"], np.abs(s - o).mean())
     d = 1 - ((s - o) ** 2).sum() / ((np.abs(s - o.mean()) + np.abs(o - o.mean())) ** 2).sum()
     assert np.isclose(out["index_agreement"], d)
+    # reference gof.py:342 — "Brier's Score" is np.sum(pred-ref)**2 / n
+    # (square of the sum; the quirk is the tested behavior)
+    assert np.isclose(out["brierss"], np.sum(s - o) ** 2 / len(o))
 
 
 def test_autocorrelation_and_corr_matrix(spark, twocol_pdf):

@@ -42,9 +42,24 @@ def asof_join(
     keys = list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on_ts and c not in keys]
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"right_cols {clash} collide with left columns; "
+            "rename them on the right side before joining"
+        )
+    # The matched right row travels as ONE struct (its ts + payload),
+    # so a null payload column stays the matched row's null instead of
+    # being forward-filled from an older right row (pandas merge_asof
+    # carries the matched row verbatim), and the tolerance check reads
+    # the very row the payload came from.
     lhs = left.withColumn("__side", F.lit(1))
     rhs = right.select(
-        *keys, on_ts, *right_cols
+        *keys,
+        F.col(on_ts),
+        F.struct(
+            F.col(on_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
     ).withColumn("__side", F.lit(0))
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
     # right rows sort before left rows at equal ts, so an exact-ts
@@ -55,30 +70,23 @@ def asof_join(
             .orderBy(F.col(on_ts).asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        matched = F.last("__r", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col(on_ts).asc(), F.col("__side").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    out = merged
-    for c in right_cols:
-        src = F.when(F.col("__side") == 0, F.col(c))
-        out = out.withColumn(f"__m_{c}", pick(src))
-    m_ts = pick(F.when(F.col("__side") == 0, F.col(on_ts)))
-    out = out.withColumn("__m_ts", m_ts)
-    out = out.filter(F.col("__side") == 1)
+        matched = F.first("__r", ignorenulls=True).over(w)
+    out = merged.withColumn("__m", matched).filter(F.col("__side") == 1)
     if tolerance is not None:
         if direction == "backward":
-            fresh = F.col("__m_ts") >= F.col(on_ts) - F.expr(f"INTERVAL {tolerance}")
+            fresh = F.col("__m.__rts") >= F.col(on_ts) - F.expr(f"INTERVAL {tolerance}")
         else:
-            fresh = F.col("__m_ts") <= F.col(on_ts) + F.expr(f"INTERVAL {tolerance}")
-        for c in right_cols:
-            out = out.withColumn(f"__m_{c}", F.when(fresh, F.col(f"__m_{c}")))
+            fresh = F.col("__m.__rts") <= F.col(on_ts) + F.expr(f"INTERVAL {tolerance}")
+        out = out.withColumn("__m", F.when(fresh, F.col("__m")))
     keep = [c for c in left.columns]
-    renames = [F.col(f"__m_{c}").alias(c) for c in right_cols]
+    renames = [F.col(f"__m.{c}").alias(c) for c in right_cols]
     return out.select(*keep, *renames)
 
 

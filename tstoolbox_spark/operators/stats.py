@@ -80,6 +80,11 @@ def gof(
     exprs["kge09"] = 1 - F.sqrt((cc - 1) ** 2 + (alpha09 - 1) ** 2 + (beta - 1) ** 2)
     exprs["kge12"] = 1 - F.sqrt((cc - 1) ** 2 + (alpha12 - 1) ** 2 + (beta - 1) ** 2)
     exprs["mae"] = F.avg(F.abs(d))
+    # the reference's "Brier's Score" (gof.py:342) is literally
+    # sum(pred - ref)**2 / n — the SQUARE OF THE SUM, not the Brier
+    # mean-square — reproduced verbatim (it's the tested behavior,
+    # tests/test_gof.py:28).
+    exprs["brierss"] = (F.sum(d) ** 2) / F.count(F.lit(1))
     exprs["stdev_obs"] = std_o
     exprs["stdev_sim"] = std_s
     # nse / crmsd / index_agreement nest a global mean inside a
@@ -87,7 +92,7 @@ def gof(
     selected = list(stats) if stats else [
         "bias", "pc_bias", "apc_bias", "rmsd", "crmsd", "corrcoef", "coefdet",
         "murphyss", "nse", "kge09", "kge12", "index_agreement", "mae",
-        "stdev_obs", "stdev_sim",
+        "brierss", "stdev_obs", "stdev_sim",
     ]
     return _gof_two_pass(df, obs_col, sim_col, key_cols, exprs, selected)
 
@@ -144,15 +149,14 @@ def correlation_matrix(
     keys = list(key_cols)
     src = df
     if method == "spearman":
+        # average ranks via rank_components (parallel range-partitioned
+        # row numbers + per-(key, value) min/max, joined back) — no
+        # single-task per-key value sort.
         for c in value_cols:
-            wv = Window.partitionBy(*keys).orderBy(F.col(c).asc_nulls_last())
-            wt = Window.partitionBy(*keys, c)
-            src = src.withColumn(
-                f"__rk_{c}",
-                F.when(
-                    F.col(c).isNotNull(),
-                    F.rank().over(wv) + (F.count(c).over(wt) - 1) / 2.0,
-                ),
+            comps = rank_components(src, c, keys)
+            avg_rank = ((F.col("__mn") + F.col("__mx")) / 2.0).alias(f"__rk_{c}")
+            src = src.join(
+                comps.select(*keys, c, avg_rank), [*keys, c], "left"
             )
         cols = [f"__rk_{c}" for c in value_cols]
     elif method == "pearson":
@@ -198,6 +202,13 @@ def correlation_kendall(
         n = len(x)
         if n < 2:
             return float("nan")
+        if n > 20_000:
+            # the sign matrix is O(n²) doubles (n=1e5 → ~40 GB/task);
+            # kendall targets aggregated panels, not raw corpora.
+            raise ValueError(
+                f"correlation_kendall: series has {n} rows per key; "
+                "aggregate to a coarser tier first (O(n²) pair grid)"
+            )
         iu = np.triu_indices(n, 1)
         sx = np.sign(x[:, None] - x[None, :])[iu]
         sy = np.sign(y[:, None] - y[None, :])[iu]
@@ -222,12 +233,105 @@ def correlation_kendall(
     return out
 
 
+# Acklam's rational approximation to the inverse normal CDF
+# (|relative error| < 1.15e-9; the classic public algorithm). Used for
+# fdc's percent_point_function='norm'/'lognorm' — scipy is absent from
+# this container, so the engine DEFINES its probit as Acklam's formula
+# and mirrors the identical expression in the SQL oracle.
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+             1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+             6.680131188771972e+01, -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+             -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+             3.754408661907416e+00)
+_ACKLAM_PLOW = 0.02425
+
+
+def _horner(var: Column, coeffs, tail=None) -> Column:
+    acc = F.lit(coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * var + F.lit(c)
+    if tail is not None:
+        acc = acc * var + F.lit(tail)
+    return acc
+
+
+def norm_ppf(p: Column) -> Column:
+    """Inverse standard-normal CDF (Acklam) as a pure column expression
+    — stays in whole-stage codegen, no UDF."""
+    q_c = p - 0.5
+    r_c = q_c * q_c
+    central = (_horner(r_c, _ACKLAM_A) * q_c) / _horner(r_c, _ACKLAM_B, tail=1.0)
+    q_l = F.sqrt(-2.0 * F.log(p))
+    lower = _horner(q_l, _ACKLAM_C) / _horner(q_l, _ACKLAM_D, tail=1.0)
+    q_u = F.sqrt(-2.0 * F.log(1.0 - p))
+    upper = -_horner(q_u, _ACKLAM_C) / _horner(q_u, _ACKLAM_D, tail=1.0)
+    return (
+        F.when(p < _ACKLAM_PLOW, lower)
+        .when(p <= 1.0 - _ACKLAM_PLOW, central)
+        .otherwise(upper)
+    )
+
+
+def norm_ppf_sql(expr: str) -> str:
+    """The byte-identical DuckDB twin of :func:`norm_ppf` (same Horner
+    order, same literals) for oracle SQL generation."""
+    def lit(c):
+        # e-notation forces a DOUBLE literal in DuckDB (plain decimals
+        # parse as DECIMAL and overflow scale under chained Horner
+        # multiplication); 17 significant digits round-trips the float.
+        return f"{c:.16e}"
+
+    def horner(var, coeffs, tail=None):
+        acc = lit(coeffs[0])
+        for c in coeffs[1:]:
+            acc = f"({acc}) * ({var}) + {lit(c)}"
+        if tail is not None:
+            acc = f"({acc}) * ({var}) + {lit(tail)}"
+        return acc
+
+    qc = f"(({expr}) - 5e-1)"
+    rc = f"({qc} * {qc})"
+    central = f"(({horner(rc, _ACKLAM_A)}) * {qc}) / ({horner(rc, _ACKLAM_B, 1.0)})"
+    ql = f"(sqrt(-2e0 * ln({expr})))"
+    lower = f"({horner(ql, _ACKLAM_C)}) / ({horner(ql, _ACKLAM_D, 1.0)})"
+    qu = f"(sqrt(-2e0 * ln(1e0 - ({expr}))))"
+    upper = f"(-({horner(qu, _ACKLAM_C)})) / ({horner(qu, _ACKLAM_D, 1.0)})"
+    return (
+        f"(CASE WHEN ({expr}) < {lit(_ACKLAM_PLOW)} THEN {lower} "
+        f"WHEN ({expr}) <= 1e0 - {lit(_ACKLAM_PLOW)} THEN {central} "
+        f"ELSE {upper} END)"
+    )
+
+
+def _apply_ppf(pos: Column, percent_point_function: str | None) -> Column:
+    """tsutils.set_ppf (tsutils.py:523-541): transform plotting
+    positions; non-None PPFs are reported ×100 like the reference's
+    index (calculate_fdc.py:216-218)."""
+    if percent_point_function is None:
+        return pos
+    if percent_point_function == "weibull":
+        return F.log(-F.log(1.0 - pos)) * 100.0
+    if percent_point_function == "norm":
+        return norm_ppf(pos) * 100.0
+    if percent_point_function == "lognorm":
+        # lognorm.freeze(0.5, loc=0).ppf(y) = exp(0.5 * probit(y))
+        return F.exp(0.5 * norm_ppf(pos)) * 100.0
+    raise ValueError(
+        f"percent_point_function must be None/norm/lognorm/weibull, "
+        f"got {percent_point_function!r}"
+    )
+
+
 def fdc(
     df: DataFrame,
     value_col: str,
     key_cols: Sequence[str] = (),
     plotting_position: str = "weibull",
     ascending: bool = True,
+    percent_point_function: str | None = None,
 ) -> DataFrame:
     """Flow-duration curve: sorted values vs exceedance probability
     (i - a) / (n + 1 - a - b). Ref: calculate_fdc.py:176-244 +
@@ -241,9 +345,10 @@ def fdc(
     wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
     i = F.row_number().over(wv).cast("double")
     n = F.count(v).over(wk).cast("double")
+    pos = (i - F.lit(a)) / (n + 1 - F.lit(a) - F.lit(b))
     return nn.select(
         *keys,
-        ((i - F.lit(a)) / (n + 1 - F.lit(a) - F.lit(b))).alias("exceedance"),
+        _apply_ppf(pos, percent_point_function).alias("exceedance"),
         v.alias(value_col),
     )
 
@@ -344,7 +449,11 @@ def distributed_rank(
     order_cols = [*keys, value_col, *tiebreak_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # repartitionByRange samples range boundaries at runtime, so a
+    # re-execution (counts job vs. final join) could assign rows to
+    # different partition ids. localCheckpoint pins the assignment:
+    # both jobs read the same materialized partitions.
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
     counts = (
         with_pid.groupBy(*keys, "__pid").count().collect()
     )
@@ -383,6 +492,7 @@ def fdc_scalable(
     key_cols: Sequence[str] = (),
     plotting_position: str = "weibull",
     tiebreak_cols: Sequence[str] = (),
+    percent_point_function: str | None = None,
 ) -> DataFrame:
     """fdc via distributed_rank — same output as ``fdc`` (given a
     deterministic tiebreak) with per-key parallelism instead of one
@@ -398,8 +508,163 @@ def fdc_scalable(
         else ranked.crossJoin(F.broadcast(totals))
     )
     i, n = F.col("__i").cast("double"), F.col("__n").cast("double")
+    pos = (i - F.lit(a)) / (n + 1 - F.lit(a) - F.lit(b))
     return joined.select(
         *keys,
-        ((i - F.lit(a)) / (n + 1 - F.lit(a) - F.lit(b))).alias("exceedance"),
+        _apply_ppf(pos, percent_point_function).alias("exceedance"),
         F.col(value_col),
     )
+
+
+def lowess_fit(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    frac: float = 0.01,
+    iterations: int = 0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """LOWESS (Cleveland 1979): per-point tricube-weighted linear
+    regression over the k = max(2, ceil(frac·n)) nearest neighbors.
+
+    The reference's ``fit(method='lowess')`` delegates to statsmodels
+    (fit.py:10,130-135 — statsmodels is not in this container); this is
+    the same published algorithm, DEFINED declaratively: neighbors are
+    rank-index based (the series is regular after regularize/aggregate,
+    where rank distance == time distance), boundary windows shift
+    leftward, and ``iterations`` bisquare-robustifies like lowess(it=).
+
+    Scale shape: rn via one per-key sort, then explode(sequence(lo,hi))
+    → equi-join → groupBy — every step shuffles on (key, rn), no range
+    join, no UDF. Row inflation is ×k (k = frac·n), so this targets
+    aggregated tiers (frac·n² total rows), like every whole-series verb
+    here.
+    """
+    keys = list(key_cols)
+    out_col = out_col or f"{value_col}_lowess"
+    v = F.col(value_col)
+    wv = Window.partitionBy(*keys).orderBy(ts_col)
+    nn = df.filter(v.isNotNull())
+    base = nn.withColumn("__i", F.row_number().over(wv) - 1)
+    counts = nn.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    base = (
+        base.join(F.broadcast(counts), on=keys)
+        if keys
+        else base.crossJoin(F.broadcast(counts))
+    )
+    k = F.greatest(F.lit(2), F.ceil(F.lit(float(frac)) * F.col("__n").cast("double")))
+    base = base.withColumn("__k", F.least(k, F.col("__n")))
+    lo = F.least(
+        F.greatest(F.col("__i") - F.floor((F.col("__k") - 1) / 2), F.lit(0)),
+        F.col("__n") - F.col("__k"),
+    )
+    base = base.withColumn("__lo", lo)
+
+    series = base.select(
+        *keys, F.col("__i").alias("__j"), v.alias("__yj")
+    )
+    fitted = None
+    rob = None  # robustness weights from the previous iteration
+    for _ in range(iterations + 1):
+        nbrs = base.select(
+            *keys, "__i", "__lo", "__k", v.alias("__yi"),
+            F.explode(F.sequence(F.col("__lo"), F.col("__lo") + F.col("__k") - 1)).alias("__j"),
+        ).join(series, [*keys, "__j"])
+        if rob is not None:
+            nbrs = nbrs.join(rob, [*keys, "__j"])
+        d = F.abs(F.col("__j") - F.col("__i")).cast("double")
+        maxd = F.greatest(
+            F.col("__lo") + F.col("__k") - 1 - F.col("__i"),
+            F.col("__i") - F.col("__lo"),
+        ).cast("double")
+        u = d / maxd
+        w = (1.0 - u * u * u) ** 3
+        if rob is not None:
+            w = w * F.col("__rw")
+        x = F.col("__j").cast("double")
+        y = F.col("__yj")
+        g = nbrs.groupBy(*keys, "__i").agg(
+            F.sum(w).alias("sw"),
+            F.sum(w * x).alias("sx"),
+            F.sum(w * y).alias("sy"),
+            F.sum(w * x * x).alias("sxx"),
+            F.sum(w * x * y).alias("sxy"),
+        )
+        denom = F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
+        slope = (F.col("sw") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+        intercept = (F.col("sy") - slope * F.col("sx")) / F.col("sw")
+        yhat = F.when(
+            F.abs(denom) > 1e-12,
+            intercept + slope * F.col("__i").cast("double"),
+        ).otherwise(F.col("sy") / F.col("sw"))
+        fitted = g.select(*keys, "__i", yhat.alias("__fit"))
+        if _ < iterations:
+            resid = base.join(fitted, [*keys, "__i"]).select(
+                *keys, F.col("__i").alias("__j"),
+                (v - F.col("__fit")).alias("__r"),
+            )
+            med = resid.groupBy(*keys).agg(
+                F.percentile(F.abs(F.col("__r")), F.lit(0.5)).alias("__m")
+            )
+            joined = (
+                resid.join(F.broadcast(med), on=keys)
+                if keys
+                else resid.crossJoin(F.broadcast(med))
+            )
+            delta = F.least(
+                F.greatest(F.col("__r") / (6.0 * F.col("__m")), F.lit(-1.0)),
+                F.lit(1.0),
+            )
+            rob = joined.select(
+                *keys, "__j",
+                F.when(F.col("__m") > 0, (1.0 - delta * delta) ** 2)
+                .otherwise(F.lit(1.0))
+                .alias("__rw"),
+            )
+    out = base.join(fitted, [*keys, "__i"]).withColumn(out_col, F.col("__fit"))
+    return out.drop("__i", "__n", "__k", "__lo", "__fit")
+
+
+def rank_components(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    ascending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-(key, value) ranking components for the scalable rank family:
+    ``__mn``/``__mx`` = min/max global 1-based row number among ties and
+    ``__n`` = per-key non-null count.
+
+    Every rank method is algebra over these (min → __mn, max → __mx,
+    average → (__mn+__mx)/2, pct_rank → (__mn-1)/(__n-1)), so ranking
+    becomes: range-partitioned row numbers on a NARROW (keys, value)
+    projection (distributed_rank — parallel across partitions, no
+    single-task per-key sort), a map-combinable groupBy, and one
+    equi-join back on (keys, value). Tie groups are deterministic
+    regardless of intra-tie row-number order, and AQE's skew-join
+    handles a pathologically hot tied value.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    nn = df.select(*keys, value_col).filter(v.isNotNull())
+    if not ascending:
+        # rank descending == rank ascending of the negated value; keep
+        # the original value column for the join-back.
+        nn = nn.withColumn("__negv", -v)
+        rn = distributed_rank(nn, "__negv", keys, out_col="__rn",
+                              num_partitions=num_partitions)
+    else:
+        rn = distributed_rank(nn, value_col, keys, out_col="__rn",
+                              num_partitions=num_partitions)
+    grp = rn.groupBy(*keys, value_col).agg(
+        F.min("__rn").alias("__mn"), F.max("__rn").alias("__mx")
+    )
+    counts = nn.groupBy(*keys).agg(F.count(v).alias("__n"))
+    out = (
+        grp.join(F.broadcast(counts), on=keys)
+        if keys
+        else grp.crossJoin(F.broadcast(counts))
+    )
+    return out

@@ -130,12 +130,17 @@ def normalization(
     out = df
 
     if mode == "pct_rank":
+        # percent_rank == (min_rank - 1) / (n - 1); computed from
+        # per-(key, value) rank components (range-partitioned parallel
+        # row numbers + equi-join back) instead of a one-task-per-key
+        # Window.partitionBy(low-card key).orderBy(value) sort.
+        from .stats import rank_components
+
         for c in value_cols:
-            v = F.col(c)
-            expr = F.percent_rank().over(
-                Window.partitionBy(*keys).orderBy(v.asc_nulls_last())
-            )
-            out = out.withColumn(f"{c}_{mode}", F.when(v.isNotNull(), expr))
+            comps = rank_components(out, c, keys)
+            expr = (F.col("__mn") - 1).cast("double") / (F.col("__n") - 1)
+            comps = comps.select(*keys, c, expr.alias(f"{c}_{mode}"))
+            out = out.join(comps, [*keys, c], "left")
         return out
 
     aggs: list[Column] = []

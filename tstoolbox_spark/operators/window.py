@@ -252,36 +252,72 @@ def rank(
     method ∈ average/min/max/first/dense. 'average' = rank + (ties-1)/2
     (the mean of the tied row numbers); nulls keep null rank
     (pandas na_option='keep').
+
+    Scale shape: ``Window.partitionBy(series_key).orderBy(value)``
+    sorts each key's ENTIRE data in one task — a straggler at 100 TB
+    with low-cardinality keys. Instead each column routes through
+    stats.rank_components (range-partitioned parallel row numbers on a
+    narrow projection + per-(key, value) min/max) and joins the rank
+    expression back on (keys, value); 'first' needs per-row tie order,
+    so it attaches stats.distributed_rank directly with ``ts_col`` as
+    the tiebreak. No per-key single-task sort anywhere.
     """
+    from .stats import distributed_rank, rank_components
+
     if value_cols is None:
         skip = {ts_col, *key_cols}
         value_cols = [c for c in df.columns if c not in skip]
+    if method not in ("average", "min", "max", "first", "dense"):
+        raise ValueError(f"unknown rank method {method!r}")
+    keys = list(key_cols)
     out = df
     for c in value_cols:
         v = F.col(c)
-        order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
-        # Exclude nulls from the ranking domain (pandas keeps them NaN).
-        wv = Window.partitionBy(*key_cols).orderBy(order)
-        wt = Window.partitionBy(*key_cols, c)
-        if method == "min":
-            r = F.rank().over(wv)
-        elif method == "max":
-            r = F.rank().over(wv) + F.count(v).over(wt) - 1
-        elif method == "dense":
-            r = F.dense_rank().over(wv)
-        elif method == "first":
-            r = F.row_number().over(
-                Window.partitionBy(*key_cols).orderBy(order, ts_col)
+        if method == "first":
+            nn = out.filter(v.isNotNull())
+            tiebreak = [ts_col] if ascending else [ts_col]
+            ranked = distributed_rank(
+                nn if ascending else nn.withColumn("__negv", -v),
+                c if ascending else "__negv",
+                keys,
+                tiebreak_cols=tiebreak,
+                out_col="__rnk",
             )
+            r = F.col("__rnk").cast("double")
+            if pct:
+                counts = nn.groupBy(*keys).agg(F.count(v).alias("__n"))
+                ranked = (
+                    ranked.join(F.broadcast(counts), on=keys)
+                    if keys
+                    else ranked.crossJoin(F.broadcast(counts))
+                )
+                r = r / F.col("__n")
+            ranked = ranked.withColumn(f"{c}_rank", r).drop("__rnk", "__n", "__negv")
+            nulls = out.filter(v.isNull()).withColumn(
+                f"{c}_rank", F.lit(None).cast("double")
+            )
+            out = ranked.unionByName(nulls)
+            continue
+        comps = rank_components(out, c, keys, ascending=ascending)
+        if method == "min":
+            r = F.col("__mn").cast("double")
+        elif method == "max":
+            r = F.col("__mx").cast("double")
         elif method == "average":
-            r = F.rank().over(wv) + (F.count(v).over(wt) - 1) / 2.0
-        else:
-            raise ValueError(f"unknown rank method {method!r}")
-        r = F.when(v.isNotNull(), r.cast("double"))
+            r = (F.col("__mn") + F.col("__mx")) / 2.0
+        else:  # dense: rank of the distinct value within the key
+            duniq = comps.select(*keys, c)
+            if not ascending:
+                duniq = duniq.withColumn("__negv", -F.col(c))
+            dense = distributed_rank(
+                duniq, c if ascending else "__negv", keys, out_col="__dr"
+            ).drop("__negv")
+            comps = comps.join(dense, [*keys, c])
+            r = F.col("__dr").cast("double")
         if pct:
-            wk = Window.partitionBy(*key_cols)
-            r = r / F.count(v).over(wk)
-        out = out.withColumn(f"{c}_rank", r)
+            r = r / F.col("__n")
+        comps = comps.select(*keys, c, r.alias(f"{c}_rank"))
+        out = out.join(comps, [*keys, c], "left")
     return out
 
 

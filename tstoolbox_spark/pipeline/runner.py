@@ -31,6 +31,17 @@ from ..timeaxis import with_time_axis
 from . import bucketing, compress, lineage, retention, rollup
 
 
+def _read_compressed(catalog: ParquetSnapshotCatalog, spark: SparkSession) -> DataFrame:
+    """Read the compressed table, backfilling ``enc_bytes`` for
+    snapshots written before that column existed (schema migration:
+    enc_bytes == blob length, so F.length(blob) reconstructs it at the
+    cost of one scan of the legacy snapshot only)."""
+    comp = catalog.read(spark, "compressed")
+    if "enc_bytes" not in comp.columns:
+        comp = comp.withColumn("enc_bytes", F.length("blob").cast("long"))
+    return comp
+
+
 def run_pipeline(
     spark: SparkSession,
     sequences: DataFrame,
@@ -85,7 +96,7 @@ def run_pipeline(
         )
         comp = compress.compress(todo)
         if catalog.exists("compressed") and done is not None:
-            comp = catalog.read(spark, "compressed").unionByName(comp)
+            comp = _read_compressed(catalog, spark).unionByName(comp)
         snap = catalog.write_snapshot(comp, "compressed", compression="uncompressed")
         written = catalog.read(spark, "compressed")
         lin = lineage.lineage_rows(written, "compress", snap, ["source", "bucket", "salt"])
@@ -93,7 +104,7 @@ def run_pipeline(
         metrics["compress_snapshot"] = snap
     mark("compress_write_lineage", tick)
 
-    comp = catalog.read(spark, "compressed")
+    comp = _read_compressed(catalog, spark)
     # int columns only — parquet column pruning keeps the blob payload
     # on disk (F.length(blob) here would re-scan every encoded byte)
     sizes = comp.agg(

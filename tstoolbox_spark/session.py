@@ -21,6 +21,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _parse_gb(mem: str) -> int:
+    """'48g' → 48, '8192m' → 8, unparseable → 0."""
+    m = mem.strip().lower()
+    try:
+        if m.endswith("g"):
+            return int(m[:-1])
+        if m.endswith("m"):
+            return int(m[:-1]) // 1024
+        return int(m) // (1 << 30)
+    except ValueError:
+        return 0
+
+
 def get_spark(
     app_name: str = "tstoolbox_spark",
     parallelism: int | None = None,
@@ -46,6 +59,21 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = parallelism
 
+    # -Xms scaled from the requested heap (a hard-coded 8g floor fails
+    # JVM startup for any driver_memory < 8g: Xms > Xmx); pre-touching
+    # half the heap keeps the ParallelGC young gen from growing in
+    # increments without constraining small test sessions.
+    heap_gb = _parse_gb(driver_memory)
+    xms = f"-Xms{max(heap_gb // 2, 1)}g" if heap_gb else ""
+    # Off-heap Tungsten default: a quarter of physical memory, capped
+    # at 16g (the measured sweet spot on the 128 GiB dev box) — not a
+    # fixed 16g, which would over-commit smaller hosts.
+    try:
+        page_bytes = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        offheap_default = f"{max(min(page_bytes // (4 << 30), 16), 1)}g"
+    except (ValueError, OSError):
+        offheap_default = "2g"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -60,7 +88,7 @@ def get_spark(
         # churn costs ~2x wall on this batch workload (measured on the
         # codec stage: 12.7s → 5.7s at local[8]); parallel full GCs are
         # the right trade for a non-interactive pipeline.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xms8g")
+        .config("spark.driver.extraJavaOptions", f"-XX:+UseParallelGC {xms}".strip())
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # Task threads contend on UnifiedMemoryManager.acquireExecutionMemory
         # (a synchronized notifyAll herd — /proc syscall sampling showed
@@ -72,7 +100,10 @@ def get_spark(
         .config("spark.shuffle.file.buffer", "1m")
         .config("spark.shuffle.unsafe.file.output.buffer", "1m")
         .config("spark.memory.offHeap.enabled", "true")
-        .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "16g"))
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP", offheap_default),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # NOTE: tmpfs (/dev/shm) for spark.local.dir was tried and is a
