@@ -130,3 +130,50 @@ def test_snapshot_catalog_atomicity(spark, tmp_path):
     assert cat.read(spark, "t", snapshot_id=s1).count() == 5  # time travel
     assert cat.expire_snapshots("t", keep_last=1) == 1
     assert cat.read(spark, "t").count() == 10
+
+
+def test_retention_is_metadata_only(spark, seq, tmp_path):
+    """VERDICT r1 §wrong-4: a TTL drop must not rewrite retained data —
+    the new snapshot references the owner's day directories; zero new
+    parquet files are written and expire reclaims only dropped days."""
+    import os
+
+    work = str(tmp_path / "ret_meta")
+    run_pipeline(
+        spark,
+        seq.drop("ts"),
+        work,
+        n_buckets=4,
+        target_rows_per_cell=500,
+        verify=False,
+        now=dt.datetime(2024, 1, 31),
+    )
+    cat = ParquetSnapshotCatalog(work)
+    before = cat.current_snapshot("tier_1m")
+    n_before = cat.read(spark, "tier_1m").count()
+
+    def parquet_files():
+        out = []
+        for base, _, files in os.walk(os.path.join(work, "tier_1m")):
+            out += [os.path.join(base, f) for f in files if f.endswith(".parquet")]
+        return sorted(out)
+
+    files_before = parquet_files()
+    sid = cat.drop_partitions_before(spark, "tier_1m", "day", "2024-01-21")
+    # zero data files written: the snapshot is a manifest entry only
+    assert parquet_files() == files_before
+    snap = cat.current_snapshot("tier_1m")
+    assert snap["id"] == sid and snap["properties"]["metadata_only"]
+    assert all(p.startswith(before["path"]) for p in snap["paths"])
+    kept = cat.read(spark, "tier_1m")
+    days = [str(r["day"]) for r in kept.select("day").distinct().collect()]
+    assert min(days) >= "2024-01-21" and max(days) <= "2024-01-30"
+    assert kept.count() < n_before
+    # expire the owner: referenced days survive, dropped days reclaimed
+    assert cat.expire_snapshots("tier_1m", keep_last=1) == 1
+    assert cat.read(spark, "tier_1m").count() == kept.count()
+    remaining_days = {
+        os.path.basename(p) for p in parquet_files()
+        for p in [os.path.dirname(p)]
+    }
+    assert all(d.split("=")[1] >= "2024-01-21" for d in remaining_days if "=" in d)

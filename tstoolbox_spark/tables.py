@@ -111,6 +111,22 @@ class ParquetSnapshotCatalog:
         if sid is None:
             raise FileNotFoundError(f"table {table!r} has no current snapshot")
         snap = next(s for s in m["snapshots"] if s["id"] == sid)
+        if "paths" in snap:
+            # metadata-only snapshot (retention drop): a list of
+            # partition directories referencing an owner snapshot's
+            # data; basePath recovers the partition column from the
+            # day=... directory names.
+            if not snap["paths"]:
+                # every partition TTL'd away: reproduce the empty result
+                # (with the right schema) from the owner + cutoff filter
+                cutoff = snap["properties"]["retention_cutoff"]
+                col = snap["partition_by"][0]
+                return (
+                    spark.read.parquet(snap["basePath"]).filter(f"{col} >= '{cutoff}'")
+                )
+            return (
+                spark.read.option("basePath", snap["basePath"]).parquet(*snap["paths"])
+            )
         return spark.read.parquet(snap["path"])
 
     def exists(self, table: str) -> bool:
@@ -119,7 +135,13 @@ class ParquetSnapshotCatalog:
     # --------------------------------------------------------- maintenance
     def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
         """Drop all but the newest ``keep_last`` snapshots (metadata +
-        data). Iceberg analog: expire_snapshots."""
+        data). Iceberg analog: expire_snapshots.
+
+        Reference-aware: metadata-only retention snapshots point into
+        an older snapshot's data dir, so an expired owner dir is only
+        removed wholesale when nothing kept references it; otherwise
+        just its UNREFERENCED partition subdirs are reclaimed (this is
+        where TTL-dropped days are physically deleted)."""
         import shutil
 
         m = self._read_manifest(table)
@@ -129,26 +151,79 @@ class ParquetSnapshotCatalog:
         drop, keep = snaps[:-keep_last], snaps[-keep_last:]
         m["snapshots"] = keep
         self._write_manifest(table, m)
+        kept_refs = set()
+        for s in keep:
+            for p in s.get("paths", []) or ([s["path"]] if "path" in s else []):
+                kept_refs.add(os.path.normpath(p))
         for s in drop:
-            shutil.rmtree(s["path"], ignore_errors=True)
+            owned = s.get("path")
+            if owned is None:
+                continue  # metadata-only snapshot: nothing owned
+            owned = os.path.normpath(owned)
+            referenced = any(
+                r == owned or r.startswith(owned + os.sep) for r in kept_refs
+            )
+            if not referenced:
+                shutil.rmtree(owned, ignore_errors=True)
+                continue
+            for entry in os.listdir(owned):
+                sub = os.path.normpath(os.path.join(owned, entry))
+                if "=" in entry and os.path.isdir(sub) and sub not in kept_refs:
+                    shutil.rmtree(sub, ignore_errors=True)
         return len(drop)
 
     def drop_partitions_before(
         self, spark: SparkSession, table: str, partition_col: str, cutoff: str
     ) -> str:
-        """TTL retention: drop whole partitions older than cutoff.
+        """TTL retention: drop whole partitions older than cutoff —
+        METADATA-ONLY (Iceberg analog: DROP PARTITION / DELETE WHERE on
+        partition bounds).
 
-        With day-partitioned tiers this is a *metadata-only* operation:
-        rather than rewriting rows, the new snapshot references the
-        retained data via a filtered read (Iceberg analog: DROP
-        PARTITION / DELETE WHERE on partition bounds). Returns the new
-        snapshot id.
+        The table must be partitioned by ``partition_col`` (tiers are
+        written partitionBy('day'), runner.py). The new snapshot is a
+        manifest entry listing the RETAINED ``day=...`` directories of
+        the current snapshot — no Spark job, no row rewrite; at 100 TB
+        the nightly TTL pass costs one directory listing. Values are
+        compared as their encoded directory strings, which is
+        order-correct for ISO dates. Returns the new snapshot id.
         """
         cur = self.current_snapshot(table)
         if cur is None:
             raise FileNotFoundError(table)
-        df = self.read(spark, table).filter(f"{partition_col} >= '{cutoff}'")
-        return self.write_snapshot(
-            df, table, partition_by=cur["partition_by"] or None,
-            properties={"retention_cutoff": cutoff},
+        part_by = cur.get("partition_by") or []
+        if partition_col not in part_by:
+            raise ValueError(
+                f"{table!r} snapshot is not partitioned by {partition_col!r} "
+                f"(partition_by={part_by}); metadata-only drop needs the "
+                "TTL column to be the partition column"
+            )
+        base = cur.get("basePath", cur.get("path"))
+        if "paths" in cur:
+            candidates = list(cur["paths"])
+        else:
+            candidates = [
+                os.path.join(cur["path"], d)
+                for d in os.listdir(cur["path"])
+                if d.startswith(f"{partition_col}=")
+            ]
+        prefix = f"{partition_col}="
+        retained = [
+            p
+            for p in candidates
+            if os.path.basename(p.rstrip("/"))[len(prefix):] >= cutoff
+        ]
+        snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        manifest = self._read_manifest(table)
+        manifest["snapshots"].append(
+            {
+                "id": snap_id,
+                "ts": time.time(),
+                "paths": sorted(retained),
+                "basePath": base,
+                "partition_by": part_by,
+                "properties": {"retention_cutoff": cutoff, "metadata_only": True},
+            }
         )
+        manifest["current"] = snap_id
+        self._write_manifest(table, manifest)
+        return snap_id

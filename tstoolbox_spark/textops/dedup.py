@@ -85,14 +85,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 2,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs with Jaccard(shingle sets) ≥ threshold.
 
     Inverted-index join: explode distinct shingles, self-join on the
-    shingle, count shared per pair, |A∪B| = |A|+|B|-shared. At corpus
-    scale pass ``max_doc_freq`` to drop stopword-like shingles whose
-    posting lists would quadratically blow up the pair count.
+    shingle, count shared per pair, |A∪B| = |A|+|B|-shared. The
+    posting-list self-join is quadratic in a shingle's document
+    frequency, so stopword-like shingles with df > ``max_doc_freq``
+    are dropped from the index BY DEFAULT (default-on pruning: a hot
+    shingle at df=10⁶ would alone emit 10¹² candidate pairs; capping
+    df bounds each shingle's contribution at max_doc_freq² while
+    near-dup pairs keep sharing plenty of rare shingles). Pass
+    ``max_doc_freq=None`` for the exact unpruned semantics — oracle
+    scale only.
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
     if max_doc_freq is not None:
@@ -186,6 +192,11 @@ def minhash_lsh_dedup(
         .unionByName(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
+    # BOUND: broadcasting cand_docs assumes |candidate doc ids| fits the
+    # broadcast limit (~10^8 ids at 8 B ≈ 1 GB). That holds when the
+    # near-dup rate is a few % of the corpus — the regime LSH targets.
+    # If a corpus is mostly duplicates, drop the broadcast hint and let
+    # AQE choose a shuffle semi-join instead.
     ex_c = ex.join(F.broadcast(cand_docs), "doc", "left_semi")
     sizes = ex_c.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a, b_ = ex_c.alias("a"), ex_c.alias("b")
