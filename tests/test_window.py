@@ -195,3 +195,23 @@ def test_rolling_corr_cov_match_pandas(spark):
     )
     want_cov = pdf["a"].rolling(12).cov(pdf["b"]).to_numpy()
     np.testing.assert_allclose(got_cov, want_cov, rtol=1e-9, equal_nan=True)
+
+
+def test_ewm_pairwise_corr_cov(spark, twocol_pdf):
+    from tstoolbox_spark.operators.window import ewm_pairwise
+
+    sdf = to_sdf(spark, twocol_pdf)
+    out_c = ewm_pairwise(sdf, "a", "b", "corr", span=10).toPandas().sort_values("ts")
+    out_v = ewm_pairwise(sdf, "a", "b", "cov", span=10).toPandas().sort_values("ts")
+    exp_c = twocol_pdf.sort_values("ts")["a"].ewm(span=10).corr(
+        twocol_pdf.sort_values("ts")["b"]
+    )
+    exp_v = twocol_pdf.sort_values("ts")["a"].ewm(span=10).cov(
+        twocol_pdf.sort_values("ts")["b"]
+    )
+    np.testing.assert_allclose(
+        out_c["a_b_ewm_corr"].to_numpy()[1:], exp_c.to_numpy()[1:], rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        out_v["a_b_ewm_cov"].to_numpy()[1:], exp_v.to_numpy()[1:], rtol=1e-12
+    )

@@ -360,3 +360,41 @@ def rolling_corr(
         expr = cov / F.sqrt(var_a * var_b)
     name = f"{col_a}_{col_b}_rolling_{window}_{stat}"
     return df.withColumn(name, F.when(n >= min_periods, expr))
+
+
+def ewm_pairwise(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    stat: str = "corr",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    com: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    alpha: float | None = None,
+    min_periods: int = 0,
+    adjust: bool = True,
+) -> DataFrame:
+    """Exponentially weighted pairwise corr/cov between two columns
+    (ref ewm_window.py:232-238 `ewm().corr()/.cov()` — its alpha_*
+    kwargs never reached pandas, so default-decay semantics are the
+    reference's tested envelope; here the decay kwargs actually work).
+    Sequential recurrence → per-key grouped map like ewm_window."""
+    if stat not in ("corr", "cov"):
+        raise ValueError(f"stat must be corr/cov, got {stat!r}")
+    keys = list(key_cols)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_col = f"{col_a}_{col_b}_ewm_{stat}"
+    schema = f"{schema}, {out_col} double"
+    kw = dict(com=com, span=span, halflife=halflife, alpha=alpha)
+    kw = {k: v for k, v in kw.items() if v is not None}
+
+    def _ewm2(pdf):
+        pdf = pdf.sort_values(ts_col)
+        ew = pdf[col_a].ewm(min_periods=min_periods, adjust=adjust, **kw)
+        pdf[out_col] = getattr(ew, stat)(pdf[col_b])
+        return pdf
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(_ewm2, schema=schema)
