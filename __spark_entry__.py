@@ -553,7 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_rollup", "kendall_click_view", "rolling_cov_12",
         "agg_7day", "pct_change_periods3", "stdtozrxp_format",
         "convert_index_julian", "valley_detection_rel2", "dropna_any",
-        "pick_projection", "fft_lowpass", "gaussian_kde",
+        "pick_projection", "fft_lowpass", "gaussian_kde", "chunk_pack_64",
         # (b) changed implementation or oracle this round
         "tier_cascade_1m_1h", "ewm_mean_span12", "kernel_filter_hanning",
         "accumulate_cumprod", "gof_battery", "rank_average", "fdc_weibull",
@@ -1913,6 +1913,35 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_binary_meta"] = binary_meta
 
+    def q_pack(s, d):
+        """Concat-and-chunk training-sequence packing (textops/packing
+        .py): tokenize documents (word → md5int % 50k), pack the
+        per-source token streams into 64-token examples via the
+        distributed prefix-sum + fragment-regroup plan. Compared by an
+        order-sensitive modular checksum (acc·31 + x mod 1e9+7) so the
+        oracle proves exact token ORDER, not just membership."""
+        from tstoolbox_spark.textops.dedup import md5int, words
+        from tstoolbox_spark.textops.packing import chunk_pack_tokens
+
+        docs = _docs(s, d).select(
+            "source", "doc_id",
+            F.transform(
+                words(F.col("text")),
+                lambda w: (md5int(w) % 50000).cast("int"),
+            ).alias("tokens"),
+        )
+        packed = chunk_pack_tokens(docs, 64, key_cols=["source"])
+        checksum = F.aggregate(
+            F.col("tokens"),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % 1000000007,
+        )
+        return packed.select(
+            "source", "chunk_id", "n_tok", checksum.alias("checksum")
+        )
+
+    q["chunk_pack_64"] = q_pack
+
     # ---- equation compiler + signal verbs -----------------------------
     def q_equation(s, d):
         from tstoolbox_spark.operators.equation import equation as _eq
@@ -2166,6 +2195,40 @@ def _textops_oracles() -> dict[str, str]:
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                md5(text) AS payload_md5
         FROM documents
+    """
+
+    # chunk_pack_64: same tokenization + exclusive prefix sum + global
+    # position → chunk/in-chunk index; the fold checksum equals
+    # Σ t_i · 31^(n-1-i) mod 1e9+7, with the powers embedded as exact
+    # integer literals (all arithmetic stays in BIGINT range).
+    _M = 1_000_000_007
+    _pows = ", ".join(f"({i}, {pow(31, i, _M)})" for i in range(64))
+    o["chunk_pack_64"] = f"""
+        WITH toks AS (
+          SELECT source, doc_id,
+                 list_transform({_WORDS},
+                                w -> CAST({_md5int_sql('w')} % 50000 AS BIGINT))
+                   AS tk
+          FROM documents),
+        offs AS (
+          SELECT source, doc_id, tk,
+                 COALESCE(SUM(len(tk)) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+          FROM toks),
+        pos AS (
+          SELECT o.source, o.off + g.i AS gpos, o.tk[g.i + 1] AS t
+          FROM offs o
+          CROSS JOIN LATERAL (SELECT unnest(range(len(o.tk))) AS i) g),
+        chunks AS (
+          SELECT source, gpos // 64 AS chunk_id, gpos % 64 AS ipos, t,
+                 COUNT(*) OVER (PARTITION BY source, gpos // 64) AS n_tok
+          FROM pos),
+        powers(i, p) AS (VALUES {_pows})
+        SELECT source, chunk_id, CAST(MAX(n_tok) AS INT) AS n_tok,
+               SUM(t * pw.p) % {_M} AS checksum
+        FROM chunks c JOIN powers pw ON pw.i = c.n_tok - 1 - c.ipos
+        GROUP BY source, chunk_id
     """
 
     def _cos(a: str, b: str) -> str:

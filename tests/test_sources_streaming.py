@@ -106,3 +106,59 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         | (F.col("s.n_tok_max") != F.col("b.n_tok_max"))
     )
     assert mismatch.count() == 0
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    """session_window streaming sessions == batch sessionize-based
+    session_stats (same gap) once every session is watermark-closed."""
+    import datetime as dt
+
+    from tstoolbox_spark.operators.joins import session_stats
+    from tstoolbox_spark.streaming import continuous_session_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = base + dt.timedelta(minutes=user)
+        for burst in range(3):
+            for i in range(4):
+                rows.append((t, eid, user, "click", float(user * 10 + i)))
+                eid += 1
+                t += dt.timedelta(minutes=5)  # within the 30m gap
+            t += dt.timedelta(hours=2)  # force a new session
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_id long, user_id long, event_type string, value double"
+    )
+    inp = str(tmp_path / "events_in")
+    out = str(tmp_path / "sessions_out")
+    ck = str(tmp_path / "ck")
+    df.coalesce(2).write.parquet(inp)
+
+    q = continuous_session_stats(spark, inp, out, ck, gap="30 minutes")
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    exp = (
+        session_stats(df, "30 minutes", key_cols=["user_id"], value_col="value")
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    # streaming append emits only watermark-closed sessions; with
+    # availableNow the final watermark passes all but the latest data —
+    # compare the sessions both sides emitted
+    merged = got.merge(
+        exp,
+        left_on=["user_id", "session_start"],
+        right_on=["user_id", "session_start"],
+        how="inner",
+    )
+    assert len(merged) >= 6  # most of the 9 sessions close
+    assert (merged["n_events_x"] == merged["n_events_y"]).all()
+    assert (merged["duration_s_x"] == merged["duration_s_y"]).all()
+    assert (merged["value_sum_x"] == merged["value_sum_y"]).all()
+    assert (merged["session_end_last"] == merged["session_end"]).all()

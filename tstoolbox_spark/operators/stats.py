@@ -668,3 +668,56 @@ def rank_components(
         else grp.crossJoin(F.broadcast(counts))
     )
     return out
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    order_cols: Sequence[str] = (),
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` over rows ordered by
+    ``order_cols`` within each key — the distributed cumsum twin of
+    :func:`distributed_rank` (range partition for a global order,
+    per-partition window sums in parallel, per-partition totals
+    collected at metadata scale and broadcast back as offsets). The
+    input must not have duplicate ``(key, order)`` tuples if a
+    deterministic result is required."""
+    keys = list(key_cols)
+    order = list(order_cols)
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in [*keys, *order]])
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    sums = with_pid.groupBy(*keys, "__pid").agg(
+        F.sum(F.col(value_col)).alias("__s")
+    ).collect()
+    by_key: dict[tuple, list[tuple[int, int]]] = {}
+    for r in sums:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append((r["__pid"], r["__s"]))
+    rows = []
+    for key, lst in by_key.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            rows.append((*key, pid, acc))
+            acc += int(s or 0)
+    spark = df.sparkSession
+    off_schema = ", ".join(
+        [f"{k} {df.schema[k].dataType.simpleString()}" for k in keys]
+        + ["__pid int", "__offset long"]
+    )
+    offsets = spark.createDataFrame(rows, off_schema)
+    local = (
+        Window.partitionBy(*keys, "__pid")
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), [*keys, "__pid"])
+        .withColumn(
+            out_col,
+            F.col("__offset") + F.coalesce(F.sum(F.col(value_col)).over(local), F.lit(0)),
+        )
+        .drop("__pid", "__offset")
+    )

@@ -1,0 +1,95 @@
+"""Training-sequence packing: concat-and-chunk tokenized documents
+into fixed-length examples.
+
+The standard LM data-prep step (concatenate every document's tokens in
+a deterministic order, slice the stream into ``max_len``-token
+training examples) re-expressed for Spark scale:
+
+1. global token offset per doc = distributed EXCLUSIVE prefix sum of
+   token counts over (key, order) — range-partitioned parallel cumsum
+   (stats.distributed_prefix_sum), never a single-task key sort;
+2. each doc explodes into the chunk ids its token span [off, off+n)
+   overlaps (``sequence(floor(off/L), floor((off+n-1)/L))`` — at most
+   n/L + 1 fragments, proportional work);
+3. fragments regroup by (key, chunk_id); ``array_sort`` on the
+   in-chunk offset restores stream order and ``flatten`` emits the
+   packed example.
+
+Everything is built-in column functions — no UDF, no driver data path;
+the two shuffles (range partition, chunk regroup) move each token
+once. A doc larger than max_len simply spans several chunks (no
+truncation loss); every chunk is exactly max_len tokens except each
+key's last.
+
+No reference twin — tstoolbox has no token/packing surface; this is
+part of the training-data extension (task brief), with the ``tokens``
+payload axis of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.stats import distributed_prefix_sum
+
+
+def chunk_pack_tokens(
+    df: DataFrame,
+    max_len: int,
+    tokens_col: str = "tokens",
+    order_col: str = "doc_id",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pack per-doc token arrays into fixed ``max_len`` examples.
+
+    Returns (key_cols..., chunk_id, ``tokens_col`` packed array,
+    n_tok). Deterministic given unique (key, order_col).
+    """
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    keys = list(key_cols)
+    L = F.lit(int(max_len)).cast("long")
+    base = df.select(*keys, order_col, F.col(tokens_col)).withColumn(
+        "__n", F.size(tokens_col).cast("long")
+    )
+    base = distributed_prefix_sum(
+        base, "__n", keys, [order_col], out_col="__off"
+    ).filter(F.col("__n") > 0)
+    off, n = F.col("__off"), F.col("__n")
+    c0 = F.floor(off / L)
+    c1 = F.floor((off + n - 1) / L)
+    frags = base.select(
+        *keys, off, n, F.col(tokens_col),
+        F.explode(F.sequence(c0, c1)).alias("chunk_id"),
+    )
+    k = F.col("chunk_id")
+    gstart = F.greatest(off, k * L)
+    gend = F.least(off + n, (k + 1) * L)
+    frag = F.slice(
+        F.col(tokens_col),
+        (gstart - off + 1).cast("int"),
+        (gend - gstart).cast("int"),
+    )
+    packed = (
+        frags.groupBy(*keys, "chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (gstart - k * L).cast("int").alias("o"),
+                                frag.alias("f"),
+                            )
+                        )
+                    ),
+                    lambda s: s["f"],
+                )
+            ).alias(tokens_col)
+        )
+        .withColumn("n_tok", F.size(tokens_col))
+    )
+    return packed
