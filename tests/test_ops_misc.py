@@ -286,3 +286,22 @@ def test_fdc_scalable_matches_fdc(spark):
     a, b = key(base), key(scal[["event_type", "exceedance", "value"]])
     assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
     assert abs(a["exceedance"].to_numpy() - b["exceedance"].to_numpy()).max() < 1e-12
+
+
+def test_infer_freq_gcd(spark):
+    import datetime as dt
+
+    from tstoolbox_spark.operators.core import infer_freq, regularize
+
+    base = dt.datetime(2024, 1, 1)
+    # 15-minute grid with gaps and unordered input
+    ts = [base + dt.timedelta(minutes=15 * k) for k in [0, 1, 2, 5, 9, 4, 40]]
+    df = spark.createDataFrame([(t, 1.0) for t in ts], "ts timestamp, value double")
+    assert infer_freq(df) == "15T"
+    # freq=None routes regularize through inference
+    out = regularize(df, None)
+    assert out.count() == 41  # 0..40 grid slots
+    # hourly multiples normalize to H-codes
+    ts2 = [base + dt.timedelta(hours=2 * k) for k in (0, 1, 3, 7)]
+    df2 = spark.createDataFrame([(t, 1.0) for t in ts2], "ts timestamp, value double")
+    assert infer_freq(df2) == "2H"

@@ -179,9 +179,65 @@ def dropna(
     return df.na.drop(how=how, subset=list(value_cols) if value_cols else None)
 
 
+def infer_freq(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> str:
+    """Infer the best fixed frequency (asbestfreq's minimum-interval /
+    GCD technique, ref tsutils.py:1349-1473 step 6) WITHOUT sorting:
+    the grid step of a regular-with-gaps series equals
+    gcd(ts_i - min(ts)) over all rows, so one map-side-combinable
+    per-key min, a broadcast join, and a per-Arrow-batch
+    ``np.gcd.reduce`` (one long per batch collected) find it in a
+    single pass at any scale — no per-key sort, no lag window.
+
+    Returns a pandas-style offset string ('3600S' granular forms are
+    normalized to W/D/H/T/S multiples). Raises if the GCD lands below
+    one second (sub-second or irregular data).
+    """
+    import numpy as np
+    import pandas as pd
+    from math import gcd
+
+    keys = list(key_cols)
+    anchors = df.groupBy(*keys).agg(F.min(ts_col).alias("__t0"))
+    joined = (
+        df.join(F.broadcast(anchors), on=keys)
+        if keys
+        else df.crossJoin(F.broadcast(anchors))
+    )
+    diffs = joined.select(
+        (epoch_micros(F.col(ts_col)) - epoch_micros(F.col("__t0"))).alias("d")
+    )
+
+    def _batch_gcd(it):
+        for pdf in it:
+            v = pdf["d"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({"g": [int(np.gcd.reduce(v)) if v.size else 0]})
+
+    parts = diffs.mapInPandas(_batch_gcd, schema="g long").collect()
+    g = 0
+    for r in parts:
+        g = gcd(g, int(r["g"]))
+    if g == 0:
+        raise ValueError("infer_freq: all timestamps identical; no grid to infer")
+    if g % 1_000_000:
+        raise ValueError(
+            f"infer_freq: inferred step {g} microseconds is sub-second/irregular; "
+            "round_index or clean the series first"
+        )
+    secs = g // 1_000_000
+    for unit_secs, code in ((604800, "W"), (86400, "D"), (3600, "H"), (60, "T")):
+        if secs % unit_secs == 0:
+            mult = secs // unit_secs
+            return f"{mult}{code}" if mult != 1 else code
+    return f"{secs}S"
+
+
 def regularize(
     df: DataFrame,
-    freq: str,
+    freq: str | None,
     ts_col: str = "ts",
     key_cols: Sequence[str] = (),
     start: str | None = None,
@@ -199,7 +255,12 @@ def regularize(
     Assumes timestamps are already interval-aligned (run round_index
     first for dirty inputs); off-grid rows would not join and are
     dropped, matching the reference's error-or-clean contract.
+
+    ``freq=None`` infers the grid step first (asbestfreq's GCD
+    technique — see :func:`infer_freq`).
     """
+    if freq is None:
+        freq = infer_freq(df, ts_col, key_cols)
     unit, secs = parse_freq(freq)
     if unit in ("month", "year"):
         raise ValueError("regularize supports fixed-length intervals only")
