@@ -553,11 +553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_rollup", "kendall_click_view", "rolling_cov_12",
         "agg_7day", "pct_change_periods3", "stdtozrxp_format",
         "convert_index_julian", "valley_detection_rel2", "dropna_any",
-        "pick_projection", "fft_lowpass", "gaussian_kde", "chunk_pack_64",
+        "pick_projection", "gaussian_kde", "chunk_pack_64",
+        "gopher_quality_flags", "unigram_logprob",
         # (b) changed implementation or oracle this round
         "tier_cascade_1m_1h", "ewm_mean_span12", "kernel_filter_hanning",
         "accumulate_cumprod", "gof_battery", "rank_average", "fdc_weibull",
-        "spearman_lag1", "dtw_click_view",
+        "spearman_lag1",
         # (c) new this round
         "peak_minmax", "peak_zero_crossing", "fit_lowess", "fdc_norm_ppf",
         "normalization_pct_rank",
@@ -1942,6 +1943,21 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_pack_64"] = q_pack
 
+    def q_gopher(s, d):
+        """Gopher-rule quality flags (public MassiveWeb heuristics) —
+        pure column expressions; booleans cast to int for a
+        representation-stable value hash."""
+        out = _tq.gopher_quality_flags(_docs(s, d))
+        flag_cols = [c for c in out.columns if c.startswith("flag_")] + ["keep"]
+        return out.select(
+            "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+            "alpha_ratio", "stopword_hits",
+            *[F.col(c).cast("int").alias(c) for c in flag_cols],
+        )
+
+    q["gopher_quality_flags"] = q_gopher
+    q["unigram_logprob"] = lambda s, d: _tq.unigram_logprob(_docs(s, d))
+
     # ---- equation compiler + signal verbs -----------------------------
     def q_equation(s, d):
         from tstoolbox_spark.operators.equation import equation as _eq
@@ -2229,6 +2245,55 @@ def _textops_oracles() -> dict[str, str]:
                SUM(t * pw.p) % {_M} AS checksum
         FROM chunks c JOIN powers pw ON pw.i = c.n_tok - 1 - c.ipos
         GROUP BY source, chunk_id
+    """
+
+    # gopher_quality_flags: same rule set; DuckDB regexp_replace needs
+    # the explicit 'g' flag (Spark replaces all matches by default).
+    _gsw = ", ".join(f"'{w}'" for w in _tq.GOPHER_STOPWORDS)
+    o["gopher_quality_flags"] = f"""
+        WITH base AS (
+          SELECT doc_id, text, {_WORDS} AS w FROM documents),
+        feats AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                      AS DOUBLE) / len(w) AS mwl,
+                 (CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+                       AS DOUBLE)
+                  + (length(text)
+                     - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3)
+                   / len(w) AS sym,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                      AS DOUBLE) / len(w) AS alpha,
+                 len(list_distinct(list_filter(w, x -> x IN ({_gsw}))))
+                   AS stop_hits
+          FROM base)
+        SELECT doc_id, n_words,
+               ROUND(mwl, 6) AS mean_word_len,
+               ROUND(sym, 6) AS symbol_ratio,
+               ROUND(alpha, 6) AS alpha_ratio,
+               stop_hits AS stopword_hits,
+               CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS flag_word_count,
+               CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS flag_mean_word_len,
+               CAST(sym <= 0.1 AS INT) AS flag_symbol_ratio,
+               CAST(alpha >= 0.8 AS INT) AS flag_alpha_ratio,
+               CAST(stop_hits >= 2 AS INT) AS flag_stopwords,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND sym <= 0.1 AND alpha >= 0.8
+                    AND stop_hits >= 2 AS INT) AS keep
+        FROM feats
+    """
+
+    o["unigram_logprob"] = f"""
+        WITH ex AS (SELECT doc_id AS doc, unnest({_WORDS}) AS w FROM documents),
+        freq AS (SELECT w, COUNT(*) AS c FROM ex GROUP BY w),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM ex)
+        SELECT doc AS doc_id,
+               ROUND(AVG(LN(c / t)), 6) AS mean_logprob,
+               COUNT(*) AS n_words
+        FROM ex JOIN freq USING (w), tot
+        GROUP BY doc
     """
 
     def _cos(a: str, b: str) -> str:

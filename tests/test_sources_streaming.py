@@ -162,3 +162,24 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
     assert (merged["duration_s_x"] == merged["duration_s_y"]).all()
     assert (merged["value_sum_x"] == merged["value_sum_y"]).all()
     assert (merged["session_end_last"] == merged["session_end"]).all()
+
+
+def test_write_zrxp_format(spark, tmp_path):
+    import datetime as dt
+
+    from tstoolbox_spark.sources import write_zrxp
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2020, 1, 1, 0, 0, 0), 2.0),
+            (dt.datetime(2020, 1, 1, 1, 0, 0), 2.5),
+        ],
+        "ts timestamp, value double",
+    )
+    txt = write_zrxp(df, rexchange="XYZ")
+    assert txt == "#REXCHANGEXYZ|*|\n20200101000000, 2\n20200101010000, 2.5\n"
+    # multi-column input rejected like the reference
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single"):
+        write_zrxp(df.withColumn("v2", df.value))

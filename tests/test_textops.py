@@ -285,3 +285,39 @@ def test_correlation_kendall_matches_pandas(spark):
         sub = pdf[pdf["k"] == k]
         want = tau_b_bruteforce(sub["x"].tolist(), sub["y"].tolist())
         assert abs(out[k] - want) < 1e-12
+
+
+def test_gopher_flags_and_unigram_logprob(spark):
+    import numpy as np
+
+    from tstoolbox_spark.textops.quality import gopher_quality_flags, unigram_logprob
+
+    good = "the quick brown fox likes to be of and that have with " + " ".join(
+        f"word{i} common text body here" for i in range(12)
+    )
+    short = "too short"
+    symbols = "# " * 60 + "the be to of and that have with ten more words here now"
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["flag_word_count"] is False and out[1]["keep"] is False
+    assert out[2]["flag_symbol_ratio"] is False and out[2]["keep"] is False
+
+    lp = {r["doc_id"]: r.asDict() for r in unigram_logprob(df).collect()}
+    ex = [w for t in (good, short, symbols) for w in _norm_words(t)]
+    from collections import Counter
+
+    c = Counter(ex)
+    tot = float(len(ex))
+    exp0 = np.mean([np.log(c[w] / tot) for w in _norm_words(good)])
+    assert abs(lp[0]["mean_logprob"] - round(exp0, 6)) < 2e-6
+
+
+def _norm_words(t):
+    import re
+
+    t = re.sub(r"[^a-z0-9\s]", "", t.lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    return t.split(" ")

@@ -118,3 +118,48 @@ def write_iso_csv(
     writer = out.coalesce(1) if single_file else out
     writer.write.option("header", True).mode("overwrite").csv(path)
     return None
+
+
+def write_zrxp(
+    df: DataFrame,
+    path: str | None = None,
+    value_col: str | None = None,
+    ts_col: str = "ts",
+    rexchange: str | None = None,
+    single_file: bool = False,
+) -> str | None:
+    """stdtozrxp sink (ref stdtozrxp.py:115-123): one ``#REXCHANGE…|*|``
+    header when requested, then one ``YYYYMMDDhhmmss, value`` line per
+    point. Single-series contract enforced like the reference. With
+    ``path=None`` returns the text (driver scale only); with a path,
+    writes a distributed text directory (``single_file=True`` coalesces
+    for tool interop)."""
+    value_cols = [c for c in df.columns if c != ts_col] if value_col is None else [value_col]
+    if len(value_cols) != 1:
+        raise ValueError(
+            f'the "stdtozrxp" sink can only accept a single time-series, '
+            f"instead it is seeing {len(value_cols)}"
+        )
+    line = F.concat(
+        F.date_format(ts_col, "yyyyMMddHHmmss"),
+        F.lit(", "),
+        # %g-style rendering: integral doubles print without the .0,
+        # matching python str() for the reference's print formatting
+        F.when(
+            F.col(value_cols[0]) == F.col(value_cols[0]).cast("long"),
+            F.col(value_cols[0]).cast("long").cast("string"),
+        ).otherwise(F.col(value_cols[0]).cast("string")),
+    ).alias("value")
+    out = df.orderBy(ts_col).select(line)
+    if path is None:
+        body = "\n".join(r["value"] for r in out.collect())
+        head = f"#REXCHANGE{rexchange}|*|\n" if rexchange else ""
+        return head + body + "\n"
+    writer = out.coalesce(1) if single_file else out
+    writer.write.mode("overwrite").text(path)
+    if rexchange:
+        import os
+
+        with open(os.path.join(path, "_HEADER.zrxp"), "w") as f:
+            f.write(f"#REXCHANGE{rexchange}|*|\n")
+    return None

@@ -112,3 +112,75 @@ def fingerprint(
         F.array_max(hashes).alias("fp_max"),
         md5int(normalize_text(F.col(text_col))).alias("content_hash"),
     )
+
+
+#: the Gopher rules' stopword list (Rae et al. 2021 §A1.1 — public)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    the public MassiveWeb filter heuristics), as pure column
+    expressions: word-count bounds, mean-word-length band, symbol/word
+    ratio, alphabetic-word ratio, stopword requirement, plus the
+    composite ``keep``. One narrow pass, no shuffle."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    word_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = word_chars.cast("double") / n_words
+    hash_count = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    ellipsis_count = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (hash_count + ellipsis_count).cast("double") / n_words
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_ratio = alpha_words.cast("double") / n_words
+    stop_hits = F.size(F.array_distinct(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))))
+    flags = {
+        "flag_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "flag_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "flag_symbol_ratio": symbol_ratio <= 0.1,
+        "flag_alpha_ratio": alpha_ratio >= 0.8,
+        "flag_stopwords": stop_hits >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stopword_hits"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-self unigram log-likelihood per document — the classic
+    cheap 'perplexity-ish' quality signal: p(w) = corpus count / total
+    tokens, score = mean ln p(w) over the doc's tokens (repeats
+    counted). Shape: one explode + count shuffle builds the frequency
+    table, one hash join scores every token — both scale linearly; the
+    frequency table join is plain equi-join (vocab-sized, usually
+    broadcastable but left to AQE to decide)."""
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(words(F.col(text_col))).alias("w"))
+    freq = ex.groupBy("w").agg(F.count("*").alias("c"))
+    total = ex.count()
+    scored = ex.join(freq, "w").select(
+        "doc", F.log(F.col("c").cast("double") / F.lit(float(total))).alias("lp")
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.round(F.avg("lp"), 6).alias("mean_logprob"), F.count("*").alias("n_words"))
+        .select(F.col("doc").alias(id_col), "mean_logprob", "n_words")
+    )
