@@ -2150,7 +2150,8 @@ def _textops_oracles() -> dict[str, str]:
                  CAST(len(list_distinct({_WORDS})) AS DOUBLE) / len({_WORDS}) AS distinct_ratio
           FROM documents)
         SELECT doc_id,
-               n_chars, CAST(n_words AS INT) AS n_words,
+               CAST(n_chars AS INTEGER) AS n_chars,
+               CAST(n_words AS INT) AS n_words,
                ROUND(CAST(n_chars - space AS DOUBLE) / n_words, 6) AS mean_word_len,
                ROUND(CAST(alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
                ROUND(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
@@ -2208,7 +2209,7 @@ def _textops_oracles() -> dict[str, str]:
     """
 
     o["multimodal_binary_meta"] = """
-        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                md5(text) AS payload_md5
         FROM documents
     """
@@ -2228,9 +2229,10 @@ def _textops_oracles() -> dict[str, str]:
           FROM documents),
         offs AS (
           SELECT source, doc_id, tk,
-                 COALESCE(SUM(len(tk)) OVER (PARTITION BY source ORDER BY doc_id
+                 CAST(COALESCE(SUM(len(tk)) OVER (PARTITION BY source
+                          ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS off
+                      AS BIGINT) AS off
           FROM toks),
         pos AS (
           SELECT o.source, o.off + g.i AS gpos, o.tk[g.i + 1] AS t
@@ -2242,7 +2244,7 @@ def _textops_oracles() -> dict[str, str]:
           FROM pos),
         powers(i, p) AS (VALUES {_pows})
         SELECT source, chunk_id, CAST(MAX(n_tok) AS INT) AS n_tok,
-               SUM(t * pw.p) % {_M} AS checksum
+               CAST(SUM(t * pw.p) % {_M} AS BIGINT) AS checksum
         FROM chunks c JOIN powers pw ON pw.i = c.n_tok - 1 - c.ipos
         GROUP BY source, chunk_id
     """
@@ -2268,11 +2270,11 @@ def _textops_oracles() -> dict[str, str]:
                  len(list_distinct(list_filter(w, x -> x IN ({_gsw}))))
                    AS stop_hits
           FROM base)
-        SELECT doc_id, n_words,
+        SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
                ROUND(mwl, 6) AS mean_word_len,
                ROUND(sym, 6) AS symbol_ratio,
                ROUND(alpha, 6) AS alpha_ratio,
-               stop_hits AS stopword_hits,
+               CAST(stop_hits AS INTEGER) AS stopword_hits,
                CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS flag_word_count,
                CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS flag_mean_word_len,
                CAST(sym <= 0.1 AS INT) AS flag_symbol_ratio,
