@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "simhash",
     "similarity_topk",
     "quality_score",
+    "chunk_pack_64",
+    "peak_minmax",
+    "fit_lowess",
 ]
 
 
