@@ -118,3 +118,25 @@ def test_rank_family_has_no_single_task_key_sort(spark):
             # i.e. be the per-partition local rank, never a whole-key sort
             if "value" in spec and "windowspecdefinition(event_type" in spec:
                 assert "__pid" in spec, spec
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed x2 on the same key -> sort-merge join with ZERO
+    Exchange (the co-located big-big join the 100 TB plan relies on)."""
+    from tstoolbox_spark.tables import read_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+        a = ev.select("user_id", "event_id", "value")
+        b = ev.select("user_id", F.col("value").alias("v2"))
+        write_bucketed(a, "bj_a", ["user_id"], n_buckets=8, sort_cols=["user_id"])
+        write_bucketed(b, "bj_b", ["user_id"], n_buckets=8, sort_cols=["user_id"])
+        j = read_bucketed(spark, "bj_a").join(read_bucketed(spark, "bj_b"), "user_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")

@@ -227,3 +227,35 @@ class ParquetSnapshotCatalog:
         manifest["current"] = snap_id
         self._write_manifest(table, manifest)
         return snap_id
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a hash-bucketed (optionally sorted) table so later
+    equi-joins and aggregations on ``bucket_cols`` are SHUFFLE-FREE:
+    two tables bucketed the same way sort-merge-join with zero
+    Exchange on either side — at 100 TB that deletes the single most
+    expensive stage of a repeated big-big join (fact x fact co-located
+    on entity id). Iceberg analog: ``bucket(n, col)`` partition
+    transform + storage-partitioned joins.
+
+    Uses Spark's native ``bucketBy``; bucket metadata lives in the
+    session catalog (in-memory here, a real metastore/Iceberg catalog
+    on a cluster — tables.py module docstring documents that mapping).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back (bucket metadata comes from the
+    catalog, so joins on the bucket columns skip the shuffle)."""
+    return spark.table(table)
