@@ -134,3 +134,47 @@ def test_daily_aggregate_matches_pandas_resample(spark, vals):
     np.testing.assert_array_equal(
         out["value_count"].to_numpy(), want_count.to_numpy()
     )
+
+
+@given(values, st.sampled_from(["average", "min", "max", "dense", "first"]),
+       st.booleans(), st.booleans())
+@SET
+def test_rank_matches_pandas(spark, vals, method, ascending, pct):
+    """The distributed rank path (rank_components + join-back) must
+    reproduce pandas .rank for every method under ties, nulls,
+    descending order, and pct."""
+    from tstoolbox_spark.operators.window import rank
+
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=len(vals), freq="h"),
+         "value": pd.array(vals, dtype="float64")}
+    )
+    got = (
+        rank(to_sdf(spark, pdf), method=method, value_cols=["value"],
+             ascending=ascending, pct=pct)
+        .orderBy("ts")
+        .toPandas()["value_rank"]
+    )
+    exp = pdf["value"].rank(method=method, ascending=ascending, pct=pct)
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+@given(st.lists(st.lists(st.integers(0, 999), max_size=30), min_size=1, max_size=40),
+       st.integers(1, 17))
+@SET
+def test_chunk_pack_property(spark, docs, max_len):
+    """Packing invariants on arbitrary corpora: order-exact stream
+    reconstruction, dense chunk ids, fixed sizes except the tail."""
+    from tstoolbox_spark.textops.packing import chunk_pack_tokens
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, tokens array<int>"
+    )
+    p = chunk_pack_tokens(df, max_len).orderBy("chunk_id").toPandas()
+    stream = [t for d in docs for t in d]
+    flat = [t for chunk in p["tokens"] for t in chunk]
+    assert flat == stream
+    assert p["chunk_id"].tolist() == list(range(len(p)))
+    if len(p):
+        assert all(s == max_len for s in p["n_tok"].tolist()[:-1])
+        assert 0 < p["n_tok"].iloc[-1] <= max_len

@@ -312,10 +312,18 @@ def rank(
             dense = distributed_rank(
                 duniq, c if ascending else "__negv", keys, out_col="__dr"
             ).drop("__negv")
+            nd = dense.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nd"))
             comps = comps.join(dense, [*keys, c])
+            comps = (
+                comps.join(F.broadcast(nd), on=keys)
+                if keys
+                else comps.crossJoin(F.broadcast(nd))
+            )
             r = F.col("__dr").cast("double")
         if pct:
-            r = r / F.col("__n")
+            # pandas pct semantics: dense divides by the DISTINCT value
+            # count, every other method by the non-null row count.
+            r = r / (F.col("__nd") if method == "dense" else F.col("__n"))
         comps = comps.select(*keys, c, r.alias(f"{c}_rank"))
         out = out.join(comps, [*keys, c], "left")
     return out
