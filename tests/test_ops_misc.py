@@ -305,3 +305,17 @@ def test_infer_freq_gcd(spark):
     ts2 = [base + dt.timedelta(hours=2 * k) for k in (0, 1, 3, 7)]
     df2 = spark.createDataFrame([(t, 1.0) for t in ts2], "ts timestamp, value double")
     assert infer_freq(df2) == "2H"
+
+
+def test_describe_approximate_mode(spark, twocol_pdf):
+    from tstoolbox_spark.operators.aggregate import describe
+
+    sdf = to_sdf(spark, twocol_pdf)
+    exact = describe(sdf, value_cols=["a"]).toPandas().iloc[0]
+    approx = describe(sdf, value_cols=["a"], exact_quartiles=False).toPandas().iloc[0]
+    assert exact["a_count"] == approx["a_count"]
+    assert exact["a_mean"] == approx["a_mean"]
+    # GK with accuracy=10k on a small series: quartiles land on actual
+    # data values near the exact interpolated ones
+    for q in ("a_25", "a_50", "a_75"):
+        assert abs(exact[q] - approx[q]) <= (exact["a_max"] - exact["a_min"]) * 0.05

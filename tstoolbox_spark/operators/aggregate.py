@@ -143,17 +143,30 @@ def describe(
     value_cols: Sequence[str] | None = None,
     ts_col: str = "ts",
     key_cols: Sequence[str] = (),
+    exact_quartiles: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Summary statistics with EXACT quartiles (pandas df.describe
-    parity; Spark's ``summary()`` uses approximate percentiles which
-    would break the oracle). Ref: functions/describe.py:70-99.
+    """Summary statistics with EXACT quartiles by default (pandas
+    df.describe parity; Spark's ``summary()`` uses approximate
+    percentiles which would break the oracle). Ref:
+    functions/describe.py:70-99.
 
-    One aggregate pass; exact percentile is a full-sort-per-group
-    aggregate, acceptable because describe output is tiny.
+    One aggregate pass; exact percentile buffers each group's values,
+    acceptable for tiered/aggregated inputs. For raw 100 TB inputs pass
+    ``exact_quartiles=False``: quartiles switch to
+    ``approx_percentile`` (Greenwald-Khanna, bounded memory, rank
+    error ≤ 1/``accuracy``) while count/mean/std/min/max stay exact —
+    the scale profile of the same verb, not a different contract.
     """
     if value_cols is None:
         skip = {ts_col, *key_cols}
         value_cols = [c for c in df.columns if c not in skip]
+
+    def pct(v, q):
+        if exact_quartiles:
+            return F.percentile(v, F.lit(q))
+        return F.percentile_approx(v, F.lit(q), F.lit(accuracy))
+
     exprs = []
     for c in value_cols:
         v = F.col(c)
@@ -162,9 +175,9 @@ def describe(
             F.avg(v).alias(f"{c}_mean"),
             F.stddev_samp(v).alias(f"{c}_std"),
             F.min(v).alias(f"{c}_min"),
-            F.percentile(v, F.lit(0.25)).alias(f"{c}_25"),
-            F.percentile(v, F.lit(0.5)).alias(f"{c}_50"),
-            F.percentile(v, F.lit(0.75)).alias(f"{c}_75"),
+            pct(v, 0.25).alias(f"{c}_25"),
+            pct(v, 0.5).alias(f"{c}_50"),
+            pct(v, 0.75).alias(f"{c}_75"),
             F.max(v).alias(f"{c}_max"),
         ]
     return df.groupBy(*key_cols).agg(*exprs)
