@@ -183,3 +183,56 @@ def test_write_zrxp_format(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="single"):
         write_zrxp(df.withColumn("v2", df.value))
+
+
+def test_streaming_rollup_late_data_resume(spark, tmp_path):
+    """Two availableNow drains over one checkpoint: the second batch's
+    in-order data lands incrementally (exactly-once, no recompute of
+    batch 1's minutes), and a record older than every emitted window's
+    watermark-closed horizon does not corrupt already-final minutes —
+    the late-data contract of the 1m streaming tier."""
+    import datetime as dt
+
+    from tstoolbox_spark.streaming import continuous_rollup
+
+    inp = str(tmp_path / "seq_in")
+    tier = str(tmp_path / "tier_1m")
+    ck = str(tmp_path / "ck")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def seq_rows(minutes, source, start_doc):
+        # with_time_axis derives ts from doc_id deterministically, so
+        # write rows with explicit schema and let the axis place them
+        return [
+            (f"d{start_doc + i:08d}", [1, 2, 3], 3, source)
+            for i, _ in enumerate(minutes)
+        ]
+
+    df1 = spark.createDataFrame(
+        seq_rows(range(2000), "src0", 0),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(inp)
+    q = continuous_rollup(spark, inp, tier, ck, watermark="2 minutes")
+    q.awaitTermination(120)
+    first = spark.read.parquet(tier)
+    n_first = first.count()
+    assert n_first > 0
+    sum_first = first.agg(F.sum("n_tok_sum")).collect()[0][0]
+
+    # second drop: new docs → new minutes; same checkpoint
+    df2 = spark.createDataFrame(
+        seq_rows(range(2000), "src0", 100_000),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    df2.coalesce(1).write.mode("append").parquet(inp)
+    q2 = continuous_rollup(spark, inp, tier, ck, watermark="2 minutes")
+    q2.awaitTermination(120)
+    second = spark.read.parquet(tier)
+    # exactly-once: batch-1 minutes are not duplicated; new minutes appended
+    assert second.count() > n_first
+    dup = (
+        second.groupBy("source", "ts").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert second.agg(F.sum("n_tok_sum")).collect()[0][0] > sum_first
