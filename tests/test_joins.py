@@ -111,3 +111,50 @@ def test_sessionize_known_gaps(spark):
     assert stats["n_events"].tolist() == [2, 2, 2]
     assert stats["duration_s"].tolist() == [600, 1200, 1740]
     assert stats["v_sum"].tolist() == [2.0, 2.0, 2.0]
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """ADVICE r1: a matched right row with a NULL payload column must
+    carry that null (pandas merge_asof semantics), not forward-fill
+    from an older right row; and the tolerance check must read the
+    matched row's ts."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tstoolbox_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(t(5), 1), (t(20), 2), (t(40), 3)], "ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [(t(0), 10.0, "a"), (t(15), None, "b"), (t(30), 30.0, None)],
+        "ts timestamp, x double, tag string",
+    )
+    out = (
+        asof_join(left, right, right_cols=["x", "tag"])
+        .orderBy("lid")
+        .toPandas()
+    )
+    # lid=2 matches the t(15) row: x must be the matched row's NULL,
+    # tag the matched row's 'b' — no mixing with the t(0) row
+    assert pd.isna(out.loc[1, "x"]) and out.loc[1, "tag"] == "b"
+    assert out.loc[0, "x"] == 10.0 and out.loc[0, "tag"] == "a"
+    assert out.loc[2, "x"] == 30.0 and pd.isna(out.loc[2, "tag"])
+
+    # tolerance uses the matched row's ts: at lid=3 (t40), the match is
+    # t30 → within 15 minutes; at lid=2 (t20) the match t15 is within;
+    # with a 4-minute tolerance every match is stale → all null
+    tight = (
+        asof_join(left, right, right_cols=["x", "tag"], tolerance="4 minutes")
+        .orderBy("lid")
+        .toPandas()
+    )
+    assert tight["x"].isna().all() and tight["tag"].isna().all()
+
+    # right_cols colliding with left columns are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("x", "lid"), right_cols=["lid"])

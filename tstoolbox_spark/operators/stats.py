@@ -578,7 +578,9 @@ def lowess_fit(
             F.col("__lo") + F.col("__k") - 1 - F.col("__i"),
             F.col("__i") - F.col("__lo"),
         ).cast("double")
-        u = d / maxd
+        # maxd = 0 only for a single-row key (k clamps to n): weight 1
+        # keeps the closed form defined and the fit returns the point.
+        u = F.when(maxd > 0, d / maxd).otherwise(F.lit(0.0))
         w = (1.0 - u * u * u) ** 3
         if rob is not None:
             w = w * F.col("__rw")
