@@ -275,12 +275,11 @@ def rank(
         v = F.col(c)
         if method == "first":
             nn = out.filter(v.isNotNull())
-            tiebreak = [ts_col] if ascending else [ts_col]
             ranked = distributed_rank(
                 nn if ascending else nn.withColumn("__negv", -v),
                 c if ascending else "__negv",
                 keys,
-                tiebreak_cols=tiebreak,
+                tiebreak_cols=[ts_col],  # ties keep input (time) order
                 out_col="__rnk",
             )
             r = F.col("__rnk").cast("double")
