@@ -2024,6 +2024,22 @@ def _shingles_sql(n: int = 2) -> str:
     )
 
 
+_WORDHASH = f"list_transform({_WORDS}, w -> {_md5int_sql('w')} % 2147483647)"
+
+
+def _hashed_shingle_cte(src: str = "documents", id_expr: str = "doc_id") -> str:
+    """CTE body producing (doc, shingle BIGINT) — twin of
+    dedup.hashed_shingles via a bound wh column (md5int(word) % 2³¹−1
+    per word computed once, adjacent hashes combined h1*1000003+h2)."""
+    return (
+        f"SELECT doc, unnest(CASE WHEN len(wh) >= 2 THEN "
+        f"list_distinct(list_transform(range(1, len(wh)), "
+        f"i -> wh[i] * 1000003 + wh[i + 1])) "
+        f"ELSE CAST([] AS BIGINT[]) END) AS shingle "
+        f"FROM (SELECT {id_expr} AS doc, {_WORDHASH} AS wh FROM {src})"
+    )
+
+
 def _textops_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -2034,9 +2050,7 @@ def _textops_oracles() -> dict[str, str]:
     """
 
     jacc_base = f"""
-        WITH ex0 AS (
-          SELECT doc_id AS doc, unnest({_shingles_sql(2)}) AS shingle
-          FROM documents),
+        WITH ex0 AS ({_hashed_shingle_cte()}),
         ex AS (
           SELECT ex0.* FROM ex0
           JOIN (SELECT shingle FROM ex0 GROUP BY shingle
@@ -2078,16 +2092,19 @@ def _textops_oracles() -> dict[str, str]:
         FROM reach GROUP BY doc
     """
 
+    from tstoolbox_spark.textops.dedup import MH_PRIME as _MHP
+    from tstoolbox_spark.textops.dedup import mh_params as _mhp
+
     mins = ",\n               ".join(
-        f"MIN({_md5int_sql(chr(39) + str(i) + '|' + chr(39) + ' || shingle')}) AS mh{i}"
-        for i in range(_MINHASH_K)
+        f"MIN(({a} * h0 + {b}) % {_MHP}) AS mh{i}"
+        for i, (a, b) in enumerate(_mhp(_MINHASH_K))
     )
     o["minhash_signature"] = f"""
-        WITH ex AS (
-          SELECT doc_id, unnest({_shingles_sql(2)}) AS shingle FROM documents)
+        WITH ex AS ({_hashed_shingle_cte()}),
+        h AS (SELECT doc AS doc_id, shingle % {_MHP} AS h0 FROM ex)
         SELECT doc_id,
                {mins}
-        FROM ex GROUP BY doc_id
+        FROM h GROUP BY doc_id
     """
 
     h = _md5int_sql("w")

@@ -45,6 +45,12 @@ def words(col: Column) -> Column:
     return F.split(normalize_text(col), " ")
 
 
+#: Mersenne prime for word hashing + the universal MinHash family
+MH_PRIME = 2147483647
+#: shingle-combine multiplier (small prime: n=2 combines stay < 2^52)
+SHINGLE_K = 1000003
+
+
 def shingles(col: Column, n: int = 2) -> Column:
     """Distinct word n-grams as an array of strings (built-in
     transform/slice — no UDF)."""
@@ -72,11 +78,56 @@ def exact_dedup(
     )
 
 
-def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+def hashed_shingles(col: Column, n: int = 2) -> Column:
+    """Distinct word n-grams as int64 hashes: each word hashed ONCE
+    (md5int mod 2³¹−1), adjacent hashes combined as h₁·K + h₂ — no
+    per-shingle string building, no md5 of concatenated grams, and the
+    downstream inverted-index joins key on longs instead of strings.
+    Combined values stay < 2⁵² (exact in int64 AND in the DuckDB
+    oracle); collision odds for millions of shingles in 2⁵² space are
+    negligible next to the jaccard thresholds involved. n ≤ 2 only —
+    larger n would overflow the no-mod combine; use ``shingles``.
+    """
+    if n > 2:
+        raise ValueError("hashed_shingles supports n <= 2; use shingles(col, n)")
+    w = words(col)
+    wh = F.transform(w, lambda x: md5int(x) % F.lit(MH_PRIME))
+    if n == 1:
+        return F.array_distinct(wh)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda i: F.element_at(wh, i) * F.lit(SHINGLE_K) + F.element_at(wh, i + 1),
     )
+    grams = F.when(F.size(w) >= 2, grams).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(grams)
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    if n > 2:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
+    # Two projection steps so the per-word hash array materializes ONCE
+    # per row: inlining it into the gram lambda would re-evaluate every
+    # word's md5 per element access (O(words²) hashing).
+    wh = F.transform(
+        words(F.col(text_col)), lambda x: md5int(x) % F.lit(MH_PRIME)
+    )
+    base = df.select(F.col(id_col).alias("doc"), wh.alias("__wh"))
+    arr = F.col("__wh")
+    if n == 1:
+        sh = F.array_distinct(arr)
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
+            lambda i: F.element_at(arr, i) * F.lit(SHINGLE_K)
+            + F.element_at(arr, i + 1),
+        )
+        sh = F.when(F.size(arr) >= 2, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    return base.select("doc", F.explode(sh).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -129,16 +180,38 @@ def ngram_jaccard_pairs(
     return out
 
 
+def mh_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for hash_i(x) = (a·x + b) mod p —
+    md5-seeded so every run/cluster/engine derives the same family."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16) % (MH_PRIME - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16) % MH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = MINHASH_K, n: int = 2,
 ) -> DataFrame:
-    """k-permutation MinHash signature columns mh0..mh{k-1}
-    (hash_i(s) = md5int(i || '|' || s); min per doc)."""
+    """k-permutation MinHash signature columns mh0..mh{k-1}.
+
+    Shingles arrive pre-hashed (hashed_shingles: one md5 per WORD),
+    h0 = shingle mod p, and the k permutations are the universal
+    family hash_i = (a_i·h0 + b_i) mod p — integer mul-add-mods
+    instead of k md5-of-concat evaluations per exploded shingle row
+    (the signature stage's hot loop; p = 2³¹−1 keeps every product
+    inside int64 and the formula portable to the SQL oracle).
+    """
     ex = _exploded_shingles(df, text_col, id_col, n)
+    h0 = (F.col("shingle") % F.lit(MH_PRIME)).alias("h0")
+    ex = ex.select("doc", h0)
     aggs = [
-        F.min(md5int(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(k)
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(mh_params(k))
     ]
     return ex.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
 
@@ -167,10 +240,28 @@ def lsh_candidate_pairs(
     )
 
 
+def auto_band_shape(k: int, threshold: float) -> tuple[int, int]:
+    """Pick the (bands, rows) factorization of k whose LSH s-curve
+    midpoint (1/b)^(1/r) sits closest BELOW-or-near the target jaccard
+    threshold — low thresholds need many short bands (recall), high
+    thresholds few long bands (precision); the exact-jaccard verify
+    step removes the false positives either way."""
+    best = None
+    for r in range(1, k + 1):
+        if k % r:
+            continue
+        b = k // r
+        mid = (1.0 / b) ** (1.0 / r) if b > 1 else 0.0
+        score = (abs(mid - threshold), mid > threshold)
+        if best is None or score < best[0]:
+            best = (score, (b, r))
+    return best[1]
+
+
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 2, threshold: float = 0.5, k: int = MINHASH_K,
-    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    bands: int | None = None, rows: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -178,7 +269,12 @@ def minhash_lsh_dedup(
     from LSH (sub-quadratic), and each candidate's true Jaccard is
     computed via the shingle join RESTRICTED to candidate pairs (a
     semi-join keeps the verify stage linear in candidates).
+    ``bands``/``rows`` default to the threshold-matched factorization
+    of k (auto_band_shape) so recall tracks the asked-for jaccard
+    instead of a fixed band geometry.
     """
+    if bands is None or rows is None:
+        bands, rows = auto_band_shape(k, threshold)
     sig = minhash_signature(df, text_col, id_col, k, n)
     cand = lsh_candidate_pairs(sig, id_col, bands, rows).persist()
     ex = _exploded_shingles(df, text_col, id_col, n)
