@@ -435,25 +435,52 @@ def distributed_rank(
 
     ``row_number() over (partition by key order by value)`` sorts each
     key in ONE task — a 20 TB key is a straggler. This ranks in
-    parallel: range-repartition on (key, value, tiebreak) gives a total
-    order across partitions; each partition ranks locally (a window
-    over the (key, partition) pair — parallel across partitions); the
-    global rank adds the count of same-key rows in earlier partitions,
-    a keys×partitions bookkeeping aggregate collected to the driver
-    (metadata scale) and broadcast back.
+    parallel: rows bucket by DETERMINISTIC per-key value-quantile
+    boundaries (percentile_approx over the data, a pure function of
+    the input — unlike ``repartitionByRange``'s runtime sampling, the
+    counts job and the final join derive identical bucket ids without
+    materializing anything); each (key, bucket) ranks locally via a
+    window — parallel across buckets; the global rank adds the count
+    of same-key rows in earlier buckets, a keys×buckets bookkeeping
+    aggregate collected to the driver (metadata scale) and broadcast
+    back. Non-numeric value columns fall back to range partitioning
+    pinned with localCheckpoint.
 
     Ties: deterministic 'first' semantics given tiebreak_cols; include
-    a unique column there for reproducible output.
+    a unique column there for reproducible output. Rows tied on the
+    value always share a bucket, so tie handling is unaffected by
+    bucketing.
     """
+    from pyspark.sql.types import NumericType
+
     keys = list(key_cols)
-    order_cols = [*keys, value_col, *tiebreak_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-    # repartitionByRange samples range boundaries at runtime, so a
-    # re-execution (counts job vs. final join) could assign rows to
-    # different partition ids. localCheckpoint pins the assignment:
-    # both jobs read the same materialized partitions.
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    if isinstance(df.schema[value_col].dataType, NumericType):
+        qs = [i / n_parts for i in range(1, n_parts)]
+        bounds = df.groupBy(*keys).agg(
+            F.percentile_approx(F.col(value_col), qs, 10_000).alias("__bounds")
+        )
+        joined = (
+            df.join(F.broadcast(bounds), on=keys)
+            if keys
+            else df.crossJoin(F.broadcast(bounds))
+        )
+        # bucket id = #boundaries <= v: equal values always land in the
+        # same bucket, and buckets respect value order by construction
+        pid = F.size(
+            F.filter(F.col("__bounds"), lambda b: b <= F.col(value_col))
+        )
+        with_pid = joined.withColumn("__pid", pid).drop("__bounds")
+        # spread the local windows across the cluster on (keys, bucket)
+        with_pid = with_pid.repartition(n_parts, *keys, "__pid")
+    else:
+        order_cols = [*keys, value_col, *tiebreak_cols]
+        ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        # repartitionByRange samples boundaries at runtime → pin the
+        # assignment so both jobs see identical partition ids.
+        with_pid = ranged.withColumn(
+            "__pid", F.spark_partition_id()
+        ).localCheckpoint()
     counts = (
         with_pid.groupBy(*keys, "__pid").count().collect()
     )
