@@ -554,7 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_7day", "pct_change_periods3", "stdtozrxp_format",
         "convert_index_julian", "valley_detection_rel2", "dropna_any",
         "pick_projection", "gaussian_kde", "chunk_pack_64",
-        "gopher_quality_flags", "unigram_logprob",
+        "gopher_quality_flags", "unigram_logprob", "ngram_decontaminate",
         # (b) changed implementation or oracle this round
         "tier_cascade_1m_1h", "ewm_mean_span12", "kernel_filter_hanning",
         "accumulate_cumprod", "gof_battery", "rank_average", "fdc_weibull",
@@ -1958,6 +1958,25 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gopher_quality_flags"] = q_gopher
     q["unigram_logprob"] = lambda s, d: _tq.unigram_logprob(_docs(s, d))
 
+    def q_decontaminate(s, d):
+        """Eval-set decontamination (GPT-3 App. C-style 8-gram overlap;
+        eval = every 50th doc, train = the rest). Eval grams broadcast;
+        the corpus never self-joins."""
+        from tstoolbox_spark.textops.contamination import ngram_contamination
+
+        docs = _docs(s, d)
+        out = ngram_contamination(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=8,
+        )
+        return out.select(
+            "doc_id", "n_grams", "eval_hits",
+            F.col("contaminated").cast("int").alias("contaminated"),
+        )
+
+    q["ngram_decontaminate"] = q_decontaminate
+
     # ---- equation compiler + signal verbs -----------------------------
     def q_equation(s, d):
         from tstoolbox_spark.operators.equation import equation as _eq
@@ -2302,6 +2321,20 @@ def _textops_oracles() -> dict[str, str]:
                     AND sym <= 0.1 AND alpha >= 0.8
                     AND stop_hits >= 2 AS INT) AS keep
         FROM feats
+    """
+
+    o["ngram_decontaminate"] = f"""
+        WITH ev AS (
+          SELECT DISTINCT unnest({_shingles_sql(8)}) AS gram
+          FROM documents WHERE doc_id % 50 = 0),
+        tr AS (
+          SELECT doc_id, unnest({_shingles_sql(8)}) AS gram
+          FROM documents WHERE doc_id % 50 <> 0)
+        SELECT tr.doc_id, COUNT(*) AS n_grams,
+               COUNT(ev.gram) AS eval_hits,
+               CAST(COUNT(ev.gram) >= 1 AS INT) AS contaminated
+        FROM tr LEFT JOIN ev USING (gram)
+        GROUP BY tr.doc_id
     """
 
     o["unigram_logprob"] = f"""

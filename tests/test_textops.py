@@ -321,3 +321,23 @@ def _norm_words(t):
     t = re.sub(r"[^a-z0-9\s]", "", t.lower())
     t = re.sub(r"\s+", " ", t).strip()
     return t.split(" ")
+
+
+def test_ngram_contamination(spark):
+    from tstoolbox_spark.textops.contamination import ngram_contamination
+
+    eval_df = spark.createDataFrame(
+        [(0, "the secret benchmark question about purple elephants dancing at midnight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "clean document with completely unrelated training content here today"),
+            (2, "someone pasted the secret benchmark question about purple elephants "
+                "dancing at midnight into this crawl page"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in ngram_contamination(train, eval_df, n=8).collect()}
+    assert out[1]["eval_hits"] == 0 and out[1]["contaminated"] is False
+    assert out[2]["eval_hits"] >= 1 and out[2]["contaminated"] is True
