@@ -7,14 +7,17 @@ Scale design notes (100 TB corpus):
   (inverted-index join), never an all-pairs product; hot shingles
   (stopword bigrams) are capped by document frequency before the join
   (standard posting-list pruning).
-- MinHash-LSH: k=16 signature / 4 bands × 4 rows; pairs form only
-  within equal band hashes. Signatures + bands are pure column
+- MinHash-LSH: k=16 universal-hash signature over pre-hashed
+  shingles; band shape defaults to the threshold-matched factorization
+  of k (auto_band_shape). Signatures + bands are pure column
   expressions; the band join moves (band_hash, doc_id) pairs only.
 - SimHash: 16-bit majority signature via one explode + one groupBy.
 
 Portable hashing: ``md5int`` = first 15 hex chars of md5 as int64 —
 identical in Spark and ANSI/DuckDB SQL, so every signature here is
-oracle-checkable (xxhash64 would be Spark-only).
+oracle-checkable (xxhash64 would be Spark-only). Shingles are hashed
+per WORD once and combined with integer arithmetic (hashed_shingles),
+so the hot dedup paths never build or hash per-shingle strings.
 """
 
 from __future__ import annotations
