@@ -1891,7 +1891,11 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def near_dup_emb(s, d):
         # 0.4 yields a small non-empty pair set on the driver corpus
         # (max pairwise cosine there is ~0.51) so the check is non-trivial.
-        return _ts.embedding_near_dup_pairs(_emb(s, d), threshold=0.4)
+        # allow_all_pairs: exact O(n²) path, opted into explicitly for the
+        # oracle-scale corpus (the guard refuses it above 10⁴ rows).
+        return _ts.embedding_near_dup_pairs(
+            _emb(s, d), threshold=0.4, allow_all_pairs=True
+        )
 
     q["embedding_near_dup"] = near_dup_emb
 

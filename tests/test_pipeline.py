@@ -177,3 +177,30 @@ def test_retention_is_metadata_only(spark, seq, tmp_path):
         for p in [os.path.dirname(p)]
     }
     assert all(d.split("=")[1] >= "2024-01-21" for d in remaining_days if "=" in d)
+
+
+def test_fully_ttld_snapshot_survives_expire(spark, seq, tmp_path):
+    """ADVICE r2 tables.py:119: a fully-TTL'd metadata-only snapshot
+    (paths == []) reads through the owner basePath + cutoff filter, so
+    expiring the owner must keep the basePath readable (one partition
+    dir spared as a schema anchor) and the read stays correctly empty."""
+    work = str(tmp_path / "ret_all")
+    run_pipeline(
+        spark,
+        seq.drop("ts"),
+        work,
+        n_buckets=4,
+        target_rows_per_cell=500,
+        verify=False,
+        now=dt.datetime(2024, 1, 31),
+    )
+    cat = ParquetSnapshotCatalog(work)
+    cat.drop_partitions_before(spark, "tier_1m", "day", "2099-01-01")
+    snap = cat.current_snapshot("tier_1m")
+    assert snap["paths"] == []
+    assert cat.read(spark, "tier_1m").count() == 0
+    assert cat.expire_snapshots("tier_1m", keep_last=1) == 1
+    # the current snapshot must still be readable after its owner expired
+    out = cat.read(spark, "tier_1m")
+    assert out.count() == 0
+    assert len(out.schema.fields) > 1  # schema recovered from the anchor dir

@@ -130,6 +130,23 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 20) in pairs and (5, 21) in pairs
 
 
+def test_embedding_near_dup_all_pairs_guard(spark):
+    """VERDICT r2 §wrong-1: the exact all-pairs path must refuse inputs
+    beyond the guard size unless explicitly opted into."""
+    import pytest
+
+    base = np.random.RandomState(2).randn(30, 4).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(30), "embedding": list(base)})
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="all-pairs"):
+        similarity.embedding_near_dup_pairs(sdf, all_pairs_limit=10).count()
+    # explicit opt-in still works
+    out = similarity.embedding_near_dup_pairs(
+        sdf, threshold=-1.1, all_pairs_limit=10, allow_all_pairs=True
+    )
+    assert out.count() == 30 * 29 // 2
+
+
 def test_language_id(spark, docs_sdf):
     out = language_out = quality.language_id(docs_sdf).orderBy("doc_id").toPandas()
     pred = dict(zip(out.doc_id, out.lang_pred))

@@ -435,11 +435,12 @@ def distributed_rank(
 
     ``row_number() over (partition by key order by value)`` sorts each
     key in ONE task — a 20 TB key is a straggler. This ranks in
-    parallel: rows bucket by DETERMINISTIC per-key value-quantile
-    boundaries (percentile_approx over the data, a pure function of
-    the input — unlike ``repartitionByRange``'s runtime sampling, the
-    counts job and the final join derive identical bucket ids without
-    materializing anything); each (key, bucket) ranks locally via a
+    parallel: rows bucket by per-key value-quantile boundaries
+    (percentile_approx, computed once and PINNED on the driver as
+    literals — GK summaries merge in shuffle-fetch order, so re-running
+    the agg could disagree; pinning guarantees the counts job and the
+    final join derive identical bucket ids); each (key, bucket) ranks
+    locally via a
     window — parallel across buckets; the global rank adds the count
     of same-key rows in earlier buckets, a keys×buckets bookkeeping
     aggregate collected to the driver (metadata scale) and broadcast
@@ -453,12 +454,33 @@ def distributed_rank(
     """
     from pyspark.sql.types import NumericType
 
+    spark = df.sparkSession
     keys = list(key_cols)
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if isinstance(df.schema[value_col].dataType, NumericType):
         qs = [i / n_parts for i in range(1, n_parts)]
-        bounds = df.groupBy(*keys).agg(
-            F.percentile_approx(F.col(value_col), qs, 10_000).alias("__bounds")
+        # Percentile_approx (Greenwald-Khanna) output depends on the
+        # partial-aggregate merge order, which shuffle fetch timing makes
+        # nondeterministic — so the boundaries are computed ONCE, pinned
+        # on the driver (keys × n_parts doubles: metadata scale), and
+        # rejoined as literals. Every downstream job then derives
+        # identical bucket ids.
+        bound_rows = (
+            df.groupBy(*keys)
+            .agg(F.percentile_approx(F.col(value_col), qs, 10_000).alias("__bounds"))
+            .collect()
+        )
+        b_schema = ", ".join(
+            [f"{k} {df.schema[k].dataType.simpleString()}" for k in keys]
+            + ["__bounds array<double>"]
+        )
+        bounds = spark.createDataFrame(
+            [
+                (*[r[k] for k in keys],
+                 [float(b) for b in (r["__bounds"] or [])])
+                for r in bound_rows
+            ],
+            b_schema,
         )
         joined = (
             df.join(F.broadcast(bounds), on=keys)
@@ -471,8 +493,11 @@ def distributed_rank(
             F.filter(F.col("__bounds"), lambda b: b <= F.col(value_col))
         )
         with_pid = joined.withColumn("__pid", pid).drop("__bounds")
-        # spread the local windows across the cluster on (keys, bucket)
-        with_pid = with_pid.repartition(n_parts, *keys, "__pid")
+        # spread the local windows across the cluster on (keys, bucket);
+        # persist so the counts job and the final ranked output share ONE
+        # materialization of the shuffled frame (recompute-on-eviction
+        # keeps it safe under executor loss, unlike localCheckpoint).
+        with_pid = with_pid.repartition(n_parts, *keys, "__pid").persist()
     else:
         order_cols = [*keys, value_col, *tiebreak_cols]
         ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
@@ -496,7 +521,6 @@ def distributed_rank(
         for pid, cnt in sorted(lst):
             rows.append((*key, pid, acc))
             acc += cnt
-    spark = df.sparkSession
     off_schema = ", ".join(
         [f"{k} {df.schema[k].dataType.simpleString()}" for k in keys]
         + ["__pid int", "__offset long"]
@@ -714,6 +738,8 @@ def distributed_prefix_sum(
     collected at metadata scale and broadcast back as offsets). The
     input must not have duplicate ``(key, order)`` tuples if a
     deterministic result is required."""
+    from pyspark.sql.types import FractionalType
+
     keys = list(key_cols)
     order = list(order_cols)
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -722,19 +748,23 @@ def distributed_prefix_sum(
     sums = with_pid.groupBy(*keys, "__pid").agg(
         F.sum(F.col(value_col)).alias("__s")
     ).collect()
-    by_key: dict[tuple, list[tuple[int, int]]] = {}
+    by_key: dict[tuple, list[tuple[int, float]]] = {}
     for r in sums:
         by_key.setdefault(tuple(r[k] for k in keys), []).append((r["__pid"], r["__s"]))
+    # float/decimal value columns accumulate in Python floats with a
+    # DOUBLE offset; integral columns keep exact long arithmetic
+    # (int(s or 0) on a double sum would silently truncate fractions).
+    fractional = isinstance(df.schema[value_col].dataType, FractionalType)
     rows = []
     for key, lst in by_key.items():
-        acc = 0
+        acc = 0.0 if fractional else 0
         for pid, s in sorted(lst):
             rows.append((*key, pid, acc))
-            acc += int(s or 0)
+            acc += (float(s or 0.0) if fractional else int(s or 0))
     spark = df.sparkSession
     off_schema = ", ".join(
         [f"{k} {df.schema[k].dataType.simpleString()}" for k in keys]
-        + ["__pid int", "__offset long"]
+        + ["__pid int", f"__offset {'double' if fractional else 'long'}"]
     )
     offsets = spark.createDataFrame(rows, off_schema)
     local = (

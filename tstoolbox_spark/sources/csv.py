@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 _SEPS = [",", "\t", ";", "|"]
 
+# hard cap for the path=None inline-text sink modes: beyond this, the
+# caller must use the distributed directory writers.
+_MAX_INLINE_ROWS = 100_000
+
 
 def _sniff_sep(path: str) -> str:
     """Pick the candidate separator with the most splits on the first
@@ -113,7 +117,16 @@ def write_iso_csv(
     ]
     out = df.select(*cols).orderBy("Datetime")
     if path is None:
-        pdf = out.toPandas()
+        # inline-text mode funnels through the driver by design (fixture
+        # exports, doctest parity) — bound it so a tier table pointed
+        # here fails fast instead of OOMing the driver.
+        pdf = out.limit(_MAX_INLINE_ROWS + 1).toPandas()
+        if len(pdf) > _MAX_INLINE_ROWS:
+            raise ValueError(
+                f"write_iso_csv(path=None) is a driver-side text export "
+                f"capped at {_MAX_INLINE_ROWS} rows; pass a path for a "
+                "distributed CSV write"
+            )
         return pdf.to_csv(index=False, float_format="%g")
     writer = out.coalesce(1) if single_file else out
     writer.write.option("header", True).mode("overwrite").csv(path)
@@ -152,7 +165,14 @@ def write_zrxp(
     ).alias("value")
     out = df.orderBy(ts_col).select(line)
     if path is None:
-        body = "\n".join(r["value"] for r in out.collect())
+        rows = out.limit(_MAX_INLINE_ROWS + 1).collect()
+        if len(rows) > _MAX_INLINE_ROWS:
+            raise ValueError(
+                f"write_zrxp(path=None) is a driver-side text export "
+                f"capped at {_MAX_INLINE_ROWS} rows; pass a path for a "
+                "distributed text write"
+            )
+        body = "\n".join(r["value"] for r in rows)
         head = f"#REXCHANGE{rexchange}|*|\n" if rexchange else ""
         return head + body + "\n"
     writer = out.coalesce(1) if single_file else out

@@ -152,9 +152,19 @@ class ParquetSnapshotCatalog:
         m["snapshots"] = keep
         self._write_manifest(table, m)
         kept_refs = set()
+        schema_anchors = set()
         for s in keep:
             for p in s.get("paths", []) or ([s["path"]] if "path" in s else []):
                 kept_refs.add(os.path.normpath(p))
+            if "paths" in s and not s["paths"]:
+                # fully-TTL'd metadata-only snapshot: read() still opens
+                # the owner basePath (+ cutoff filter) for schema
+                # recovery — keep the owner dir and spare ONE partition
+                # subdir as a schema anchor (all its rows predate the
+                # cutoff, so the filtered read stays correctly empty).
+                owner = os.path.normpath(s["basePath"])
+                kept_refs.add(owner)
+                schema_anchors.add(owner)
         for s in drop:
             owned = s.get("path")
             if owned is None:
@@ -166,9 +176,19 @@ class ParquetSnapshotCatalog:
             if not referenced:
                 shutil.rmtree(owned, ignore_errors=True)
                 continue
-            for entry in os.listdir(owned):
+            part_dirs = sorted(
+                e for e in os.listdir(owned)
+                if "=" in e and os.path.isdir(os.path.join(owned, e))
+            )
+            spared = (
+                {os.path.normpath(os.path.join(owned, part_dirs[-1]))}
+                if owned in schema_anchors and part_dirs
+                and not any(r.startswith(owned + os.sep) for r in kept_refs)
+                else set()
+            )
+            for entry in part_dirs:
                 sub = os.path.normpath(os.path.join(owned, entry))
-                if "=" in entry and os.path.isdir(sub) and sub not in kept_refs:
+                if sub not in kept_refs and sub not in spared:
                     shutil.rmtree(sub, ignore_errors=True)
         return len(drop)
 

@@ -254,7 +254,11 @@ def auto_band_shape(k: int, threshold: float) -> tuple[int, int]:
         if k % r:
             continue
         b = k // r
-        mid = (1.0 / b) ** (1.0 / r) if b > 1 else 0.0
+        # (1/b)^(1/r) is the s-curve midpoint for every b, including
+        # b == 1 where it evaluates to 1.0 (a single band of r rows
+        # requires ALL r minhashes to agree — only right near the top
+        # of the threshold range).
+        mid = (1.0 / b) ** (1.0 / r)
         score = (abs(mid - threshold), mid > threshold)
         if best is None or score < best[0]:
             best = (score, (b, r))

@@ -97,12 +97,16 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    allow_all_pairs: bool = False,
+    all_pairs_limit: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
     With ``centroids`` the join is blocked by IVF cell (near-dups land
-    in the same cell with high probability); without, an all-pairs
-    join — only for oracle-scale data.
+    in the same cell with high probability). Without centroids the
+    exact path is an O(n²) all-pairs join — it REFUSES above
+    ``all_pairs_limit`` rows unless ``allow_all_pairs=True``; at scale
+    use ``train_centroids`` + this, or ``embedding_lsh_near_dup``.
     """
     left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -115,6 +119,15 @@ def embedding_near_dup_pairs(
         ).select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell")
         pairs = left.join(right, "cell")
     else:
+        if not allow_all_pairs:
+            n = df.limit(all_pairs_limit + 1).count()
+            if n > all_pairs_limit:
+                raise ValueError(
+                    f"embedding_near_dup_pairs without centroids is an "
+                    f"all-pairs crossJoin — input exceeds {all_pairs_limit} "
+                    "rows; pass centroids (train_centroids) / use "
+                    "embedding_lsh_near_dup, or set allow_all_pairs=True"
+                )
         pairs = left.crossJoin(right)
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
