@@ -777,6 +777,13 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
     q["ewm_mean_span12"] = q_ewm
 
     def q_dtw(s, d):
+        """DTW (Sakoe-Chiba w=24) between the click/view hourly-mean
+        series (ref dtw.py:50-53). Oracle: the same DP as a DuckDB
+        recursive CTE over ANTI-DIAGONALS — cells of diagonal d depend
+        only on diagonals d-1/d-2, so one recursion step carries one
+        diagonal as a DOUBLE[] list (no intra-step dependency); both
+        engines run the identical IEEE add/abs/min sequence, ROUND(6)
+        for the final scalar."""
         from tstoolbox_spark.operators.signal import dtw_distance
 
         ev = _events(s, d)
@@ -787,9 +794,10 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
             .pivot("event_type", ["click", "view"])
             .agg((_dsum("value") / F.count("value")))
         )
-        return dtw_distance(wide, "click", "view", window=24)
+        out = dtw_distance(wide, "click", "view", window=24)
+        return out.select(F.round("dtw", 6).alias("dtw"))
 
-    q["dtw_click_view"] = q_dtw  # O(M·N) DP → rows-only
+    q["dtw_click_view"] = q_dtw
 
     def q_kernel(s, d):
         from tstoolbox_spark.operators.signal import kernel_filter
@@ -1781,6 +1789,85 @@ def _verb_oracles_round2() -> dict[str, str]:
         FROM r
     """
 
+    # DTW Sakoe-Chiba DP (ref dtw.py:50-53) over anti-diagonals: cells
+    # of diagonal d need only diagonals d-1 (left/up) and d-2 (diag), so
+    # each recursion step materializes ONE diagonal as a DOUBLE[] list —
+    # no intra-step dependency, m+n iterations, ≤2w+1 cells each. Band
+    # bounds per diagonal: i ∈ [max(1, d−n, ⌈(d−w)/2⌉), min(m, d−1,
+    # ⌊(d+w)/2⌋)]. Seed carries diag 1 (empty — its cells touch the
+    # inf boundary) and diag 0 ([0.0] at i=0, cell (0,0)); out-of-band
+    # lookups return 1e308 (never beats a reachable path).
+    _dtw_series = lambda et: f"""
+          SELECT date_trunc('hour', ts) AS h,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x
+          FROM events WHERE event_type = '{et}' GROUP BY 1
+    """
+    o["dtw_click_view"] = f"""
+        WITH RECURSIVE
+        sa AS ({_dtw_series("click")}),
+        sb AS ({_dtw_series("view")}),
+        av AS (SELECT list(x ORDER BY h) AS a FROM sa),
+        bv AS (SELECT list(x ORDER BY h) AS b FROM sb),
+        dims AS (
+          SELECT a, b, len(a) AS m, len(b) AS n,
+                 greatest(24, abs(len(a) - len(b))) AS w
+          FROM av, bv),
+        dp AS (
+          SELECT 1 AS d, CAST([] AS DOUBLE[]) AS cur, [0e0] AS prev,
+                 1 AS cur_ilo, 0 AS prev_ilo
+          UNION ALL
+          SELECT d + 1,
+            list_transform(
+              range(greatest(1, d + 1 - n, CAST(ceil((d + 1 - w) / 2.0) AS INT)),
+                    least(m, d, CAST(floor((d + 1 + w) / 2.0) AS INT)) + 1),
+              i -> abs(a[i] - b[d + 1 - i]) + least(
+                CASE WHEN i - 1 >= cur_ilo AND i - 1 < cur_ilo + len(cur)
+                     THEN cur[CAST(i - cur_ilo AS INT)] ELSE 1e308 END,
+                CASE WHEN i >= cur_ilo AND i < cur_ilo + len(cur)
+                     THEN cur[CAST(i - cur_ilo + 1 AS INT)] ELSE 1e308 END,
+                CASE WHEN i - 1 >= prev_ilo AND i - 1 < prev_ilo + len(prev)
+                     THEN prev[CAST(i - prev_ilo AS INT)] ELSE 1e308 END)),
+            cur,
+            greatest(1, d + 1 - n, CAST(ceil((d + 1 - w) / 2.0) AS INT)),
+            cur_ilo
+          FROM dp, dims WHERE d < m + n)
+        SELECT ROUND(cur[1], 6) AS dtw FROM dp, dims WHERE d = m + n
+    """
+
+    # rFFT low-pass (ref filter.py:363-370) as the explicit masked
+    # inverse DFT: coefficients Re_k/Im_k by direct sum, reconstruction
+    # weight 1 for DC/Nyquist else 2 — irfft(spec·mask) without the
+    # butterfly. The 0-based row index t doubles as the bin index k
+    # (range() can't be lateral-joined in DuckDB 1.0).
+    _fft_hourly = f"""
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) - 1 AS t,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events GROUP BY 1, 2
+    """
+    o["fft_lowpass"] = f"""
+        WITH h AS ({_fft_hourly}),
+        ks AS (
+          SELECT event_type, t AS k, n FROM h
+          WHERE t * 2 <= n AND CAST(t AS DOUBLE) / n <= 1e0 / 12e0),
+        coef AS (
+          SELECT h.event_type, ks.k,
+                 SUM(h.x * cos(2 * pi() * ks.k * h.t / h.n)) AS re,
+                 SUM(-h.x * sin(2 * pi() * ks.k * h.t / h.n)) AS im
+          FROM h JOIN ks ON h.event_type = ks.event_type
+          GROUP BY 1, 2)
+        SELECT h.event_type, h.ts,
+               ROUND(SUM(
+                 (CASE WHEN c.k = 0 OR c.k * 2 = h.n THEN 1 ELSE 2 END) *
+                 (c.re * cos(2 * pi() * c.k * h.t / h.n)
+                  - c.im * sin(2 * pi() * c.k * h.t / h.n))
+               ) / h.n, 5) AS value_mean_fft
+        FROM h JOIN coef c ON h.event_type = c.event_type
+        GROUP BY h.event_type, h.ts, h.t, h.n
+    """
+
     # hanning(9) reflect-pad convolution: offset join over rn with the
     # reference's reflect rule (t<0 → -t; t>n-1 → 2n-2-t) and the
     # exact normalized weights numpy computed (repr = bitwise round-trip).
@@ -1995,14 +2082,24 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["equation_expr"] = q_equation
 
     def q_fft(s, d):
+        """rFFT low-pass, cutoff period 12 h (ref filter.py:363-370).
+        Oracle: the masked inverse DFT evaluated as an explicit double
+        sum — y_t = Σ_kept w_k (Re_k cos(2πkt/n) − Im_k sin(2πkt/n))/n
+        with w_k = 1 for DC/Nyquist else 2, which is exactly what
+        irfft(spec·mask) computes minus the butterfly ordering; the
+        bin cutoff k/n ≤ 1/12 is the same IEEE comparison both sides.
+        ROUND(5) absorbs the summation-order difference (~1e-11)."""
         from tstoolbox_spark.operators.signal import fft_filter
 
         hourly = _q_agg_hourly(_events(s, d)).select("event_type", "ts", "value_mean")
-        return fft_filter(
+        out = fft_filter(
             hourly, cutoff_period=12, value_cols=["value_mean"], key_cols=["event_type"]
         )
+        return out.select(
+            "event_type", "ts", F.round("value_mean_fft", 5).alias("value_mean_fft")
+        )
 
-    q["fft_lowpass"] = q_fft  # whole-series FFT → rows-only check
+    q["fft_lowpass"] = q_fft
 
     def q_kde(s, d):
         """Scott-rule Gaussian KDE on a 50-point grid. Oracle: the
