@@ -2119,6 +2119,64 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["gaussian_kde"] = q_kde
+
+    def q_substring(s, d):
+        """Exact-substring dedup metrics (Lee et al. 2022 ExactSubstr,
+        public methodology), k=8 word windows: per doc the duplicated
+        window count, EXACT merged duplicated-token coverage (interval
+        union), longest duplicated run, and the drop flag. Oracle: the
+        same explode + occurrence-count + running-max interval merge
+        in DuckDB; md5 span hashes are portable. Shape: explode +
+        groupBy + equi-join + per-doc windows — no self-join."""
+        from tstoolbox_spark.textops.substring import substring_dedup
+
+        out = substring_dedup(_docs(s, d), k=8, drop_threshold=0.5)
+        return out.select(
+            "doc_id", "n_words", "n_spans", "dup_spans", "dup_tokens",
+            "max_dup_run", "dup_token_ratio",
+            F.col("flag_exact_substring").cast("int").alias("flag_exact_substring"),
+        )
+
+    q["substring_dedup"] = q_substring
+
+    def q_pii(s, d):
+        """PII detection + redaction (C4/Dolma-style regex scrubbers).
+        The synthetic corpus is PII-free, so every doc_id % 3 == 0 row
+        gets a deterministic email + IPv4 + phone appended (mirrored
+        verbatim in the oracle); counts and the md5 of the redacted
+        text are compared. Pure column expressions, zero shuffle."""
+        from tstoolbox_spark.textops.dedup import md5int
+        from tstoolbox_spark.textops.pii import pii_flags, redact_pii
+
+        docs = _docs(s, d)
+        injected = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact u"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com from 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0.7 tel +1 (555) 010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        flags = pii_flags(injected)
+        red = redact_pii(injected).select(
+            "doc_id", md5int(F.col("text")).alias("redacted_hash")
+        )
+        return (
+            flags.join(red, "doc_id")
+            .select(
+                "doc_id", "n_email", "n_ipv4", "n_phone",
+                F.col("has_pii").cast("int").alias("has_pii"),
+                "redacted_hash",
+            )
+        )
+
+    q["pii_flags"] = q_pii
     return q
 
 
@@ -2515,6 +2573,94 @@ def _textops_oracles() -> dict[str, str]:
         JOIN e ea ON ea.vec_id = c.id_a
         JOIN e eb ON eb.vec_id = c.id_b
         WHERE {_cos('ea.v', 'eb.v')} >= 0.4 - 5e-7
+    """
+
+    # substring_dedup (k=8): positional window spans -> occurrence
+    # count >= 2 -> running-max interval merge per doc. SUM() outputs
+    # are HUGEINT in DuckDB -> cast back to BIGINT; len() is BIGINT ->
+    # cast to INT to match Spark's size().
+    _k = 8
+    _span_md5 = _md5int_sql(f"array_to_string(list_slice(w, i, i + {_k} - 1), ' ')")
+    o["substring_dedup"] = f"""
+        WITH wt AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        sp0 AS (
+          SELECT doc_id, len(w) AS n_words,
+                 CASE WHEN len(w) >= {_k} THEN
+                   list_transform(range(1, len(w) - {_k} + 2),
+                     i -> struct_pack(pos := i, span := {_span_md5}))
+                 ELSE CAST([] AS STRUCT(pos BIGINT, span BIGINT)[]) END AS sl
+          FROM wt),
+        sp AS (
+          SELECT doc_id, n_words, u.pos AS pos, u.span AS span
+          FROM (SELECT doc_id, n_words, unnest(sl) AS u FROM sp0)),
+        dup AS (SELECT span, 1 AS hit FROM sp GROUP BY span HAVING COUNT(*) >= 2),
+        counts AS (
+          SELECT sp.doc_id, COUNT(*) AS n_spans,
+                 CAST(COUNT(dup.hit) AS BIGINT) AS dup_spans
+          FROM sp LEFT JOIN dup ON sp.span = dup.span GROUP BY sp.doc_id),
+        d AS (SELECT sp.doc_id, pos FROM sp JOIN dup ON sp.span = dup.span),
+        b AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > COALESCE(MAX(pos + {_k} - 1) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) + 1 THEN 1 ELSE 0 END AS brk
+          FROM d),
+        i AS (SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM b),
+        isl AS (SELECT doc_id, island,
+                       MAX(pos + {_k} - 1) - MIN(pos) + 1 AS run_tokens
+                FROM i GROUP BY 1, 2),
+        cov AS (SELECT doc_id, CAST(SUM(run_tokens) AS BIGINT) AS dup_tokens,
+                       CAST(MAX(run_tokens) AS BIGINT) AS max_dup_run
+                FROM isl GROUP BY 1)
+        SELECT dx.doc_id,
+               CAST(len({_WORDS}) AS INT) AS n_words,
+               COALESCE(c.n_spans, 0) AS n_spans,
+               COALESCE(c.dup_spans, 0) AS dup_spans,
+               COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+               COALESCE(cov.max_dup_run, 0) AS max_dup_run,
+               ROUND(CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE)
+                     / greatest(len({_WORDS}), 1), 6) AS dup_token_ratio,
+               CAST(CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE)
+                    / greatest(len({_WORDS}), 1) >= 0.5 AS INT)
+                 AS flag_exact_substring
+        FROM documents dx
+        LEFT JOIN counts c ON c.doc_id = dx.doc_id
+        LEFT JOIN cov ON cov.doc_id = dx.doc_id
+    """
+
+    # pii_flags: identical injection expression, RE2-safe regexes
+    # shared with Spark (no lookaround/backrefs), counts cast to INT
+    # to match size(); redaction order email -> ipv4 -> phone is part
+    # of the op contract.
+    from tstoolbox_spark.textops.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    _inj = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact u' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com from 10.' || "
+        "CAST(doc_id % 200 AS VARCHAR) || '.0.7 tel +1 (555) 010-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE text END"
+    )
+    _red = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{IPV4_RE}', '<IPV4>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+    o["pii_flags"] = f"""
+        WITH inj AS (SELECT doc_id, {_inj} AS t FROM documents),
+        cnt AS (
+          SELECT doc_id, t,
+                 CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_email,
+                 CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INT) AS n_ipv4,
+                 CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INT) AS n_phone
+          FROM inj)
+        SELECT doc_id, n_email, n_ipv4, n_phone,
+               CAST(n_email > 0 OR n_ipv4 > 0 OR n_phone > 0 AS INT) AS has_pii,
+               {_md5int_sql(_red)} AS redacted_hash
+        FROM cnt
     """
     return o
 
