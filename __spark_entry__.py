@@ -2768,6 +2768,35 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         return out.select("event_id", "event_type", "value_pct_rank")
 
     q["normalization_pct_rank"] = q_pct_rank
+
+    def q_ewm_corr(s, d):
+        """ewm pairwise corr span=12 adjust=True between the click and
+        view hourly means on their common hourly grid (ref
+        ewm_window.py:232-238). Oracle: the weighted-sums recurrence
+        S*_t = f(x_t) + (1-α)·S*_{t-1} over (1, x, y, x², y², xy) as a
+        recursive CTE; corr = (S1·Sxy − Sx·Sy) /
+        √((S1·Sxx − Sx²)(S1·Syy − Sy²)) — algebraically identical to
+        pandas' online ewmcov with the bias terms cancelling; ROUND(6)
+        absorbs the ~1e-12 association difference. First row is 0/0 →
+        NaN in both engines."""
+        from tstoolbox_spark.operators.window import ewm_pairwise
+
+        ev = _events(s, d)
+        wide = (
+            ev.filter(F.col("event_type").isin("click", "view"))
+            .withColumn("h", F.date_trunc("hour", "ts"))
+            .groupBy("h")
+            .pivot("event_type", ["click", "view"])
+            .agg((_dsum("value") / F.count("value")))
+            .filter(F.col("click").isNotNull() & F.col("view").isNotNull())
+        )
+        out = ewm_pairwise(wide, "click", "view", stat="corr", ts_col="h", span=12)
+        return out.select(
+            F.col("h").alias("ts"),
+            F.round("click_view_ewm_corr", 6).alias("ewm_corr"),
+        )
+
+    q["ewm_corr_span12"] = q_ewm_corr
     return q
 
 
@@ -2992,5 +3021,47 @@ def _verb_oracles_round3() -> dict[str, str]:
                  percent_rank() OVER (PARTITION BY event_type
                                       ORDER BY value ASC) AS value_pct_rank
           FROM events WHERE value IS NOT NULL) r USING (event_id)
+    """
+
+    # ewm pairwise corr span=12 adjust=True: the six weighted-sum
+    # recurrences stepped together (α = 2/13; 1e0 literals — DuckDB's
+    # 1.0 is DECIMAL and would poison the recursive-union types). The
+    # joint hourly grid keeps only hours where BOTH series observed
+    # (mirrors the Spark-side dropna on the pivot).
+    _B = "(1e0 - 2e0 / 13e0)"
+    o["ewm_corr_span12"] = f"""
+        WITH RECURSIVE h AS (
+          SELECT * FROM (
+            SELECT date_trunc('hour', ts) AS ts,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS {DECS}) END) AS DOUBLE)
+                     / COUNT(CASE WHEN event_type = 'click' THEN value END) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(value AS {DECS}) END) AS DOUBLE)
+                     / COUNT(CASE WHEN event_type = 'view' THEN value END) AS y
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY 1
+            HAVING COUNT(CASE WHEN event_type = 'click' THEN value END) > 0
+               AND COUNT(CASE WHEN event_type = 'view' THEN value END) > 0)
+          ),
+        hr AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn FROM h),
+        r AS (
+          SELECT rn, ts, 1e0 AS s1, x AS sx, y AS sy,
+                 x * x AS sxx, y * y AS syy, x * y AS sxy
+          FROM hr WHERE rn = 1
+          UNION ALL
+          SELECT hr.rn, hr.ts,
+                 1e0 + {_B} * r.s1,
+                 hr.x + {_B} * r.sx,
+                 hr.y + {_B} * r.sy,
+                 hr.x * hr.x + {_B} * r.sxx,
+                 hr.y * hr.y + {_B} * r.syy,
+                 hr.x * hr.y + {_B} * r.sxy
+          FROM hr JOIN r ON hr.rn = r.rn + 1)
+        SELECT ts,
+               ROUND((s1 * sxy - sx * sy)
+                     / sqrt((s1 * sxx - sx * sx) * (s1 * syy - sy * sy)),
+                     6) AS ewm_corr
+        FROM r
     """
     return o

@@ -236,3 +236,65 @@ def test_streaming_rollup_late_data_resume(spark, tmp_path):
     )
     assert dup == 0
     assert second.agg(F.sum("n_tok_sum")).collect()[0][0] > sum_first
+
+@pytest.mark.slow
+def test_streaming_cascade_matches_batch(spark, tmp_path):
+    """1h tier materialized FROM the streaming 1m tier: every emitted
+    hourly bucket equals the batch rollup_cascade of the full 1m
+    table bit-for-bit, and a kill-resume (second drain on the same
+    checkpoints end-to-end) stays exactly-once in BOTH tiers."""
+    from tstoolbox_spark.pipeline.rollup import rollup_cascade
+    from tstoolbox_spark.streaming import continuous_cascade
+
+    seq = generate_sequences(spark, 20_000)
+    in_dir = str(tmp_path / "stream_in")
+    t1m, t1h = str(tmp_path / "tier_1m"), str(tmp_path / "tier_1h")
+    ck1, ck2 = str(tmp_path / "ck_1m"), str(tmp_path / "ck_1h")
+
+    with_ts = with_time_axis(seq)
+    cutoff = with_ts.agg(F.percentile_approx("ts", 0.8)).collect()[0][0]
+    early = with_ts.filter(F.col("ts") <= F.lit(cutoff)).drop("ts")
+    late = with_ts.filter(F.col("ts") > F.lit(cutoff)).drop("ts")
+
+    # stage 1 drain: early data through 1m then 1h
+    early.write.mode("overwrite").parquet(in_dir)
+    continuous_rollup(spark, in_dir, t1m, ck1).awaitTermination(120)
+    continuous_cascade(
+        spark, t1m, t1h, ck2, tier="1h", watermark="1 minute"
+    ).awaitTermination(120)
+    n_hours_first = spark.read.parquet(t1h).count()
+    assert n_hours_first > 0
+
+    # kill-resume: append late data, re-drain the SAME checkpoints
+    late.write.mode("append").parquet(in_dir)
+    continuous_rollup(spark, in_dir, t1m, ck1).awaitTermination(180)
+    continuous_cascade(
+        spark, t1m, t1h, ck2, tier="1h", watermark="1 minute"
+    ).awaitTermination(180)
+
+    hourly = spark.read.parquet(t1h)
+    n_hours = hourly.count()
+    assert n_hours > n_hours_first
+    # exactly-once across the restart, both tiers
+    for path in (t1m, t1h):
+        dups = (
+            spark.read.parquet(path)
+            .groupBy("ts", "source")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0
+    # parity: every emitted hour equals the batch cascade of the full
+    # batch 1m tier (the streamed 1m rows it folded are themselves
+    # batch-exact per test_streaming_rollup_matches_batch)
+    batch_1h = rollup_cascade(rollup_base(with_time_axis(seq), "1m"), "1h")
+    joined = hourly.alias("s").join(batch_1h.alias("b"), ["ts", "source"], "inner")
+    assert joined.count() == n_hours
+    mismatch = joined.filter(
+        (F.col("s.n_tok_sum") != F.col("b.n_tok_sum"))
+        | (F.col("s.n_tok_count") != F.col("b.n_tok_count"))
+        | (F.col("s.n_tok_min") != F.col("b.n_tok_min"))
+        | (F.col("s.n_tok_max") != F.col("b.n_tok_max"))
+    )
+    assert mismatch.count() == 0

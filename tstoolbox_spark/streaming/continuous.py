@@ -71,3 +71,59 @@ def continuous_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def continuous_cascade(
+    spark: SparkSession,
+    finer_dir: str,
+    tier_dir: str,
+    checkpoint_dir: str,
+    tier: str = "1h",
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("source",),
+    available_now: bool = True,
+):
+    """Materialize a coarser tier (1h/1d) FROM the streaming finer
+    tier's parquet output — the streaming twin of
+    ``pipeline.rollup.rollup_cascade``.
+
+    The finer tier is itself an append-only stream of watermark-closed
+    buckets (each (ts, key) cell emitted exactly once), so the coarse
+    tier is just a second streaming window aggregation over those
+    partials: sum(sum)/sum(count)/min(min)/max(max) — the identical
+    partial-merge exprs as the batch cascade, hence bit-for-bit parity
+    on every emitted bucket. Each stage carries its own checkpoint, so
+    the whole 1m → 1h → 1d chain is independently resumable and
+    exactly-once end-to-end (file source offsets + file-sink
+    transaction log per stage).
+
+    The finer tier's static schema is read from ``finer_dir`` (the dir
+    exists once the 1m stage has started); a coarse bucket emits when
+    the finer stream's event-time watermark passes its end.
+    """
+    if tier not in ("1h", "1d"):
+        raise ValueError(f"cascade tier must be 1h or 1d, got {tier!r}")
+    unit = {"1h": "1 hour", "1d": "1 day"}[tier]
+    schema = spark.read.parquet(finer_dir).schema
+    stream = spark.readStream.schema(schema).parquet(finer_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", unit).alias("w"), *key_cols)
+        .agg(
+            F.sum("n_tok_sum").alias("n_tok_sum"),
+            F.sum("n_tok_count").alias("n_tok_count"),
+            F.min("n_tok_min").alias("n_tok_min"),
+            F.max("n_tok_max").alias("n_tok_max"),
+        )
+        .select(F.col("w.start").alias("ts"), *key_cols,
+                "n_tok_sum", "n_tok_count", "n_tok_min", "n_tok_max")
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
