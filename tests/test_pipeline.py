@@ -204,3 +204,95 @@ def test_fully_ttld_snapshot_survives_expire(spark, seq, tmp_path):
     out = cat.read(spark, "tier_1m")
     assert out.count() == 0
     assert len(out.schema.fields) > 1  # schema recovered from the anchor dir
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    """Two writers base on the same snapshot; the second commit must
+    fail with CommitConflict and clean up its orphan data dir."""
+    import os
+
+    from tstoolbox_spark.tables import CommitConflict
+
+    cat = ParquetSnapshotCatalog(str(tmp_path / "occ"))
+    base = cat.write_snapshot(spark.range(3), "t")
+    # writer A lands first, based on `base`
+    cat.write_snapshot(spark.range(4), "t", expected_current=base)
+    # writer B also based on `base` → conflict
+    with pytest.raises(CommitConflict):
+        cat.write_snapshot(spark.range(5), "t", expected_current=base)
+    assert cat.read(spark, "t").count() == 4  # winner intact
+    snap_dirs = [
+        d for d in os.listdir(str(tmp_path / "occ" / "t")) if d.startswith("snap-")
+    ]
+    assert len(snap_dirs) == 2  # loser's dir removed
+
+    # expecting an empty table when one exists also conflicts
+    with pytest.raises(CommitConflict):
+        cat.write_snapshot(spark.range(2), "t", expected_current=None)
+
+
+def test_schema_evolution_rename_add(spark, tmp_path):
+    """Metadata-only rename/add: zero data rewrite, stable field ids,
+    time travel unaffected, next real write keeps the evolved ids."""
+    import os
+
+    cat = ParquetSnapshotCatalog(str(tmp_path / "evo"))
+    df = spark.range(4).selectExpr("id AS a", "id * 2 AS b")
+    s1 = cat.write_snapshot(df, "t")
+    id_a = cat.current_snapshot("t")["fields"]["a"]
+
+    s2 = cat.rename_column("t", "a", "a2")
+    cur = cat.current_snapshot("t")
+    assert cur["fields"]["a2"] == id_a  # id travels with the rename
+    assert sorted(cat.read(spark, "t").columns) == ["a2", "b"]
+    assert sorted(cat.read(spark, "t", snapshot_id=s1).columns) == ["a", "b"]
+
+    cat.add_column("t", "c", "double")
+    out = cat.read(spark, "t")
+    assert sorted(out.columns) == ["a2", "b", "c"]
+    assert out.filter("c IS NOT NULL").count() == 0
+    assert dict(out.dtypes)["c"] == "double"
+
+    # only one physical snap dir exists — evolution wrote no data
+    snap_dirs = [
+        d for d in os.listdir(str(tmp_path / "evo" / "t")) if d.startswith("snap-")
+    ]
+    assert len(snap_dirs) == 1
+
+    # a later real write with the evolved names keeps the stable ids
+    df2 = spark.range(2).selectExpr(
+        "id AS a2", "id AS b", "CAST(id AS DOUBLE) AS c"
+    )
+    cat.write_snapshot(df2, "t")
+    assert cat.current_snapshot("t")["fields"]["a2"] == id_a
+
+    # expire down to the latest: the old full snapshot dir must
+    # survive only if still referenced; here the latest owns its data
+    cat.expire_snapshots("t", keep_last=1)
+    assert cat.read(spark, "t").count() == 2
+
+
+def test_schema_evolution_survives_retention(spark, tmp_path):
+    """Rename → TTL drop → read: evolution state and field ids carry
+    through metadata-only retention snapshots; expire keeps the data
+    dirs a live evolution child references."""
+    import datetime as dt2
+
+    import pyspark.sql.functions as F2
+
+    cat = ParquetSnapshotCatalog(str(tmp_path / "evoret"))
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0)],
+        "day string, v double",
+    )
+    cat.write_snapshot(df, "t", partition_by=["day"])
+    cat.rename_column("t", "v", "value")
+    cat.drop_partitions_before(spark, "t", "day", "2024-01-02")
+    out = cat.read(spark, "t")
+    assert sorted(out.columns) == ["day", "value"]
+    assert out.count() == 2
+    # expire everything but current; the referenced partitions survive
+    cat.expire_snapshots("t", keep_last=1)
+    out2 = cat.read(spark, "t")
+    assert out2.count() == 2
+    assert sorted(out2.columns) == ["day", "value"]

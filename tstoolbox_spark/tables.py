@@ -32,6 +32,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: sentinel: "no concurrency expectation" (None means "expect empty")
+_UNSET = object()
+
+
+class CommitConflict(Exception):
+    """Another writer committed since this writer's base snapshot —
+    the optimistic-concurrency failure Iceberg surfaces as
+    CommitFailedException. The caller re-reads and retries (or gives
+    up); the losing writer's data directory is already cleaned up."""
+
+
 class ParquetSnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -40,6 +51,58 @@ class ParquetSnapshotCatalog:
     # ----------------------------------------------------------- manifest
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.root, table, "manifest.json")
+
+    # --------------------------------------------------------- commit lock
+    def _lock_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, ".commit-lock")
+
+    def _acquire_lock(self, table: str, timeout: float = 30.0) -> None:
+        """Serialize manifest read-modify-writes: mkdir is atomic on
+        POSIX, so exactly one committer holds the lock. Iceberg gets
+        the same effect from the catalog's atomic compare-and-swap."""
+        os.makedirs(os.path.join(self.root, table), exist_ok=True)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                os.mkdir(self._lock_dir(table))
+                return
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock for {table!r} held too long "
+                        f"(stale lock dir {self._lock_dir(table)}?)"
+                    )
+                time.sleep(0.02)
+
+    def _release_lock(self, table: str) -> None:
+        try:
+            os.rmdir(self._lock_dir(table))
+        except FileNotFoundError:
+            pass
+
+    def _commit(
+        self, table: str, snap: dict, expected_current: str | None | object = _UNSET
+    ) -> None:
+        """Append ``snap`` and make it current, atomically, under the
+        table commit lock. With ``expected_current`` set (a snapshot id
+        or None-for-empty-table), the commit VALIDATES that no other
+        writer landed in between — optimistic concurrency — and raises
+        CommitConflict otherwise."""
+        self._acquire_lock(table)
+        try:
+            manifest = self._read_manifest(table)
+            if expected_current is not _UNSET and (
+                manifest["current"] != expected_current
+            ):
+                raise CommitConflict(
+                    f"table {table!r}: current snapshot is "
+                    f"{manifest['current']!r}, expected {expected_current!r}"
+                )
+            manifest["snapshots"].append(snap)
+            manifest["current"] = snap["id"]
+            self._write_manifest(table, manifest)
+        finally:
+            self._release_lock(table)
 
     def _read_manifest(self, table: str) -> dict:
         path = self._manifest_path(table)
@@ -64,6 +127,7 @@ class ParquetSnapshotCatalog:
         partition_by: list[str] | None = None,
         properties: dict | None = None,
         compression: str | None = None,
+        expected_current: str | None | object = _UNSET,
     ) -> str:
         """Write df as a new snapshot of ``table``; returns snapshot id.
         The snapshot becomes current only when the manifest swap lands.
@@ -72,6 +136,13 @@ class ParquetSnapshotCatalog:
         'uncompressed' for tables whose payload is already
         entropy-coded (the Gorilla blob table), where zstd burns CPU on
         every write AND every read for ~0 size gain.
+
+        ``expected_current`` (a snapshot id, or None for "table must
+        still be empty") opts into optimistic concurrency: the data
+        write runs OUTSIDE the commit lock (as in Iceberg — data files
+        first, metadata swap last), and the commit raises
+        CommitConflict if another writer landed in between, deleting
+        this writer's orphaned data directory.
         """
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, table, f"snap-{snap_id}")
@@ -81,19 +152,103 @@ class ParquetSnapshotCatalog:
         if compression:
             writer = writer.option("compression", compression)
         writer.parquet(data_dir)
-        manifest = self._read_manifest(table)
-        manifest["snapshots"].append(
-            {
-                "id": snap_id,
-                "ts": time.time(),
-                "path": data_dir,
-                "partition_by": partition_by or [],
-                "properties": properties or {},
-            }
-        )
-        manifest["current"] = snap_id
-        self._write_manifest(table, manifest)
+        snap = {
+            "id": snap_id,
+            "ts": time.time(),
+            "path": data_dir,
+            "partition_by": partition_by or [],
+            "properties": properties or {},
+            "schema": json.loads(df.schema.json()),
+            "fields": self._assign_field_ids(table, [f.name for f in df.schema]),
+        }
+        try:
+            self._commit(table, snap, expected_current)
+        except CommitConflict:
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
         return snap_id
+
+    def _assign_field_ids(self, table: str, names: list[str]) -> dict[str, int]:
+        """Iceberg-style stable column ids: a name seen in the previous
+        current snapshot keeps its id; new names get fresh ids. Renames
+        preserve ids explicitly via rename_column."""
+        cur = self.current_snapshot(table)
+        prev = dict(cur.get("fields", {})) if cur else {}
+        next_id = max(prev.values(), default=0)
+        out: dict[str, int] = {}
+        for n in names:
+            if n in prev:
+                out[n] = prev[n]
+            else:
+                next_id += 1
+                out[n] = next_id
+        return out
+
+    # ----------------------------------------------------- schema evolution
+    def rename_column(self, table: str, old: str, new: str) -> str:
+        """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME
+        COLUMN): a new snapshot that reuses the current snapshot's data
+        files verbatim and records the name mapping; the stable field
+        id travels to the new name, so lineage survives. Zero rows
+        rewritten at any scale. Returns the new snapshot id."""
+        cur = self.current_snapshot(table)
+        if cur is None:
+            raise FileNotFoundError(table)
+        fields = dict(cur.get("fields", {}))
+        if old not in fields:
+            raise ValueError(f"{table!r} has no column {old!r}")
+        if new in fields:
+            raise ValueError(f"{table!r} already has a column {new!r}")
+        fields[new] = fields.pop(old)
+        snap = self._metadata_child(cur, fields)
+        snap["renames"] = list(cur.get("renames", [])) + [[old, new]]
+        snap["properties"] = {"rename": f"{old}->{new}", "metadata_only": True}
+        self._commit(table, snap, cur["id"])
+        return snap["id"]
+
+    def add_column(self, table: str, name: str, dtype: str) -> str:
+        """Metadata-only column add (Iceberg ADD COLUMN): existing data
+        files are untouched; reads materialize the column as typed
+        NULLs until a later write_snapshot fills it. Returns the new
+        snapshot id."""
+        cur = self.current_snapshot(table)
+        if cur is None:
+            raise FileNotFoundError(table)
+        fields = dict(cur.get("fields", {}))
+        if name in fields:
+            raise ValueError(f"{table!r} already has a column {name!r}")
+        fields[name] = max(fields.values(), default=0) + 1
+        snap = self._metadata_child(cur, fields)
+        snap["added"] = dict(cur.get("added", {}), **{name: dtype})
+        snap["properties"] = {"add_column": f"{name} {dtype}", "metadata_only": True}
+        self._commit(table, snap, cur["id"])
+        return snap["id"]
+
+    def _metadata_child(self, cur: dict, fields: dict[str, int]) -> dict:
+        """Skeleton of a metadata-only snapshot inheriting ``cur``'s
+        data references and evolution state."""
+        snap: dict = {
+            "id": f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}",
+            "ts": time.time(),
+            "partition_by": cur.get("partition_by", []),
+            "fields": fields,
+        }
+        if "paths" in cur:
+            snap["paths"] = None if cur["paths"] is None else list(cur["paths"])
+            snap["basePath"] = cur["basePath"]
+        else:
+            snap["paths"] = None  # whole-dir reference
+            snap["basePath"] = cur["path"]
+        for k in ("renames", "added"):
+            if cur.get(k):
+                snap[k] = cur[k] if k == "renames" else dict(cur[k])
+        if "retention_cutoff" in cur.get("properties", {}):
+            snap.setdefault("properties", {})["retention_cutoff"] = cur[
+                "properties"
+            ]["retention_cutoff"]
+        return snap
 
     # -------------------------------------------------------------- reads
     def current_snapshot(self, table: str) -> dict | None:
@@ -112,22 +267,37 @@ class ParquetSnapshotCatalog:
             raise FileNotFoundError(f"table {table!r} has no current snapshot")
         snap = next(s for s in m["snapshots"] if s["id"] == sid)
         if "paths" in snap:
-            # metadata-only snapshot (retention drop): a list of
-            # partition directories referencing an owner snapshot's
-            # data; basePath recovers the partition column from the
-            # day=... directory names.
-            if not snap["paths"]:
+            # metadata-only snapshot: paths None = whole-dir reference
+            # (schema evolution child), a list = retained partition
+            # directories (retention drop); basePath recovers the
+            # partition column from the day=... directory names.
+            if snap["paths"] is None:
+                df = spark.read.parquet(snap["basePath"])
+            elif not snap["paths"]:
                 # every partition TTL'd away: reproduce the empty result
                 # (with the right schema) from the owner + cutoff filter
                 cutoff = snap["properties"]["retention_cutoff"]
                 col = snap["partition_by"][0]
-                return (
-                    spark.read.parquet(snap["basePath"]).filter(f"{col} >= '{cutoff}'")
+                df = spark.read.parquet(snap["basePath"]).filter(
+                    f"{col} >= '{cutoff}'"
                 )
-            return (
-                spark.read.option("basePath", snap["basePath"]).parquet(*snap["paths"])
-            )
-        return spark.read.parquet(snap["path"])
+            else:
+                df = spark.read.option("basePath", snap["basePath"]).parquet(
+                    *snap["paths"]
+                )
+        else:
+            df = spark.read.parquet(snap["path"])
+        # metadata-only schema evolution, applied at read (Iceberg
+        # resolves the same way via field ids in the file footers)
+        for old, new in snap.get("renames") or []:
+            df = df.withColumnRenamed(old, new)
+        if snap.get("added"):
+            from pyspark.sql import functions as F
+
+            for name, dtype in snap["added"].items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(dtype))
+        return df
 
     def exists(self, table: str) -> bool:
         return self._read_manifest(table)["current"] is not None
@@ -152,11 +322,19 @@ class ParquetSnapshotCatalog:
         m["snapshots"] = keep
         self._write_manifest(table, m)
         kept_refs = set()
+        whole_refs = set()  # dirs referenced in full (schema-evo children)
         schema_anchors = set()
         for s in keep:
-            for p in s.get("paths", []) or ([s["path"]] if "path" in s else []):
-                kept_refs.add(os.path.normpath(p))
-            if "paths" in s and not s["paths"]:
+            if "paths" not in s:
+                whole_refs.add(os.path.normpath(s["path"]))
+            elif s["paths"] is None:
+                # schema-evolution child of a full snapshot: every
+                # partition of the owner dir is still live data
+                whole_refs.add(os.path.normpath(s["basePath"]))
+            elif s["paths"]:
+                for p in s["paths"]:
+                    kept_refs.add(os.path.normpath(p))
+            else:
                 # fully-TTL'd metadata-only snapshot: read() still opens
                 # the owner basePath (+ cutoff filter) for schema
                 # recovery — keep the owner dir and spare ONE partition
@@ -170,6 +348,8 @@ class ParquetSnapshotCatalog:
             if owned is None:
                 continue  # metadata-only snapshot: nothing owned
             owned = os.path.normpath(owned)
+            if owned in whole_refs:
+                continue  # a live snapshot reads this whole directory
             referenced = any(
                 r == owned or r.startswith(owned + os.sep) for r in kept_refs
             )
@@ -218,12 +398,14 @@ class ParquetSnapshotCatalog:
                 "TTL column to be the partition column"
             )
         base = cur.get("basePath", cur.get("path"))
-        if "paths" in cur:
+        if cur.get("paths") is not None:
             candidates = list(cur["paths"])
         else:
+            # full snapshot, or a schema-evo child referencing the
+            # whole owner dir (paths None): enumerate partition dirs
             candidates = [
-                os.path.join(cur["path"], d)
-                for d in os.listdir(cur["path"])
+                os.path.join(base, d)
+                for d in os.listdir(base)
                 if d.startswith(f"{partition_col}=")
             ]
         prefix = f"{partition_col}="
@@ -233,19 +415,19 @@ class ParquetSnapshotCatalog:
             if os.path.basename(p.rstrip("/"))[len(prefix):] >= cutoff
         ]
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
-        manifest = self._read_manifest(table)
-        manifest["snapshots"].append(
-            {
-                "id": snap_id,
-                "ts": time.time(),
-                "paths": sorted(retained),
-                "basePath": base,
-                "partition_by": part_by,
-                "properties": {"retention_cutoff": cutoff, "metadata_only": True},
-            }
-        )
-        manifest["current"] = snap_id
-        self._write_manifest(table, manifest)
+        snap = {
+            "id": snap_id,
+            "ts": time.time(),
+            "paths": sorted(retained),
+            "basePath": base,
+            "partition_by": part_by,
+            "properties": {"retention_cutoff": cutoff, "metadata_only": True},
+        }
+        # schema evolution state and field ids survive retention drops
+        for k in ("renames", "added", "fields", "schema"):
+            if cur.get(k):
+                snap[k] = cur[k]
+        self._commit(table, snap, cur["id"])
         return snap_id
 
 

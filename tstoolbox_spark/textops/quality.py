@@ -163,6 +163,151 @@ def gopher_quality_flags(
     )
 
 
+def _ngrams_all(w: Column, n: int) -> Column:
+    """NON-distinct word n-grams (repetition analysis needs counts —
+    contrast shingles(), which dedups for set-similarity)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition rules (Rae et al. 2021 §A1.1 — the
+    public MassiveWeb repetition filters): duplicate-line fraction,
+    duplicate-line character fraction, top-{2,3,4}-gram character
+    fraction, duplicate-5-gram character fraction, plus a composite
+    ``keep`` using the published thresholds (0.30 / 0.20 / 0.20 /
+    0.18 / 0.16 / 0.15).
+
+    Conventions (documented because the paper leaves them open):
+    lines are newline-split and trimmed, empty lines dropped; every
+    occurrence of a repeated line/gram counts toward the duplicate
+    mass (Σ c over groups with c>1); n-grams are over normalized
+    words (lowercase, punctuation stripped) with space-joined length
+    as char weight; char fractions use non-overlap-aware mass
+    (count × gram length), the standard cheap approximation. Top-gram
+    ties break on the lexicographically greatest gram so output is
+    deterministic.
+
+    Scale shape: one explode + (doc, item-hash) groupBy per unit
+    (lines, 2/3/4/5-grams folded into ONE exploded frame tagged by
+    n) → per-doc aggregate. Two shuffles total, both keyed by doc —
+    linear in corpus size, no self-joins.
+    """
+    t = F.col(text_col)
+    doc = F.col(id_col)
+    w = words(t)
+
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    # one exploded frame: unit = -1 for lines, n for n-grams.
+    # NB: the tag lambda must stay unary — a second lambda parameter
+    # would make F.transform pass the array INDEX into it.
+    def _tag(arr: Column, n: int) -> Column:
+        lit_n = F.lit(n)
+        return F.transform(arr, lambda x: F.struct(lit_n.alias("n"), x.alias("g")))
+
+    units = df.select(
+        doc.alias("doc"),
+        F.explode(
+            F.flatten(
+                F.array(
+                    _tag(lines, -1),
+                    *[_tag(_ngrams_all(w, n), n) for n in (2, 3, 4, 5)],
+                )
+            )
+        ).alias("u"),
+    ).select("doc", F.col("u.n").alias("n"), F.col("u.g").alias("g"))
+
+    grp = units.groupBy("doc", "n", "g").agg(F.count("*").alias("c"))
+    glen = F.length("g")
+    per = grp.groupBy("doc", "n").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * glen).alias("total_chars"),
+        F.sum(F.when(F.col("c") > 1, F.col("c"))).alias("dup"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * glen)).alias("dup_chars"),
+        F.max(F.struct(F.col("c"), F.col("g"))).alias("top"),
+    )
+    frac = lambda num, den: F.round(
+        F.coalesce(num, F.lit(0)).cast("double") / den, 6
+    )
+    pivoted = per.groupBy("doc").pivot("n", [-1, 2, 3, 4, 5]).agg(
+        F.first(
+            F.struct(
+                frac(F.col("dup"), F.col("total")).alias("dup_frac"),
+                frac(F.col("dup_chars"), F.col("total_chars")).alias("dup_char_frac"),
+                frac(
+                    F.col("top.c") * F.length(F.col("top.g")),
+                    F.col("total_chars"),
+                ).alias("top_char_frac"),
+            )
+        )
+    )
+    # empty / whitespace-only docs produce no units at all — keep them
+    # in the output with zero metrics (no repetition evidence).
+    pivoted = df.select(doc.alias("doc")).distinct().join(
+        pivoted, "doc", "left"
+    )
+    c = lambda n, f: F.coalesce(F.col(f"`{n}`.{f}"), F.lit(0.0))
+    metrics = {
+        "dup_line_frac": c(-1, "dup_frac"),
+        "dup_line_char_frac": c(-1, "dup_char_frac"),
+        "top2gram_char_frac": c(2, "top_char_frac"),
+        "top3gram_char_frac": c(3, "top_char_frac"),
+        "top4gram_char_frac": c(4, "top_char_frac"),
+        "dup5gram_char_frac": c(5, "dup_char_frac"),
+    }
+    limits = {
+        "dup_line_frac": 0.30,
+        "dup_line_char_frac": 0.20,
+        "top2gram_char_frac": 0.20,
+        "top3gram_char_frac": 0.18,
+        "top4gram_char_frac": 0.16,
+        "dup5gram_char_frac": 0.15,
+    }
+    keep = None
+    for name, lim in limits.items():
+        ok = metrics[name] <= F.lit(lim)
+        keep = ok if keep is None else (keep & ok)
+    return pivoted.select(
+        F.col("doc").alias(id_col),
+        *[expr.alias(name) for name, expr in metrics.items()],
+        keep.alias("keep"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level vocabulary head: top-k normalized words by count
+    with corpus coverage (count / total tokens). Tie → lexicographic
+    order, so output is deterministic. One explode + count shuffle;
+    the top-k sort runs on the vocab-sized aggregate, not the corpus.
+    """
+    ex = df.select(F.explode(words(F.col(text_col))).alias("w"))
+    freq = ex.groupBy("w").agg(F.count("*").alias("c"))
+    total = ex.count()
+    return (
+        freq.orderBy(F.col("c").desc(), "w")
+        .limit(k)
+        .select(
+            "w",
+            "c",
+            F.round(F.col("c").cast("double") / F.lit(float(total)), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
