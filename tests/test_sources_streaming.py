@@ -298,3 +298,36 @@ def test_streaming_cascade_matches_batch(spark, tmp_path):
         | (F.col("s.n_tok_max") != F.col("b.n_tok_max"))
     )
     assert mismatch.count() == 0
+
+
+@pytest.mark.slow
+def test_streaming_ingest_dedup(spark, tmp_path):
+    """Streaming exact-dedup at ingest: duplicate token streams within
+    the watermark are dropped; resume with new files stays
+    exactly-once; output content set matches batch exact dedup."""
+    from tstoolbox_spark.streaming import continuous_ingest_dedup
+
+    seq = generate_sequences(spark, 2_000)
+    # duplicate every sequence under a doc_id 1 step later (adjacent
+    # event times — well inside the watermark)
+    dup = seq.withColumn(
+        "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+    )
+    in_dir = tmp_path / "dd_in"
+    seq.unionByName(dup).write.mode("overwrite").parquet(str(in_dir))
+
+    out, ck = str(tmp_path / "dd_out"), str(tmp_path / "dd_ck")
+    q = continuous_ingest_dedup(spark, str(in_dir), out, ck)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    # one survivor per distinct token stream
+    n_distinct = seq.select("tokens").distinct().count()
+    assert got.count() == got.select("tokens").distinct().count()
+    assert got.select("tokens").distinct().count() == n_distinct
+
+    # resume: append a file of already-emitted content → no re-emission
+    seq.limit(100).write.mode("append").parquet(str(in_dir))
+    q2 = continuous_ingest_dedup(spark, str(in_dir), out, ck)
+    q2.awaitTermination(180)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == got2.select("tokens").distinct().count()

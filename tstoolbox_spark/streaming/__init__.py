@@ -1,2 +1,6 @@
-from .continuous import continuous_cascade, continuous_rollup  # noqa: F401
+from .continuous import (  # noqa: F401
+    continuous_cascade,
+    continuous_ingest_dedup,
+    continuous_rollup,
+)
 from .sessions import continuous_session_stats  # noqa: F401

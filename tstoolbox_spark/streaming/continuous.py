@@ -73,6 +73,53 @@ def continuous_rollup(
     return writer.start()
 
 
+def continuous_ingest_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Streaming exact-dedup at ingest: drop sequences whose token
+    content was already seen, BEFORE they reach the rollup/codec
+    stages — the streaming twin of ``textops.exact_dedup``'s keeper
+    selection, applied to the engine's native (doc_id, tokens, n_tok,
+    source) table.
+
+    Spark-first shape: the content key is the portable 60-bit md5 of
+    the token stream (a pure column expression), and dedup state is
+    BOUNDED by the event-time watermark via
+    ``dropDuplicatesWithinWatermark`` — at 10^12 sequences an
+    unbounded seen-set is impossible, so streaming dedup is windowed
+    by construction (two identical sequences arriving farther apart
+    than the watermark both pass; the batch exact_dedup pass remains
+    the global authority). Exactly-once via the file-sink transaction
+    log + checkpoint, like every stage here.
+    """
+    from ..textops.dedup import md5int
+
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(input_dir)
+    seq = with_time_axis(stream)
+    hashed = seq.withColumn(
+        "content_hash",
+        md5int(F.concat_ws(",", F.col("tokens").cast("array<string>"))),
+    )
+    deduped = hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    writer = (
+        deduped.drop("content_hash")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def continuous_cascade(
     spark: SparkSession,
     finer_dir: str,
