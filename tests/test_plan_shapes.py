@@ -140,3 +140,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bj_a")
         spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_sampling_is_narrow_filter(spark):
+    """Deterministic sampling must stay a scan + filter — no Exchange,
+    no join: the decision is a pure function of the row."""
+    from tstoolbox_spark.textops.sampling import hash_sample, stratified_sample
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    plan = _plan(hash_sample(docs, 0.25))
+    assert "Exchange" not in plan and "Join" not in plan
+    plan2 = _plan(
+        stratified_sample(docs, {"src0": 1.0, "src1": 0.1}, default_fraction=0.02)
+    )
+    assert "Exchange" not in plan2 and "Join" not in plan2
+
+
+def test_repetition_flags_shuffles_are_doc_keyed(spark):
+    """Repetition analysis is two doc-keyed aggregations over one
+    exploded unit frame plus the final pivot/backfill join — linear in
+    corpus size, no self-join of the corpus against itself."""
+    from tstoolbox_spark.textops.quality import repetition_flags
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    plan = _plan(repetition_flags(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation before each shuffle (map-side combine)
+    assert "partial_count" in plan or "Partial" in plan

@@ -9,4 +9,13 @@ codegen); hashing uses a portable md5-derived 60-bit integer so every
 signature is reproducible in ANSI SQL for the DuckDB oracle.
 """
 
-from . import dedup, quality, similarity  # noqa: F401
+from . import (  # noqa: F401
+    contamination,
+    dedup,
+    packing,
+    pii,
+    quality,
+    sampling,
+    similarity,
+    substring,
+)
