@@ -553,7 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never value-checked by the driver / oracle upgraded r3
         "dtw_click_view", "fft_lowpass", "substring_dedup", "pii_flags",
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
-        "stratified_sample",
+        "stratified_sample", "butterworth_lowpass",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -570,7 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_index_unix", "date_offset_3h", "stack_unpivot",
         "unstack_pivot", "gof_bias", "autocorr_lag1",
         "peak_detection_rel2", "linear_trend", "regularize_hourly_grid",
-        "fill_bfill", "fill_mean_stat",
+        "fill_bfill",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3122,6 +3122,30 @@ def _pipeline_queries_round3b() -> dict[str, Callable[[SparkSession, str], DataF
         ).select("doc_id", "source")
 
     q["stratified_sample"] = q_strat_sample
+
+    def q_butterworth(s, d):
+        """filter filter_type='butterworth' (ref filter.py:371-385):
+        order-2 lowpass at wn=0.25 over the hourly means. Coefficients
+        from the closed-form scipy design (signal.butter_coeffs —
+        scipy absent, same public formulas, golden-value tested);
+        application = zero-state lfilter recursion (the sosfilt path).
+        Oracle: the identical DF2T recursion as a recursive CTE with
+        the coefficient literals inlined; ROUND(6) absorbs ulps."""
+        from tstoolbox_spark.operators.signal import butterworth_filter
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = butterworth_filter(
+            hourly, ["value_mean"], key_cols=["event_type"],
+            order=2, cutoff=0.25, btype="lowpass",
+        )
+        return out.select(
+            "event_type", "ts",
+            F.round("value_mean_butterworth", 6).alias("value_mean_butterworth"),
+        )
+
+    q["butterworth_lowpass"] = q_butterworth
     return q
 
 
@@ -3199,5 +3223,39 @@ def _pipeline_oracles_round3b() -> dict[str, str]:
     o["stratified_sample"] = f"""
         SELECT doc_id, source FROM documents
         WHERE {ticket} < (CASE {cut_case} ELSE {default_cut} END)
+    """
+
+    # ---- butterworth order-2 lowpass: DF2T recursion as a CTE --------
+    from tstoolbox_spark.operators.signal import butter_coeffs
+
+    (b0, b1, b2), (_, a1, a2) = (lambda ba: (ba[0], ba[1]))(
+        butter_coeffs(2, 0.25, "lowpass")
+    )
+    DECS = "DECIMAL(28,2)"
+    hourly = f"""
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS y,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2
+    """
+    yn = f"({b0!r} * h.y + r.z0)"
+    o["butterworth_lowpass"] = f"""
+        WITH RECURSIVE h AS ({hourly}),
+        r AS (
+          SELECT event_type, rn, ts,
+                 {b0!r} * y AS yv,
+                 {b1!r} * y - {a1!r} * ({b0!r} * y) AS z0,
+                 {b2!r} * y - {a2!r} * ({b0!r} * y) AS z1
+          FROM h WHERE rn = 1
+          UNION ALL
+          SELECT h.event_type, h.rn, h.ts,
+                 {yn} AS yv,
+                 {b1!r} * h.y + r.z1 - {a1!r} * {yn} AS z0,
+                 {b2!r} * h.y - {a2!r} * {yn} AS z1
+          FROM r JOIN h ON h.event_type = r.event_type AND h.rn = r.rn + 1
+        )
+        SELECT event_type, ts, ROUND(yv, 6) AS value_mean_butterworth
+        FROM r
     """
     return o

@@ -107,9 +107,13 @@ def test_fft_filter_lowpass(spark):
     np.testing.assert_allclose(out, slow, atol=1e-8)
 
 
-def test_butterworth_stub():
-    with pytest.raises(NotImplementedError):
-        butterworth_filter()
+def test_butterworth_rejects_bad_args():
+    # the old scipy-absent stub is gone: the closed-form design is in;
+    # argument validation still raises loudly
+    with pytest.raises(ValueError):
+        from tstoolbox_spark.operators.signal import butter_coeffs
+
+        butter_coeffs(0, 0.5)
 
 
 def test_dtw(spark):
@@ -154,3 +158,97 @@ def test_gaussian_kde(spark, twocol_pdf):
     np.testing.assert_allclose(out["density"].to_numpy(), exp, rtol=1e-10)
     # density integrates to ~1 over the grid span
     assert 0.8 < np.trapz(out["density"], out["x"]) < 1.05
+
+
+def test_butter_coeffs_golden_values():
+    """Closed-form design vs scipy.signal.butter's published golden
+    values (transcribed, not computed here — scipy is absent)."""
+    import numpy as np
+
+    from tstoolbox_spark.operators.signal import butter_coeffs
+
+    b, a = butter_coeffs(2, 0.25, "lowpass")
+    assert np.allclose(b, [0.09763107, 0.19526215, 0.09763107], atol=1e-8)
+    assert np.allclose(a, [1.0, -0.94280904, 0.33333333], atol=1e-8)
+    b, a = butter_coeffs(2, 0.25, "highpass")
+    assert np.allclose(b, [0.56903559, -1.13807119, 0.56903559], atol=1e-8)
+    assert np.allclose(a, [1.0, -0.94280904, 0.33333333], atol=1e-8)
+    b, a = butter_coeffs(4, 0.1, "lowpass")
+    assert abs(b[0] - 0.0004165992044065786) < 1e-12
+    with pytest.raises(ValueError):
+        butter_coeffs(2, 1.5)
+    with pytest.raises(ValueError):
+        butter_coeffs(2, 0.25, "bandstop")
+
+
+def test_butterworth_filter_steady_state(spark):
+    """DC gain: an order-2 lowpass passes a constant through to ~1.0
+    gain once the transient decays; a highpass kills it to ~0."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.signal import butterworth_filter
+
+    n = 200
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {"ts": [t0 + dt.timedelta(hours=i) for i in range(n)], "value": 5.0}
+    )
+    df = spark.createDataFrame(pdf)
+    low = butterworth_filter(df, ["value"], order=2, cutoff=0.25).toPandas()
+    tail = low.sort_values("ts")["value_butterworth"].to_numpy()[-20:]
+    assert np.allclose(tail, 5.0, atol=1e-6)
+    hi = butterworth_filter(
+        df, ["value"], order=2, cutoff=0.25, btype="highpass"
+    ).toPandas()
+    tail_h = hi.sort_values("ts")["value_butterworth"].to_numpy()[-20:]
+    assert np.allclose(tail_h, 0.0, atol=1e-6)
+
+
+def test_butterworth_lfilter_recursion():
+    """Hand-rolled lfilter vs the direct difference equation."""
+    import numpy as np
+
+    from tstoolbox_spark.operators.signal import _lfilter, butter_coeffs
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(50)
+    b, a = butter_coeffs(2, 0.3)
+    y = _lfilter(np.array(b), np.array(a), x)
+    # direct form: y[n] = b0 x[n]+b1 x[n-1]+b2 x[n-2]-a1 y[n-1]-a2 y[n-2]
+    yd = np.zeros_like(x)
+    for i in range(len(x)):
+        acc = b[0] * x[i]
+        if i >= 1:
+            acc += b[1] * x[i - 1] - a[1] * yd[i - 1]
+        if i >= 2:
+            acc += b[2] * x[i - 2] - a[2] * yd[i - 2]
+        yd[i] = acc
+    assert np.allclose(y, yd, atol=1e-12)
+
+
+def test_butterworth_reverse_second_stage(spark):
+    """filtfilt-style forward+backward pass: output is (near) zero
+    phase — a symmetric input stays symmetric."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.signal import butterworth_filter
+
+    n = 101
+    x = np.exp(-0.5 * ((np.arange(n) - 50) / 8.0) ** 2)  # symmetric bump
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {"ts": [t0 + dt.timedelta(hours=i) for i in range(n)], "value": x}
+    )
+    out = butterworth_filter(
+        spark.createDataFrame(pdf), ["value"], order=2, cutoff=0.2,
+        reverse_second_stage=True,
+    ).toPandas().sort_values("ts")["value_butterworth"].to_numpy()
+    # symmetric around the center (transients confined to the edges)
+    mid = out[20:-20]
+    assert np.allclose(mid, mid[::-1], atol=1e-3)

@@ -133,13 +133,133 @@ def fft_filter(
     return grouped.applyInPandas(_fft, schema=schema)
 
 
-def butterworth_filter(*args, **kwargs):
-    """Butterworth IIR filter (reference filter.py:371-385) requires
-    scipy.signal — not available in this container."""
-    raise NotImplementedError(
-        "butterworth filtering needs scipy.signal on the executors; "
-        "use fft_filter or kernel_filter here."
+def butter_coeffs(
+    order: int, wn: float, btype: str = "lowpass"
+) -> tuple[list[float], list[float]]:
+    """Digital Butterworth (b, a) transfer-function coefficients —
+    the closed-form design scipy.signal.butter implements (analog
+    prototype poles → frequency prewarp → lp2lp/lp2hp → bilinear
+    transform), computed here from the public formulas because scipy
+    is absent from this container. Verified against scipy's published
+    golden values (e.g. butter(2, 0.25) → b = [0.09763107,
+    0.19526215, 0.09763107], a = [1, -0.94280904, 0.33333333]).
+
+    ``wn`` is the cutoff normalized to Nyquist (0 < wn < 1), like
+    scipy. Reference: filter.py:371-385 (signal.butter + sosfilt /
+    filtfilt).
+    """
+    import cmath
+    import math
+
+    if not 0.0 < wn < 1.0:
+        raise ValueError(f"wn must be in (0, 1) (Nyquist-normalized), got {wn}")
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    if btype not in ("lowpass", "highpass"):
+        raise ValueError(f"btype must be lowpass/highpass, got {btype!r}")
+    poles = [
+        cmath.exp(1j * math.pi * (2 * k + order + 1) / (2 * order))
+        for k in range(order)
+    ]
+    fs = 2.0
+    warped = 2 * fs * math.tan(math.pi * wn / fs)
+    if btype == "lowpass":
+        p = [warped * pk for pk in poles]
+        z: list[complex] = []
+        k = warped ** order
+    else:
+        p = [warped / pk for pk in poles]
+        z = [0.0] * order
+        k = 1.0
+    fs2 = 2 * fs
+    pz = [(fs2 + pk) / (fs2 - pk) for pk in p]
+    zz = [(fs2 + zk) / (fs2 - zk) for zk in z] + [-1.0] * (order - len(z))
+    num: complex = 1.0
+    for zk in z:
+        num = num * (fs2 - zk)
+    den: complex = 1.0
+    for pk in p:
+        den = den * (fs2 - pk)
+    kz = (k * num / den).real
+    b = (np.poly(zz) * kz).real
+    a = np.poly(pz).real
+    return [float(x) for x in b], [float(x) for x in a]
+
+
+def _lfilter(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Direct-form-II-transposed IIR recursion with zero initial
+    state — the same recursion as scipy.signal.lfilter(b, a, x)."""
+    n = max(len(b), len(a))
+    b = np.pad(np.asarray(b, dtype=np.float64), (0, n - len(b)))
+    a = np.pad(np.asarray(a, dtype=np.float64), (0, n - len(a)))
+    b = b / a[0]
+    a = a / a[0]
+    y = np.empty_like(x, dtype=np.float64)
+    z = np.zeros(n - 1)
+    for i, xi in enumerate(x):
+        yi = b[0] * xi + (z[0] if n > 1 else 0.0)
+        for j in range(n - 2):
+            z[j] = b[j + 1] * xi + z[j + 1] - a[j + 1] * yi
+        if n > 1:
+            z[n - 2] = b[n - 1] * xi - a[n - 1] * yi
+        y[i] = yi
+    return y
+
+
+def butterworth_filter(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    order: int = 2,
+    cutoff: float = 0.25,
+    btype: str = "lowpass",
+    reverse_second_stage: bool = False,
+) -> DataFrame:
+    """Butterworth IIR filter per series (reference
+    filter.py:371-385). The coefficients come from the same
+    closed-form design as scipy.signal.butter (butter_coeffs);
+    application is the lfilter recursion with zero initial state
+    (the reference's ``sosfilt`` path — identical math, applied as
+    one direct form instead of cascaded biquads).
+    ``reverse_second_stage=True`` runs the filter forward then
+    backward for zero phase like the reference's filtfilt branch,
+    with zero-state passes (scipy's filtfilt additionally edge-pads
+    and solves Gustafsson initial conditions; divergence documented
+    here, not hidden).
+
+    Scale shape: IIR is inherently sequential per series → grouped
+    applyInPandas (the sanctioned pattern for order-recursive verbs,
+    like dtw); the recursion is O(n·order) per key and keys run in
+    parallel.
+    """
+    keys = list(key_cols)
+    b, a = butter_coeffs(order, cutoff, btype)
+    bb, aa = np.asarray(b), np.asarray(a)
+    schema = (
+        (", ".join(f"{k} {df.schema[k].dataType.simpleString()}" for k in keys) + ", ")
+        if keys
+        else ""
+    ) + f"{ts_col} {df.schema[ts_col].dataType.simpleString()}, " + ", ".join(
+        f"{c}_butterworth double" for c in value_cols
     )
+
+    def _butter(pdf):
+        pdf = pdf.sort_values(ts_col)
+        out = {k: pdf[k] for k in keys}
+        out[ts_col] = pdf[ts_col]
+        for c in value_cols:
+            x = pdf[c].to_numpy(dtype=np.float64)
+            y = _lfilter(bb, aa, x)
+            if reverse_second_stage:
+                y = _lfilter(bb, aa, y[::-1])[::-1]
+            out[f"{c}_butterworth"] = y
+        import pandas as pd
+
+        return pd.DataFrame(out)
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(_butter, schema=schema)
 
 
 def dtw_distance(
