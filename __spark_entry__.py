@@ -553,7 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never value-checked by the driver / oracle upgraded r3
         "dtw_click_view", "fft_lowpass", "substring_dedup", "pii_flags",
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
-        "stratified_sample", "butterworth_lowpass",
+        "stratified_sample", "butterworth_lowpass", "bigram_logprob",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -570,7 +570,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_index_unix", "date_offset_3h", "stack_unpivot",
         "unstack_pivot", "gof_bias", "autocorr_lag1",
         "peak_detection_rel2", "linear_trend", "regularize_hourly_grid",
-        "fill_bfill",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3146,6 +3145,17 @@ def _pipeline_queries_round3b() -> dict[str, Callable[[SparkSession, str], DataF
         )
 
     q["butterworth_lowpass"] = q_butterworth
+
+    def q_bigram(s, d):
+        """Corpus-self bigram LM scoring with add-1 smoothing
+        (quality.bigram_logprob) — the perplexity-style quality signal
+        one step above unigram_logprob. Oracle: identical counts +
+        smoothing in SQL; ROUND(6) absorbs summation order."""
+        from tstoolbox_spark.textops.quality import bigram_logprob
+
+        return bigram_logprob(_docs(s, d))
+
+    q["bigram_logprob"] = q_bigram
     return q
 
 
@@ -3257,5 +3267,28 @@ def _pipeline_oracles_round3b() -> dict[str, str]:
         )
         SELECT event_type, ts, ROUND(yv, 6) AS value_mean_butterworth
         FROM r
+    """
+
+    o["bigram_logprob"] = f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        ex AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM w, unnest(range(1, len(ws))) AS t(i)
+          WHERE len(ws) >= 2
+        ),
+        big AS (SELECT w1, w2, count(*) AS c12 FROM ex GROUP BY ALL),
+        lft AS (SELECT w1, count(*) AS c1 FROM ex GROUP BY ALL),
+        voc AS (SELECT count(DISTINCT w) AS v
+                FROM (SELECT unnest({_WORDS}) AS w FROM documents)),
+        sc AS (
+          SELECT doc_id, ln((c12 + 1.0) / (c1 + 1.0 * v)) AS lp
+          FROM ex JOIN big USING (w1, w2) JOIN lft USING (w1), voc
+        ),
+        agg AS (SELECT doc_id, round(avg(lp), 6) AS mean_bigram_logprob,
+                       count(*) AS n_bigrams
+                FROM sc GROUP BY doc_id)
+        SELECT d.doc_id, agg.mean_bigram_logprob,
+               coalesce(agg.n_bigrams, 0) AS n_bigrams
+        FROM documents d LEFT JOIN agg USING (doc_id)
     """
     return o

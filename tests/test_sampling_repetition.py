@@ -135,3 +135,25 @@ def test_vocab_topk(spark):
 
 def test_sample_mod_granularity():
     assert SAMPLE_MOD == 1 << 20
+
+
+def test_bigram_logprob(spark):
+    """Hand oracle on a 2-doc corpus with add-1 smoothing."""
+    import math
+
+    from tstoolbox_spark.textops.quality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; left counts: a->3, b->2
+    # vocab = {a,b,c,x} = 4
+    rows = {r.doc_id: r.asDict() for r in bigram_logprob(df).collect()}
+    p_ab = math.log((3 + 1.0) / (3 + 4.0))
+    p_ba = math.log((1 + 1.0) / (2 + 4.0))
+    p_bc = math.log((1 + 1.0) / (2 + 4.0))
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["mean_bigram_logprob"] == round((2 * p_ab + p_ba) / 3, 6)
+    assert rows[2]["n_bigrams"] == 2
+    assert rows[2]["mean_bigram_logprob"] == round((p_ab + p_bc) / 2, 6)
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["mean_bigram_logprob"] is None

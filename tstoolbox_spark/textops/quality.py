@@ -308,6 +308,67 @@ def vocab_topk(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: float = 1.0
+) -> DataFrame:
+    """Corpus-self bigram language-model score per document — the next
+    step up from unigram_logprob: p(w2|w1) = (c(w1,w2) + k) /
+    (c(w1·) + k·V) with add-k smoothing over the corpus's own counts
+    (V = distinct unigram vocabulary; c(w1·) = count of w1 as a bigram
+    LEFT context, so probabilities sum to 1 over the vocabulary).
+    Score = mean ln p over the doc's bigrams; docs with < 2 words get
+    n_bigrams = 0 and a null score.
+
+    Shape: one explode builds the bigram stream, two vocab-sized
+    aggregations (bigram counts, left-context counts), one equi-join
+    each to score — all map-side combinable, linear in corpus tokens;
+    the frequency tables are vocab-scale and AQE decides broadcast.
+    """
+    w = words(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("g")
+    ).select("doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = ex.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = df.select(F.explode(words(F.col(text_col))).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    ).collect()[0]["v"]
+    scored = (
+        ex.join(big, ["w1", "w2"])
+        .join(left, "w1")
+        .select(
+            "doc",
+            F.log(
+                (F.col("c12") + F.lit(float(k)))
+                / (F.col("c1") + F.lit(float(k * vocab)))
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.round(F.avg("lp"), 6).alias("mean_bigram_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "mean_bigram_logprob",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
