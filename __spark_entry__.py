@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_click_view", "fft_lowpass", "substring_dedup", "pii_flags",
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
+        "peak_parabola",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -2724,6 +2725,25 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     q["peak_zero_crossing"] = q_peak_zero_crossing
 
+    def q_peak_parabola(s, d):
+        """peak_detection method='parabola' (ref peak_detection.py:389-441):
+        refine each strict neighbor-max extremum by a quadratic
+        least-squares fit over 7 surrounding samples; report the fitted
+        apex (tau, value). The fit is linear in (a, b, c) so it has a
+        closed form (no scipy) — the oracle mirrors the identical
+        centered-moment algebra term by term, so values match exactly."""
+        from tstoolbox_spark.operators.peaks import peak_parabola
+
+        out = peak_parabola(
+            _hourly_mean(s, d), "value_mean",
+            key_cols=["event_type"], window=2, points=7,
+        )
+        return out.select(
+            "event_type", "ts", "peak_raw", "tau_epoch_s", "peak_fitted"
+        )
+
+    q["peak_parabola"] = q_peak_parabola
+
     def q_lowess(s, d):
         """fit method='lowess' (ref fit.py:130-135; statsmodels absent →
         the engine defines the same Cleveland tricube-WLS algorithm
@@ -2963,6 +2983,54 @@ def _verb_oracles_round3() -> dict[str, str]:
                AND pk.pos = hm.i AND pk.pos <> 0
         LEFT JOIN valleys vl ON vl.event_type = hm.event_type
                AND vl.pos = hm.i AND vl.pos <> 0
+    """
+
+    # ---- parabola: closed-form quadratic LSQ at each raw extremum -----
+    # window=2, points=7 → h=3, n=7, K2=Σj²=28, K4=Σj⁴=196,
+    # denom = n·K4 − K2² = 588. Term order mirrors the Spark operator
+    # (ascending j, left-assoc) so doubles agree to the last ulp.
+    o["peak_parabola"] = f"""
+        WITH h AS ({hourly}),
+        nb AS (
+          SELECT event_type, ts, y, rn,
+                 LAG(y, 3)  OVER w AS ym3, LAG(y, 2)  OVER w AS ym2,
+                 LAG(y, 1)  OVER w AS ym1,
+                 LEAD(y, 1) OVER w AS yp1, LEAD(y, 2) OVER w AS yp2,
+                 LEAD(y, 3) OVER w AS yp3,
+                 MAX(y) OVER (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+                   AS bmax,
+                 MAX(y) OVER (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
+                   AS amax,
+                 (LEAD(CAST(epoch(ts) AS DOUBLE), 1) OVER w
+                  - LAG(CAST(epoch(ts) AS DOUBLE), 1) OVER w) / 2.0 AS step
+          FROM h
+          WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+        pk AS (
+          SELECT * FROM nb
+          WHERE y > bmax AND y > amax
+            AND ym3 IS NOT NULL AND ym2 IS NOT NULL AND ym1 IS NOT NULL
+            AND yp1 IS NOT NULL AND yp2 IS NOT NULL AND yp3 IS NOT NULL),
+        fit AS (
+          SELECT event_type, ts, y, step,
+                 ym3 + ym2 + ym1 + y + yp1 + yp2 + yp3 AS s0,
+                 (-3.0)*ym3 + (-2.0)*ym2 + (-1.0)*ym1 + 0.0*y
+                   + 1.0*yp1 + 2.0*yp2 + 3.0*yp3 AS s1,
+                 9.0*ym3 + 4.0*ym2 + 1.0*ym1 + 0.0*y
+                   + 1.0*yp1 + 4.0*yp2 + 9.0*yp3 AS s2
+          FROM pk),
+        ab AS (
+          SELECT *, s1 / 28.0 AS b,
+                 (7.0*s2 - 28.0*s0) / 588.0 AS a
+          FROM fit),
+        abc AS (
+          SELECT *, (s0 - a*28.0) / 7.0 AS c
+          FROM ab WHERE a <> 0.0)
+        SELECT event_type, ts, y AS peak_raw,
+               CAST(epoch(ts) AS DOUBLE) + (-b/(2.0*a))*step AS tau_epoch_s,
+               c - b*b/(4.0*a) AS peak_fitted
+        FROM abc
     """
 
     # ---- lowess (iterations=0): tricube WLS closed form ---------------

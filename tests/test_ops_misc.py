@@ -254,6 +254,41 @@ def test_peak_detection_rel(spark):
     assert valleys == [1.0, 0.2]
 
 
+def test_peak_parabola_matches_polyfit(spark):
+    """peak_parabola's closed-form quadratic LSQ must agree with
+    numpy.polyfit over the same ``points`` samples at each raw peak
+    (ref _peakdetect_parabola fits the same model via curve_fit)."""
+    from tstoolbox_spark.operators.peaks import peak_parabola
+
+    rng = np.random.RandomState(7)
+    vals = np.cumsum(rng.randn(200))
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=200, freq="h"),
+         "value": vals}
+    )
+    h, pts = 3, 7
+    out = (
+        peak_parabola(to_sdf(spark, pdf), "value", window=2, points=pts)
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert len(out) > 0
+    ts_to_i = {t: i for i, t in enumerate(pdf["ts"])}
+    for _, row in out.iterrows():
+        i = ts_to_i[row["ts"]]
+        # raw extremum: strict max of the 2 rows either side
+        assert vals[i] == max(vals[i - 2: i + 3])
+        assert h <= i < 200 - h
+        u = np.arange(-h, h + 1, dtype=float)
+        coef = np.polyfit(u, vals[i - h: i + h + 1], 2)  # a, b, c
+        a, b, c = coef
+        tau = pdf["ts"][i].timestamp() + (-b / (2 * a)) * 3600.0
+        m = c - b * b / (4 * a)
+        np.testing.assert_allclose(row["tau_epoch_s"], tau, rtol=1e-9)
+        np.testing.assert_allclose(row["peak_fitted"], m, rtol=1e-9)
+        assert row["peak_raw"] == vals[i]
+
+
 def test_distributed_rank_matches_window_rank(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F

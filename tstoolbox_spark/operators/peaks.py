@@ -211,3 +211,104 @@ def peak_detection_scan(
                 col = f"{c}_{suffix}"
                 out = out.withColumn(col, F.when(~F.isnan(F.col(col)), F.col(col)))
     return out
+
+
+def peak_parabola(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    window: int = 1,
+    points: int = 9,
+) -> DataFrame:
+    """``peak_detection`` method='parabola' — refine each raw extremum
+    by fitting ``y = k*(x - tau)**2 + m`` over ``points`` samples around
+    it and reporting the fitted apex (tau, m).
+
+    Reference: /root/reference/tstoolbox/functions/peak_detection.py:389-441
+    (``_peakdetect_parabola``) with the fitter at :152-196. The reference
+    calls scipy.optimize.curve_fit, but the model is LINEAR in the
+    reparameterization ``y = a*x**2 + b*x + c`` (tau = -b/2a,
+    m = c - b**2/4a), so the least-squares fit has a closed form. Taking
+    the regressor as the row offset u in -h..h (h = points//2) makes the
+    odd design moments vanish and the normal equations collapse to::
+
+        B = sum(u*y)/K2
+        A = (n*sum(u**2*y) - K2*sum(y)) / (n*K4 - K2**2)
+        C = (sum(y) - A*K2)/n
+        tau = ts + (-B/(2A))*step,   m = C - B**2/(4A)
+
+    with n = 2h+1, K2 = sum(j**2), K4 = sum(j**4). Spark shape: one
+    (key, ts) sort shared by the extremum test and the 2h lead/lag
+    neighbor columns the centered sums are built from — O(points) work
+    per row, no UDF, a single window pass. The sums use the lead/lag
+    values DIRECTLY (S1 = Σ j·y[i+j] term by term) rather than
+    row_number-expanded global moments: the latter subtracts ~rn²·y
+    scale intermediates and loses ~8 digits to cancellation, which a
+    value-hash oracle would see. Raw extrema are method='rel' strict
+    neighbor-max peaks (the refinement algebra is detector-agnostic);
+    only frame-complete interior peaks are emitted, as a boundary slice
+    would change the design moments. ``step`` is the local grid spacing
+    (lead - lag)/2 in seconds, exact on a regular tier grid.
+    """
+    points += 1 - points % 2  # ref :416 forces odd
+    h = points // 2
+    n = float(points)
+    k2 = float(sum(j * j for j in range(-h, h + 1)))
+    k4 = float(sum(j ** 4 for j in range(-h, h + 1)))
+    denom = n * k4 - k2 * k2
+
+    base = Window.partitionBy(*key_cols).orderBy(ts_col)
+    before = base.rowsBetween(-window, -1)
+    after = base.rowsBetween(1, window)
+
+    y = F.col(value_col)
+    ts_s = F.col(ts_col).cast("double")
+
+    # y[i+j] for j = -h..h, all over the one shared sort.
+    def yj(j: int):
+        if j < 0:
+            return F.lag(y, -j).over(base)
+        if j > 0:
+            return F.lead(y, j).over(base)
+        return y
+
+    neighbors = {j: yj(j) for j in range(-h, h + 1)}
+    out = df.withColumn(
+        "__is_peak",
+        (y > F.max(y).over(before)) & (y > F.max(y).over(after)),
+    ).withColumn("__step",
+                 (F.lead(ts_s, 1).over(base) - F.lag(ts_s, 1).over(base))
+                 / F.lit(2.0))
+    for j, expr in neighbors.items():
+        if j != 0:
+            out = out.withColumn(f"__y{j:+d}", expr)
+
+    def nb(j: int):
+        return y if j == 0 else F.col(f"__y{j:+d}")
+
+    complete = F.lit(True)
+    for j in range(-h, h + 1):
+        if j != 0:
+            complete = complete & nb(j).isNotNull()
+    out = out.filter(F.col("__is_peak") & complete)
+
+    # Left-to-right ascending-j summation; the SQL oracle mirrors the
+    # identical term order so float rounding agrees to the last ulp.
+    s0 = sum((nb(j) for j in range(-h + 1, h + 1)), nb(-h))
+    s1 = sum((F.lit(float(j)) * nb(j) for j in range(-h + 1, h + 1)),
+             F.lit(float(-h)) * nb(-h))
+    s2 = sum((F.lit(float(j * j)) * nb(j) for j in range(-h + 1, h + 1)),
+             F.lit(float(h * h)) * nb(-h))
+    b = s1 / F.lit(k2)
+    a = (F.lit(n) * s2 - F.lit(k2) * s0) / F.lit(denom)
+    c = (s0 - a * F.lit(k2)) / F.lit(n)
+    out = out.filter(a != F.lit(0.0))
+    off = -b / (F.lit(2.0) * a)
+    return out.select(
+        *key_cols,
+        F.col(ts_col),
+        y.alias("peak_raw"),
+        (ts_s + off * F.col("__step")).alias("tau_epoch_s"),
+        (c - b * b / (F.lit(4.0) * a)).alias("peak_fitted"),
+    )
