@@ -554,7 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_click_view", "fft_lowpass", "substring_dedup", "pii_flags",
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
-        "peak_parabola",
+        "peak_parabola", "ols_hour_dow", "pca_covariance",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -2826,6 +2826,40 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         )
 
     q["ewm_corr_span12"] = q_ewm_corr
+
+    def q_ols(s, d):
+        """regression family (ref functions/regression.py, sklearn ols):
+        per-event_type OLS of value on hour-of-day and day-of-week via
+        distributed normal equations — ONE map-side-combinable agg over
+        the table, Cramer's rule as column expressions on the tiny
+        moment frame (regression.py). All sums route through decimal so
+        aggregation order cannot perturb the result; the oracle mirrors
+        the identical Cramer algebra."""
+        from tstoolbox_spark.operators.regression import ols_fit
+
+        ev = (_events(s, d).select("event_type", "ts", "value")
+              .withColumn("hr", F.hour("ts"))
+              .withColumn("dow", F.dayofweek("ts")))
+        out = ols_fit(ev, "value", ["hr", "dow"],
+                      key_cols=["event_type"], exact_decimal=DEC)
+        return out.select("event_type", "intercept", "b_hr", "b_dow", "r2")
+
+    q["ols_hour_dow"] = q_ols
+
+    def q_pca_cov(s, d):
+        """pca stage 1 (ref functions/pca.py): covariance of the
+        embedding table via per-batch integer Gram partials
+        (mapInPandas, Q.T@Q) reduced by groupBy — d(d+1)/2 cells per
+        batch, independent of row count. Components quantized to
+        floor(x*1e6) BEFORE any cross-row sum, so every partial is
+        exact integer arithmetic: bit-identical under any partitioning
+        or executor count (what the value-hash checks)."""
+        from tstoolbox_spark.operators.pca import quantized_covariance
+
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        return quantized_covariance(emb, "embedding").select("i", "j", "cov")
+
+    q["pca_covariance"] = q_pca_cov
     return q
 
 
@@ -3031,6 +3065,75 @@ def _verb_oracles_round3() -> dict[str, str]:
                CAST(epoch(ts) AS DOUBLE) + (-b/(2.0*a))*step AS tau_epoch_s,
                c - b*b/(4.0*a) AS peak_fitted
         FROM abc
+    """
+
+    # ---- OLS on (hour, dow): Cramer's rule on the 3x3 normal matrix ---
+    # mirrors regression.py _solve2 term by term; decimal sums make the
+    # moments exact, so the double algebra agrees to the last ulp.
+    o["ols_hour_dow"] = f"""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(value AS {DECS}) AS y,
+                 EXTRACT(hour FROM ts) AS x1,
+                 EXTRACT(dow FROM ts) + 1 AS x2
+          FROM events),
+        m AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(y*y) AS DOUBLE) AS syy,
+                 CAST(SUM(x1) AS DOUBLE) AS s1,
+                 CAST(SUM(x1*y) AS DOUBLE) AS s1y,
+                 CAST(SUM(x1*x1) AS DOUBLE) AS s11,
+                 CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+                 CAST(SUM(x2) AS DOUBLE) AS s2,
+                 CAST(SUM(x2*y) AS DOUBLE) AS s2y,
+                 CAST(SUM(x2*x2) AS DOUBLE) AS s22
+          FROM b GROUP BY event_type),
+        dets AS (
+          SELECT *,
+                 n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                   + s2*(s1*s12 - s11*s2) AS det,
+                 sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                   + s2*(s1y*s12 - s11*s2y) AS d0,
+                 n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                   + s2*(s1*s2y - s1y*s2) AS d1,
+                 n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                   + sy*(s1*s12 - s11*s2) AS d2
+          FROM m),
+        beta AS (SELECT *, d0/det AS b0, d1/det AS b1, d2/det AS b2
+                 FROM dets)
+        SELECT event_type, b0 AS intercept, b1 AS b_hr, b2 AS b_dow,
+               1e0 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n)
+                 AS r2
+        FROM beta
+    """
+
+    # ---- PCA covariance: exact integer quantized Gram ------------------
+    # floor(x*1e6) fixes components to integers before any cross-row
+    # sum — SUM over BIGINT is exact in both engines, so the final
+    # double formula matches bit for bit (pca.py quantized_covariance).
+    o["pca_covariance"] = """
+        WITH q AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                   AS i,
+                 CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                   AS BIGINT) AS q
+          FROM embeddings),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+        s AS (SELECT i, CAST(SUM(q) AS DOUBLE) AS s FROM q GROUP BY i),
+        g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS DOUBLE)
+                       AS g
+              FROM q a JOIN q b
+                ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2)
+        SELECT g.i, g.j,
+               ((g.g - si.s * sj.s / n.n) / (n.n - 1e0)) / 1e12 AS cov
+        FROM g
+        CROSS JOIN n
+        JOIN s si ON si.i = g.i
+        JOIN s sj ON sj.i = g.j
     """
 
     # ---- lowess (iterations=0): tricube WLS closed form ---------------

@@ -167,3 +167,35 @@ def test_repetition_flags_shuffles_are_doc_keyed(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # partial aggregation before each shuffle (map-side combine)
     assert "partial_count" in plan or "Partial" in plan
+
+
+def test_ols_is_single_partial_agg_pass(spark):
+    """regression: fitting coefficients must touch the table exactly
+    once — one map-side-combinable aggregation, no window, no join,
+    no second scan."""
+    from tstoolbox_spark.operators.regression import ols_fit
+
+    ev = (spark.read.parquet(f"{TESTDATA}/events.parquet")
+          .select("event_type", "ts", "value")
+          .withColumn("hr", F.hour("ts"))
+          .withColumn("dow", F.dayofweek("ts")))
+    plan = _plan(ols_fit(ev, "value", ["hr", "dow"],
+                         key_cols=["event_type"],
+                         exact_decimal="decimal(28,2)"))
+    assert plan.count("FileScan") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_" in plan or "Partial" in plan  # map-side combine
+
+
+def test_pca_covariance_shuffles_cells_not_rows(spark):
+    """pca: the only Exchange after the Gram stage is keyed by (i, j)
+    cell — d(d+1)/2 keys regardless of row count — and the small
+    joins assembling the covariance formula are broadcasts."""
+    from tstoolbox_spark.operators.pca import quantized_covariance
+
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    plan = _plan(quantized_covariance(emb, "embedding"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # si/sj/n attach via broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "hashpartitioning(i" in plan  # cell-keyed reduce
