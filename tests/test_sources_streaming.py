@@ -63,6 +63,23 @@ def test_write_iso_csv_roundtrip(spark, tmp_path):
     assert again.count() == 3
 
 
+def test_write_pickle_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from tstoolbox_spark.sources import write_pickle
+
+    p = tmp_path / "in.csv"
+    p.write_text(CSV)
+    df = read_timeseries_csv(spark, str(p))
+    out = tmp_path / "series.pkl"
+    write_pickle(df, str(out))
+    back = pd.read_pickle(out)
+    assert back.index.name == "Datetime"
+    assert list(back.columns) == ["Value1", "Value2"]
+    assert len(back) == 3
+    assert back["Value1"].iloc[0] == 2.0
+
+
 @pytest.mark.slow
 def test_streaming_rollup_matches_batch(spark, tmp_path):
     seq = generate_sequences(spark, 20_000)

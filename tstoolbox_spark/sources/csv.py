@@ -183,3 +183,25 @@ def write_zrxp(
         with open(os.path.join(path, "_HEADER.zrxp"), "w") as f:
             f.write(f"#REXCHANGE{rexchange}|*|\n")
     return None
+
+
+def write_pickle(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """tstopickle sink (ref functions/tstopickle.py:75-118): persist
+    the frame as a pickled ts-indexed pandas DataFrame, readable with
+    ``pandas.read_pickle``/``pickle.load`` like the reference's output.
+
+    Pickle is a single-file driver-side format by definition, so this
+    shares the inline-export guard: above ``_MAX_INLINE_ROWS`` rows it
+    refuses — at scale the durable format is parquet
+    (``df.write.parquet``), and the reference's own use case (handing a
+    small series to another Python process) never exceeds the cap."""
+    pdf = df.orderBy(ts_col).limit(_MAX_INLINE_ROWS + 1).toPandas()
+    if len(pdf) > _MAX_INLINE_ROWS:
+        raise ValueError(
+            f"write_pickle is a driver-side single-file export capped "
+            f"at {_MAX_INLINE_ROWS} rows; use df.write.parquet for "
+            "distributed persistence"
+        )
+    pdf = pdf.set_index(ts_col)
+    pdf.index.name = "Datetime"
+    pdf.to_pickle(path)
