@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import math
+
 import numpy as _np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -554,7 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_click_view", "fft_lowpass", "substring_dedup", "pii_flags",
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
-        "peak_parabola", "ols_hour_dow", "pca_covariance",
+        "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -2744,6 +2746,27 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     q["peak_parabola"] = q_peak_parabola
 
+    def q_peak_sine(s, d):
+        """peak_detection method='sine' (ref peak_detection.py:443-530,
+        model A*sin(w*t+phi)+m): refine each strict neighbor-max
+        extremum by a closed-form Prony + linear-phase fit (the ref
+        uses scipy curve_fit; same model, deterministic estimator —
+        peaks.peak_sine docstring). ROUND(6) absorbs the <=1-ulp
+        sin/acos/atan2 libm differences between the JVM and DuckDB."""
+        from tstoolbox_spark.operators.peaks import peak_sine
+
+        out = peak_sine(
+            _hourly_mean(s, d), "value_mean",
+            key_cols=["event_type"], window=2, points=7,
+        )
+        return out.select(
+            "event_type", "ts", "peak_raw",
+            F.round("tau_epoch_s", 6).alias("tau_epoch_s"),
+            F.round("peak_fitted", 6).alias("peak_fitted"),
+        )
+
+    q["peak_sine"] = q_peak_sine
+
     def q_lowess(s, d):
         """fit method='lowess' (ref fit.py:130-135; statsmodels absent →
         the engine defines the same Cleveland tricube-WLS algorithm
@@ -3134,6 +3157,89 @@ def _verb_oracles_round3() -> dict[str, str]:
         CROSS JOIN n
         JOIN s si ON si.i = g.i
         JOIN s sj ON sj.i = g.j
+    """
+
+    # ---- sine: Prony LSQ (c,d) -> w,m; 2x2 Cramer (a,b); apex ----------
+    # Same window/neighbor scaffold as parabola (h=3, points=7). Term
+    # lists are code-generated in the exact ascending-j left-assoc
+    # order the Spark operator folds in; ROUND(6) at the end absorbs
+    # libm ulp differences in sin/acos/atan2.
+    def _nbref(j: int) -> str:
+        return "y" if j == 0 else (f"ym{-j}" if j < 0 else f"yp{j}")
+
+    def _uref(j: int) -> str:
+        return f"({_nbref(j + 1)} + {_nbref(j - 1)})"
+
+    _inner = list(range(-2, 3))
+    _js = list(range(-3, 4))
+    _sv = " + ".join(_nbref(j) for j in _inner)
+    _su = " + ".join(_uref(j) for j in _inner)
+    _suv = " + ".join(f"{_uref(j)}*{_nbref(j)}" for j in _inner)
+    _svv = " + ".join(f"{_nbref(j)}*{_nbref(j)}" for j in _inner)
+    _sss = " + ".join(f"SIN(th*{float(j)!r})*SIN(th*{float(j)!r})" for j in _js)
+    _ssk = " + ".join(f"SIN(th*{float(j)!r})*COS(th*{float(j)!r})" for j in _js)
+    _skk = " + ".join(f"COS(th*{float(j)!r})*COS(th*{float(j)!r})" for j in _js)
+    _ssy = " + ".join(f"SIN(th*{float(j)!r})*({_nbref(j)} - m)" for j in _js)
+    _sky = " + ".join(f"COS(th*{float(j)!r})*({_nbref(j)} - m)" for j in _js)
+    o["peak_sine"] = f"""
+        WITH h AS ({hourly}),
+        nb AS (
+          SELECT event_type, ts, y, rn,
+                 LAG(y, 3)  OVER w AS ym3, LAG(y, 2)  OVER w AS ym2,
+                 LAG(y, 1)  OVER w AS ym1,
+                 LEAD(y, 1) OVER w AS yp1, LEAD(y, 2) OVER w AS yp2,
+                 LEAD(y, 3) OVER w AS yp3,
+                 MAX(y) OVER (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+                   AS bmax,
+                 MAX(y) OVER (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
+                   AS amax,
+                 (LEAD(CAST(epoch(ts) AS DOUBLE), 1) OVER w
+                  - LAG(CAST(epoch(ts) AS DOUBLE), 1) OVER w) / 2.0 AS step
+          FROM h
+          WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+        pk AS (
+          SELECT * FROM nb
+          WHERE y > bmax AND y > amax
+            AND ym3 IS NOT NULL AND ym2 IS NOT NULL AND ym1 IS NOT NULL
+            AND yp1 IS NOT NULL AND yp2 IS NOT NULL AND yp3 IS NOT NULL),
+        p1 AS (
+          SELECT *, {_sv} AS sv, {_su} AS su,
+                 {_suv} AS suv, {_svv} AS svv
+          FROM pk),
+        p1f AS (SELECT * FROM p1 WHERE 5.0*svv - sv*sv <> 0.0),
+        cd AS (
+          SELECT *, (5.0*suv - su*sv) / (5.0*svv - sv*sv) / 2.0 AS c,
+                 ((su - (5.0*suv - su*sv) / (5.0*svv - sv*sv) * sv) / 5.0)
+                   AS dd
+          FROM p1f),
+        cdf AS (SELECT * FROM cd WHERE ABS(c) < 1.0),
+        wm AS (
+          SELECT *, ACOS(c) AS th, dd / (2.0 * (1.0 - c)) AS m
+          FROM cdf),
+        p2 AS (
+          SELECT *, {_sss} AS sss, {_ssk} AS ssk, {_skk} AS skk,
+                 {_ssy} AS ssy, {_sky} AS sky
+          FROM wm),
+        p2f AS (SELECT * FROM p2 WHERE sss*skk - ssk*ssk <> 0.0),
+        ab AS (
+          SELECT *, (ssy*skk - ssk*sky) / (sss*skk - ssk*ssk) AS a,
+                 (sss*sky - ssk*ssy) / (sss*skk - ssk*ssk) AS b
+          FROM p2f),
+        apex AS (
+          SELECT *, SQRT(a*a + b*b) AS amp, ATAN2(b, a) AS phi
+          FROM ab),
+        tt AS (
+          SELECT *, ({math.pi / 2.0!r}e0 - phi) / th AS tstar
+          FROM apex)
+        SELECT event_type, ts, y AS peak_raw,
+               ROUND(CAST(epoch(ts) AS DOUBLE)
+                     + (tstar - ({2.0 * math.pi!r}e0 / th)
+                        * FLOOR(tstar * th / {2.0 * math.pi!r}e0 + 0.5))
+                       * step, 6) AS tau_epoch_s,
+               ROUND(m + amp, 6) AS peak_fitted
+        FROM tt
     """
 
     # ---- lowess (iterations=0): tricube WLS closed form ---------------

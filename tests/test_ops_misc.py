@@ -289,6 +289,50 @@ def test_peak_parabola_matches_polyfit(spark):
         assert row["peak_raw"] == vals[i]
 
 
+def test_peak_sine_recovers_pure_sinusoid(spark):
+    """On data that IS a sampled sinusoid the closed-form Prony +
+    linear-phase estimator recovers the exact apex time and value
+    (the property scipy curve_fit converges to in the reference)."""
+    import math
+
+    from tstoolbox_spark.operators.peaks import peak_sine
+
+    n = 240
+    t = np.arange(n) * 3600.0
+    w = 2 * math.pi / (24 * 3600)
+    vals = 5.0 + 2.0 * np.sin(w * t + 0.7)
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=n, freq="h"),
+         "value": vals}
+    )
+    out = (peak_sine(to_sdf(spark, pdf), "value", window=2, points=9)
+           .orderBy("ts").toPandas())
+    assert len(out) >= 8
+    epoch0 = pdf["ts"][0].timestamp()
+    t0 = (math.pi / 2 - 0.7) / w  # first true apex offset
+    period = 24 * 3600.0
+    for _, row in out.iterrows():
+        k = round(((row["tau_epoch_s"] - epoch0) - t0) / period)
+        true_tau = epoch0 + t0 + k * period
+        assert abs(row["tau_epoch_s"] - true_tau) < 1e-6
+        assert abs(row["peak_fitted"] - 7.0) < 1e-9
+
+
+def test_peak_sine_drops_unfittable_windows(spark):
+    """A window with no sinusoidal structure (|cos estimate| >= 1,
+    e.g. monotone ramp with one spike) is dropped, not NaN-emitted."""
+    from tstoolbox_spark.operators.peaks import peak_sine
+
+    vals = np.arange(20.0)
+    vals[10] = 100.0  # raw peak whose neighborhood is a ramp
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=20, freq="h"),
+         "value": vals}
+    )
+    out = peak_sine(to_sdf(spark, pdf), "value", window=2, points=7).toPandas()
+    assert not out[["tau_epoch_s", "peak_fitted"]].isna().any().any()
+
+
 def test_distributed_rank_matches_window_rank(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
