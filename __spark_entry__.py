@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
         "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
+        "pq_topk",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -2009,6 +2010,32 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # assign→top-k chain has an exact SQL twin (see oracle_sql).
     q["ivf_topk"] = ivf_topk_q
 
+    def pq_topk_q(s, d):
+        """Product-quantization ANN (Jegou et al. 2011): encode each
+        vector as 8 sub-codebook indices, score by the query's ADC
+        lookup table. Codebooks pinned = subvectors of vec_id<16 (like
+        ivf_topk's pinned centroids) so the encode→table→top-k chain
+        has an exact SQL twin; every fold is an explicit ascending-
+        index term sum mirrored in the oracle."""
+        from tstoolbox_spark.textops.similarity import pq_topk
+
+        emb = _emb(s, d)
+        rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        dim = len(rows[0]["embedding"])
+        m, dsub = 8, dim // 8
+        books = [
+            [[float(x) for x in r["embedding"][mi * dsub:(mi + 1) * dsub]]
+             for r in rows]
+            for mi in range(m)
+        ]
+        qvec = [float(x) for x in rows[0]["embedding"]]
+        out = pq_topk(emb.filter(F.col("vec_id") > 0), qvec, books, k=10)
+        return out.select(
+            "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+        )
+
+    q["pq_topk"] = pq_topk_q
+
     def binary_meta(s, d):
         docs = _docs(s, d).select("doc_id", F.col("text").cast("binary").alias("payload"))
         from tstoolbox_spark.multimodal import binary_metadata
@@ -2550,6 +2577,55 @@ def _textops_oracles() -> dict[str, str]:
         FROM assigned a, q
         WHERE a.cell IN (SELECT cell FROM probe)
         ORDER BY cosine_sim DESC, a.vec_id ASC
+        LIMIT 10
+    """
+
+    # pq_topk: codebooks pinned to vec_id<16 subvectors, query = vec 0.
+    # Distances are explicit ascending-index term sums (both engines
+    # fold left-assoc), so encode argmin, ADC table, and ordering are
+    # bit-exact; ROUND(6) is display-only.
+    def _l2sq(vexpr: str, cexpr: str, n: int = 8) -> str:
+        return " + ".join(
+            f"({vexpr}[{i}] - {cexpr}[{i}]) * ({vexpr}[{i}] - {cexpr}[{i}])"
+            for i in range(1, n + 1)
+        )
+
+    _adc_sum = " + ".join(f"d{mi}" for mi in range(8))
+    _adc_piv = ", ".join(
+        f"MAX(CASE WHEN enc.m = {mi} THEN dq END) AS d{mi}"
+        for mi in range(8)
+    )
+    o["pq_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        ms AS (SELECT unnest(range(8)) AS m),
+        cb AS (
+          SELECT c.vec_id AS code, ms.m,
+                 list_slice(c.v, ms.m*8 + 1, ms.m*8 + 8) AS cv,
+                 ms.m*8 AS off
+          FROM e c CROSS JOIN ms WHERE c.vec_id < 16),
+        corpsub AS (
+          SELECT e.vec_id, cb.m, cb.code,
+                 {_l2sq("list_slice(e.v, cb.off + 1, cb.off + 8)", "cb.cv")}
+                   AS dst
+          FROM e CROSS JOIN cb WHERE e.vec_id > 0),
+        enc AS (
+          SELECT vec_id, m, code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                       ORDER BY dst ASC, code ASC) AS rn
+            FROM corpsub) WHERE rn = 1),
+        tq AS (
+          SELECT cb.m, cb.code,
+                 {_l2sq("list_slice(q.qv, cb.off + 1, cb.off + 8)", "cb.cv")}
+                   AS dq
+          FROM cb CROSS JOIN q),
+        piv AS (
+          SELECT enc.vec_id, {_adc_piv}
+          FROM enc JOIN tq ON tq.m = enc.m AND tq.code = enc.code
+          GROUP BY enc.vec_id)
+        SELECT vec_id, ROUND({_adc_sum}, 6) AS adc_dist
+        FROM piv
+        ORDER BY {_adc_sum} ASC, vec_id ASC
         LIMIT 10
     """
 

@@ -358,3 +358,79 @@ def test_ngram_contamination(spark):
     out = {r["doc_id"]: r.asDict() for r in ngram_contamination(train, eval_df, n=8).collect()}
     assert out[1]["eval_hits"] == 0 and out[1]["contaminated"] is False
     assert out[2]["eval_hits"] >= 1 and out[2]["contaminated"] is True
+
+
+def test_pq_encode_codes_are_argmin(spark):
+    """Every emitted code must be the true argmin sub-codebook entry
+    (ties to the lower code) — checked against numpy per subspace."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs)})
+    sdf = spark.createDataFrame(pdf)
+    m, dsub = 4, 4
+    books = [
+        [[float(x) for x in vecs[i][mi * dsub:(mi + 1) * dsub]]
+         for i in range(8)]
+        for mi in range(m)
+    ]
+    out = (similarity.pq_encode(sdf, books)
+           .orderBy("vec_id").toPandas())
+    X = vecs.astype(np.float64)
+    for row, x in zip(out["pq_code"], X):
+        for mi in range(m):
+            sub = x[mi * dsub:(mi + 1) * dsub]
+            d = ((np.array(books[mi]) - sub) ** 2).sum(axis=1)
+            assert row[mi] == int(np.argmin(d))
+
+
+def test_pq_topk_recall_with_trained_codebooks(spark):
+    """End-to-end PQ: train per-subspace codebooks with the
+    distributed Lloyd's loop, encode, ADC-scan — the approximate
+    top-10 must overlap the exact L2 top-10 on clustered data."""
+    rng = np.random.RandomState(9)
+    centers = rng.randn(6, 16) * 3
+    vecs = np.vstack([
+        centers[i % 6] + 0.3 * rng.randn(16) for i in range(240)
+    ]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(240), "embedding": list(vecs)})
+    sdf = spark.createDataFrame(pdf)
+    books = similarity.pq_train(sdf, m=4, k=8, iters=3)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    q = [float(x) for x in vecs[0]]
+    # standard PQ evaluation is recall@R (true top-10 inside the
+    # approximate top-R): within a tight cluster every member collapses
+    # to near-identical codes, so exact rank inside the cluster is not
+    # recoverable from 4 codes — containment at R=50 is.
+    approx = similarity.pq_topk(
+        sdf.filter("vec_id > 0"), q, books, k=50
+    ).toPandas()["vec_id"].tolist()
+    X = vecs.astype(np.float64)
+    exact = np.argsort(((X - X[0]) ** 2).sum(axis=1))[1:11]
+    recall = len(set(approx) & set(int(i) for i in exact)) / 10
+    assert recall >= 0.8
+    # adc distances are nonneg and ascending
+    dists = similarity.pq_topk(
+        sdf.filter("vec_id > 0"), q, books, k=10
+    ).toPandas()["adc_dist"]
+    assert (dists.values >= 0).all()
+    assert (np.diff(dists.values) >= 0).all()
+
+
+def test_pq_encode_precomputed_codes_reused(spark):
+    """pq_topk over a pre-encoded corpus (codes_col) must equal the
+    inline-encode path — the scan at scale never touches the floats."""
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(80, 16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": list(vecs)})
+    sdf = spark.createDataFrame(pdf)
+    books = [
+        [[float(x) for x in vecs[i][mi * 4:(mi + 1) * 4]] for i in range(8)]
+        for mi in range(4)
+    ]
+    q = [float(x) for x in vecs[1]]
+    inline = similarity.pq_topk(sdf, q, books, k=10).toPandas()
+    enc = similarity.pq_encode(sdf, books)
+    pre = similarity.pq_topk(enc, q, books, k=10,
+                             codes_col="pq_code").toPandas()
+    assert inline["vec_id"].tolist() == pre["vec_id"].tolist()
+    np.testing.assert_array_equal(inline["adc_dist"], pre["adc_dist"])

@@ -60,12 +60,28 @@ def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """IVF cell assignment: argmax cosine over the (broadcast) centroid
-    array — a per-row array expression, no shuffle."""
+    """Cell assignment: argbest over the (broadcast) centroid array —
+    a per-row array expression, no shuffle. metric='cosine' (IVF
+    coarse quantizer) or 'l2' (PQ sub-quantizers, which quantize
+    magnitudes too so angle alone is the wrong objective)."""
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
-    best = F.array_position(sims, F.array_max(sims)) - 1
+    if metric == "cosine":
+        sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
+        best = F.array_position(sims, F.array_max(sims)) - 1
+    elif metric == "l2":
+        d2 = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec_col).cast("array<double>"), c,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        )
+        best = F.array_position(d2, F.array_min(d2)) - 1
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return df.withColumn("cell", best.cast("int"))
 
 
@@ -143,6 +159,7 @@ def train_centroids(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for the IVF coarse quantizer.
 
@@ -161,7 +178,7 @@ def train_centroids(
     )
     centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(iters):
-        assigned = assign_cells(df, centroids, vec_col)
+        assigned = assign_cells(df, centroids, vec_col, metric=metric)
         means = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
             .groupBy("cell", "dim")
@@ -245,3 +262,122 @@ def embedding_lsh_near_dup(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the standard ANN memory layout at corpus
+# scale — Jegou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011 (public). A d-dim vector becomes M
+# one-byte-ish codes (argmin sub-codebook entry per d/M-dim slice);
+# search scans codes against a query-specific M x K distance table
+# (ADC) instead of raw floats — at 10^12 vectors the float corpus is
+# petabytes, the code corpus is terabytes, and the scan is pure
+# integer-indexed lookups.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks with the SAME distributed Lloyd's
+    loop as the IVF coarse quantizer (train_centroids), run on each
+    d/M-dim slice. Returns M x K x (d/M) python floats — metadata
+    scale (M*K*dsub doubles on the driver)."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = []
+    for mi in range(m):
+        sliced = df.select(
+            id_col, F.slice(F.col(vec_col), mi * dsub + 1, dsub).alias(vec_col)
+        )
+        books.append(train_centroids(sliced, k=k, iters=iters,
+                                     vec_col=vec_col, id_col=id_col,
+                                     metric="l2"))
+    return books
+
+
+def _sub_l2(sub_col, center: list[float]):
+    """Squared L2 between a sliced array column and a literal center —
+    an explicit ascending-index left-assoc term sum, the exact fold
+    order the SQL oracle mirrors (no aggregate-lambda ordering to
+    trust)."""
+    terms = None
+    for i, c in enumerate(center):
+        d = F.element_at(sub_col, i + 1) - F.lit(float(c))
+        t = d * d
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of per-subspace nearest-codebook
+    indices (ties to the lower code). Pure column expressions over one
+    narrow scan — no shuffle, no UDF; at scale this is the map stage
+    that shrinks the corpus ~4*d/M x."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = []
+    for mi in range(m):
+        sub = F.slice(vec, mi * dsub + 1, dsub)
+        cands = F.array(*[
+            F.struct(_sub_l2(sub, c).alias("dst"),
+                     F.lit(ci).alias("code"))
+            for ci, c in enumerate(codebooks[mi])
+        ])
+        codes.append(F.array_min(cands)["code"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by ADC (asymmetric distance computation):
+    build the query's M x K subspace distance table on the driver
+    (metadata), then score each row by M literal-array lookups on its
+    codes and take the k smallest. If ``codes_col`` is None the codes
+    are derived inline (one narrow pass); pre-encoded corpora skip
+    straight to the lookup scan."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    # query-to-code distance table, python floats in the same
+    # ascending-index fold order as _sub_l2 -> bit-identical to SQL
+    table = []
+    for mi in range(m):
+        qs = query_vec[mi * dsub:(mi + 1) * dsub]
+        row = []
+        for c in codebooks[mi]:
+            acc = None
+            for qi, ci in zip(qs, c):
+                t = (float(qi) - float(ci)) * (float(qi) - float(ci))
+                acc = t if acc is None else acc + t
+            row.append(acc)
+        table.append(row)
+    scored = df if codes_col else pq_encode(df, codebooks, vec_col, "__pq")
+    code = F.col(codes_col or "__pq")
+    dist = None
+    for mi in range(m):
+        lut = F.array(*[F.lit(v) for v in table[mi]])
+        term = F.element_at(lut, code[mi] + F.lit(1))
+        dist = term if dist is None else dist + term
+    return (scored.select(id_col, dist.alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(k))
