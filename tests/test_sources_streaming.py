@@ -348,3 +348,49 @@ def test_streaming_ingest_dedup(spark, tmp_path):
     q2.awaitTermination(180)
     got2 = spark.read.parquet(out)
     assert got2.count() == got2.select("tokens").distinct().count()
+
+
+@pytest.mark.slow
+def test_streaming_ewm_matches_batch_and_resumes(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): the streamed
+    per-key EWM equals the batch ewm_window(adjust=True) over the full
+    series, and a kill-resume (second drain, same checkpoint)
+    continues the recurrence exactly-once from the stored (num, den)
+    state."""
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.window import ewm_window
+    from tstoolbox_spark.streaming import continuous_ewm
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+        "event_id": np.arange(n),
+        "user_id": np.arange(n) % 7,
+        "event_type": np.where(np.arange(n) % 2 == 0, "click", "view"),
+        "value": np.round(np.random.RandomState(4).randn(n) * 10 + 50, 2),
+    })
+    df = spark.createDataFrame(pdf)
+    in_dir = str(tmp_path / "ewm_in")
+    out_dir = str(tmp_path / "ewm_out")
+    ck = str(tmp_path / "ewm_ck")
+
+    cutoff = pdf["ts"][n // 2]
+    df.filter(F.col("ts") <= F.lit(cutoff)).write.mode("overwrite").parquet(in_dir)
+    continuous_ewm(spark, in_dir, out_dir, ck, span=12).awaitTermination(120)
+    first = spark.read.parquet(out_dir).count()
+    assert first > 0
+
+    # kill-resume with the later half
+    df.filter(F.col("ts") > F.lit(cutoff)).write.mode("append").parquet(in_dir)
+    continuous_ewm(spark, in_dir, out_dir, ck, span=12).awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n  # exactly-once: every row emitted once
+    batch = ewm_window(
+        df, "mean", value_cols=["value"], key_cols=["event_type"], span=12
+    ).select("event_type", "ts", F.col("value_ewm_mean").alias("expected"))
+    joined = got.join(batch, ["event_type", "ts"]).toPandas()
+    assert len(joined) == n
+    np.testing.assert_allclose(joined["ewm"], joined["expected"], rtol=1e-9)

@@ -4,3 +4,4 @@ from .continuous import (  # noqa: F401
     continuous_rollup,
 )
 from .sessions import continuous_session_stats  # noqa: F401
+from .stateful import continuous_ewm  # noqa: F401
