@@ -557,7 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
         "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
-        "pq_topk",
+        "pq_topk", "text_normalize",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -2216,6 +2216,28 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_flags"] = q_pii
+
+    def q_text_normalize(s, d):
+        """text_normalize: control-char strip + whitespace collapse +
+        trim + lowercase (quality.text_normalize) — the zero-shuffle
+        canonicalization pre-pass for exact/MinHash dedup. Hash the
+        normalized text so the compare stays compact."""
+        from tstoolbox_spark.textops.dedup import md5int
+        from tstoolbox_spark.textops.quality import text_normalize
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        # make the op observable: re-inject formatting noise first
+        noisy = docs.select(
+            "doc_id",
+            F.concat(F.lit("  \tA\x01B  "), F.col("text"),
+                     F.lit(" \n\n MIXED Case \x7f ")).alias("text"),
+        )
+        out = text_normalize(noisy, lowercase=True)
+        return out.select(
+            "doc_id", md5int(F.col("text_norm")).alias("norm_hash")
+        )
+
+    q["text_normalize"] = q_text_normalize
     return q
 
 
@@ -2749,6 +2771,21 @@ def _textops_oracles() -> dict[str, str]:
                CAST(n_email > 0 OR n_ipv4 > 0 OR n_phone > 0 AS INT) AS has_pii,
                {_md5int_sql(_red)} AS redacted_hash
         FROM cnt
+    """
+
+    # text_normalize: identical injected noise, identical regex passes
+    # (ASCII classes valid in both Java and RE2), lowercase, md5 hash.
+    _tn = (
+        "lower(trim(regexp_replace(regexp_replace("
+        "chr(32) || chr(32) || chr(9) || 'A' || chr(1) || 'B' || chr(32)"
+        " || chr(32) || text || chr(32) || chr(10) || chr(10) || chr(32)"
+        " || 'MIXED Case ' || chr(127) || chr(32), "
+        r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), "
+        r"'\s+', ' ', 'g')))"
+    )
+    o["text_normalize"] = f"""
+        SELECT doc_id, {_md5int_sql(_tn)} AS norm_hash
+        FROM documents
     """
     return o
 

@@ -434,3 +434,22 @@ def test_pq_encode_precomputed_codes_reused(spark):
                              codes_col="pq_code").toPandas()
     assert inline["vec_id"].tolist() == pre["vec_id"].tolist()
     np.testing.assert_array_equal(inline["adc_dist"], pre["adc_dist"])
+
+
+def test_text_normalize_semantics(spark):
+    from tstoolbox_spark.textops.quality import text_normalize
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["  Hello\x01\x02  World\t\tfoo \n bar  ",
+                 "already clean"],
+    })
+    out = (text_normalize(spark.createDataFrame(pdf), lowercase=True)
+           .orderBy("doc_id").toPandas())
+    assert out["text_norm"].tolist() == ["hello world foo bar",
+                                         "already clean"]
+    # no lowercase, custom out col
+    out2 = (text_normalize(spark.createDataFrame(pdf), out_col="t2")
+            .orderBy("doc_id").toPandas())
+    assert out2["t2"].tolist() == ["Hello World\tfoo bar".replace("\t", " "),
+                                   "already clean"]

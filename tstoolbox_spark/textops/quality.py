@@ -390,3 +390,25 @@ def unigram_logprob(
         .agg(F.round(F.avg("lp"), 6).alias("mean_logprob"), F.count("*").alias("n_words"))
         .select(F.col("doc").alias(id_col), "mean_logprob", "n_words")
     )
+
+
+def text_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Canonicalize text before dedup/fingerprinting: strip ASCII
+    control characters, collapse whitespace runs to single spaces,
+    trim, optionally lowercase. Pure column expressions (three
+    regexp_replace passes + trim), zero shuffle — the standard
+    pre-pass that makes exact/MinHash dedup robust to formatting-only
+    variants. The regexes use only ASCII classes valid in both Java
+    (Spark) and RE2 (DuckDB), so the oracle mirrors them verbatim."""
+    out = out_col or f"{text_col}_norm"
+    s = F.regexp_replace(F.col(text_col), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    s = F.regexp_replace(s, r"\s+", " ")
+    s = F.trim(s)
+    if lowercase:
+        s = F.lower(s)
+    return df.withColumn(out, s)
