@@ -83,14 +83,33 @@ def main() -> int:
     ap.add_argument("--pipeline-only", action="store_true",
                     help="skip the query sweep (~1/3 wall time; fits "
                          "short host windows)")
+    ap.add_argument("--wide-gate", type=float, default=0.0,
+                    help="also require the no-Spark codec pool to hit "
+                         "this 8->32-proc scaling efficiency before "
+                         "firing (catches days when the host punishes "
+                         "wide occupancy while low-occupancy probes "
+                         "read at baseline)")
     args = ap.parse_args()
 
     deadline = time.time() + args.max_wait_min * 60
+    wide_eff = None
     while True:
         g = probe_gbps()
         print(f"probe: {g:.1f} GB/s (need {args.min_gbps})", flush=True)
         if g >= args.min_gbps:
-            break
+            if not args.wide_gate:
+                break
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from codec_scaling import measure  # noqa: E402
+
+            thr8 = measure(8, 64, 8000)
+            thr32 = measure(32, 64, 8000)
+            wide_eff = (thr32 / thr8) / 4.0
+            print(f"wide gate: codec 8p {thr8:.0f} -> 32p {thr32:.0f} "
+                  f"cells/s, eff {wide_eff:.2f} "
+                  f"(need {args.wide_gate})", flush=True)
+            if wide_eff >= args.wide_gate:
+                break
         if time.time() > deadline:
             print("no quiet window within the wait budget", flush=True)
             return 3
@@ -113,6 +132,7 @@ def main() -> int:
     rec = {
         "ts": time.time(),
         "probe_gbps_before": round(before, 2),
+        "wide_eff_before": round(wide_eff, 3) if wide_eff else None,
         "probe_agg_gbps_before": round(agg_before, 2),
         "probe_agg_gbps_after": round(probe_aggregate_gbps(), 2),
         "probe_gbps_after": round(after, 2),
