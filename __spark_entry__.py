@@ -557,7 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
         "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
-        "pq_topk", "text_normalize",
+        "pq_topk", "text_normalize", "convert_units_mixed",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -2996,6 +2996,27 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         return quantized_covariance(emb, "embedding").select("i", "j", "cov")
 
     q["pca_covariance"] = q_pca_cov
+
+    def q_convert_units(s, d):
+        """source_units/target_units surface (ref tsutils.py:1047-1120,
+        pint-backed there): curated affine registry compiled to one
+        multiply-add per column with Python-folded constants
+        (operators/units.py) — flow cfs→cms and temperature degF→degC,
+        including the ref's name:unit column-suffix rename."""
+        from tstoolbox_spark.operators.units import convert_units
+
+        ev = _events(s, d).select(
+            "event_id",
+            F.col("value").alias("flow:cfs"),
+            (F.col("value") / F.lit(2.0)).alias("temp"),
+        )
+        out = convert_units(
+            ev, ["cfs", "degf"], ["cms", "degc"],
+            value_cols=["flow:cfs", "temp"],
+        )
+        return out.select("event_id", F.col("`flow:cms`"), "temp")
+
+    q["convert_units_mixed"] = q_convert_units
     return q
 
 
@@ -3201,6 +3222,18 @@ def _verb_oracles_round3() -> dict[str, str]:
                CAST(epoch(ts) AS DOUBLE) + (-b/(2.0*a))*step AS tau_epoch_s,
                c - b*b/(4.0*a) AS peak_fitted
         FROM abc
+    """
+
+    # ---- convert_units: the exact Python-folded affine constants ------
+    from tstoolbox_spark.operators.units import conversion_coeffs as _cc
+
+    _fa, _fb = _cc("cfs", "cms")
+    _ta, _tb = _cc("degf", "degc")
+    o["convert_units_mixed"] = f"""
+        SELECT event_id,
+               value * {_fa!r}e0 + {_fb!r}e0 AS "flow:cms",
+               (value / 2.0) * {_ta!r}e0 + {_tb!r}e0 AS temp
+        FROM events
     """
 
     # ---- OLS on (hour, dow): Cramer's rule on the 3x3 normal matrix ---

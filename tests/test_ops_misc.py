@@ -398,3 +398,41 @@ def test_describe_approximate_mode(spark, twocol_pdf):
     # data values near the exact interpolated ones
     for q in ("a_25", "a_50", "a_75"):
         assert abs(exact[q] - approx[q]) <= (exact["a_max"] - exact["a_min"]) * 0.05
+
+
+def test_convert_units(spark):
+    """Curated affine unit registry (ref tsutils._normalize_units
+    surface): known conversions, name:unit rename, and the reference's
+    embedded-vs-explicit conflict error."""
+    import pytest
+
+    from tstoolbox_spark.operators.units import (
+        conversion_coeffs,
+        convert_units,
+    )
+
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2020-01-01", periods=3, freq="h"),
+        "flow:cfs": [1.0, 10.0, 100.0],
+        "temp": [32.0, 212.0, -40.0],
+    })
+    out = (convert_units(spark.createDataFrame(pdf),
+                         ["cfs", "degf"], ["cms", "degc"])
+           .orderBy("ts").toPandas())
+    assert "flow:cms" in out.columns
+    np.testing.assert_allclose(out["flow:cms"],
+                               [0.028316846592, 0.28316846592, 2.8316846592])
+    np.testing.assert_allclose(out["temp"], [0.0, 100.0, -40.0], atol=1e-12)
+
+    # roundtrip identity
+    a, b = conversion_coeffs("cfs", "cms")
+    a2, b2 = conversion_coeffs("cms", "cfs")
+    assert abs(a * a2 - 1.0) < 1e-15 and abs(b) == 0.0 and abs(b2) == 0.0
+
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="embeds unit"):
+        convert_units(sdf, ["m", "degf"], ["ft", "degc"])
+    with pytest.raises(ValueError, match="unknown unit"):
+        conversion_coeffs("furlong", "m")
+    with pytest.raises(ValueError, match="cannot convert"):
+        conversion_coeffs("m", "degc")
