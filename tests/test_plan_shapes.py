@@ -199,3 +199,29 @@ def test_pca_covariance_shuffles_cells_not_rows(spark):
     assert "SortMergeJoin" not in plan  # si/sj/n attach via broadcast
     assert plan.count("BroadcastHashJoin") >= 2
     assert "hashpartitioning(i" in plan  # cell-keyed reduce
+
+
+def test_pq_scan_reads_codes_not_floats(spark, tmp_path):
+    """PQ's scale claim: top-k over a pre-encoded corpus is a scan of
+    the codes column only — the float embeddings never leave disk
+    (ReadSchema excludes them), and scoring is literal-array lookups
+    with no join or extra shuffle."""
+    from tstoolbox_spark.textops.similarity import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    rows = emb.orderBy("vec_id").limit(16).collect()
+    dsub = len(rows[0]["embedding"]) // 8
+    books = [
+        [[float(x) for x in r["embedding"][m * dsub:(m + 1) * dsub]]
+         for r in rows]
+        for m in range(8)
+    ]
+    enc_path = str(tmp_path / "codes")
+    pq_encode(emb, books).select("vec_id", "pq_code").write.parquet(enc_path)
+    codes = spark.read.parquet(enc_path)
+    q = [float(x) for x in rows[0]["embedding"]]
+    plan = _plan(pq_topk(codes, q, books, k=10, codes_col="pq_code"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_code" in read_schema and "embedding" not in read_schema
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan  # k-row ordered take, no sort
