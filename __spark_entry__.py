@@ -557,7 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
         "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
-        "pq_topk", "text_normalize", "convert_units_mixed",
+        "pq_topk", "text_normalize", "convert_units_mixed", "mad_outliers",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -3017,6 +3017,24 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         return out.select("event_id", F.col("`flow:cms`"), "temp")
 
     q["convert_units_mixed"] = q_convert_units
+
+    def q_mad_outliers(s, d):
+        """rolling_mad_outliers (engine extension): centered rolling
+        median + MAD anomaly flags over hourly means — medians are
+        exact middle elements of the sorted 11-row frame (never
+        interpolated), so the oracle mirrors with list_sort picks."""
+        from tstoolbox_spark.operators.window import rolling_mad_outliers
+
+        out = rolling_mad_outliers(
+            _hourly_mean(s, d), "value_mean",
+            key_cols=["event_type"], window=11, k=3.0,
+        )
+        return out.select(
+            "event_type", "ts", "value_mean", "med", "mad",
+            F.col("is_outlier").cast("int").alias("is_outlier"),
+        )
+
+    q["mad_outliers"] = q_mad_outliers
     return q
 
 
@@ -3234,6 +3252,31 @@ def _verb_oracles_round3() -> dict[str, str]:
                value * {_fa!r}e0 + {_fb!r}e0 AS "flow:cms",
                (value / 2.0) * {_ta!r}e0 + {_tb!r}e0 AS temp
         FROM events
+    """
+
+    # ---- rolling MAD outliers: exact sorted-frame middle elements -----
+    o["mad_outliers"] = f"""
+        WITH h AS ({hourly}),
+        fr AS (
+          SELECT event_type, ts, y,
+                 list(y) OVER (PARTITION BY event_type ORDER BY rn
+                               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                   AS arr
+          FROM h),
+        m1 AS (
+          SELECT *, CASE WHEN len(arr) = 11
+                         THEN list_sort(arr)[6] END AS med
+          FROM fr),
+        m2 AS (
+          SELECT *, CASE WHEN len(arr) = 11 THEN
+                 list_sort(list_transform(arr, v -> abs(v - med)))[6]
+                 END AS mad
+          FROM m1)
+        SELECT event_type, ts, y AS value_mean, med, mad,
+               CASE WHEN len(arr) = 11
+                    THEN CAST(abs(y - med) > 3.0 * mad AS INT) END
+                 AS is_outlier
+        FROM m2
     """
 
     # ---- OLS on (hour, dow): Cramer's rule on the 3x3 normal matrix ---

@@ -215,3 +215,33 @@ def test_ewm_pairwise_corr_cov(spark, twocol_pdf):
     np.testing.assert_allclose(
         out_v["a_b_ewm_cov"].to_numpy()[1:], exp_v.to_numpy()[1:], rtol=1e-12
     )
+
+
+def test_rolling_mad_outliers(spark):
+    """Centered rolling median/MAD vs a numpy oracle; a spike inside a
+    calm stretch flags, the calm rows do not, edges stay null."""
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.window import rolling_mad_outliers
+
+    vals = np.sin(np.arange(60) / 5.0) * 2.0
+    vals[30] += 50.0  # spike
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=60, freq="h"),
+         "value": vals}
+    )
+    out = (rolling_mad_outliers(
+        spark.createDataFrame(pdf), "value", window=11, k=3.0)
+        .orderBy("ts").toPandas())
+    assert out["med"].isna().sum() == 10  # 5 rows each edge
+    for i in range(5, 55):
+        frame = np.sort(vals[i - 5: i + 6])
+        med = frame[5]
+        mad = np.sort(np.abs(vals[i - 5: i + 6] - med))[5]
+        assert out["med"][i] == med
+        assert out["mad"][i] == mad
+        exp = bool(abs(vals[i] - med) > 3.0 * mad)
+        assert bool(out["is_outlier"][i]) == exp
+    assert bool(out["is_outlier"][30])
+    assert not out["is_outlier"][5:25].any()
