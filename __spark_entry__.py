@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
         "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
         "pq_topk", "text_normalize", "convert_units_mixed", "mad_outliers",
+        "interval_join_day_windows",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -3035,6 +3036,30 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         )
 
     q["mad_outliers"] = q_mad_outliers
+
+    def q_interval_join(s, d):
+        """interval_join (engine extension): point-in-interval join
+        bucketized into an equi hash join — the naive range-only
+        predicate degenerates to BroadcastNestedLoopJoin at scale
+        (joins.interval_join docstring). Intervals = each event_type's
+        business-hours window per day, derived deterministically."""
+        from tstoolbox_spark.operators.joins import interval_join
+
+        ev = _events(s, d).select("event_type", "ts", "event_id", "value")
+        days = (
+            ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+            .distinct()
+            .select(
+                "event_type",
+                (F.col("day") + F.expr("INTERVAL 6 HOURS")).alias("start"),
+                (F.col("day") + F.expr("INTERVAL 18 HOURS")).alias("end"),
+                F.date_format("day", "yyyy-MM-dd").alias("win_label"),
+            )
+        )
+        out = interval_join(ev, days, by=["event_type"], bucket="1 hour")
+        return out.select("event_id", "event_type", "win_label", "value")
+
+    q["interval_join_day_windows"] = q_interval_join
     return q
 
 
@@ -3252,6 +3277,23 @@ def _verb_oracles_round3() -> dict[str, str]:
                value * {_fa!r}e0 + {_fb!r}e0 AS "flow:cms",
                (value / 2.0) * {_ta!r}e0 + {_tb!r}e0 AS temp
         FROM events
+    """
+
+    # ---- interval join: set semantics of the plain range join ---------
+    o["interval_join_day_windows"] = """
+        WITH days AS (
+          SELECT DISTINCT event_type, date_trunc('day', ts) AS day
+          FROM events),
+        iv AS (
+          SELECT event_type,
+                 day + INTERVAL 6 HOUR AS s,
+                 day + INTERVAL 18 HOUR AS e,
+                 strftime(day, '%Y-%m-%d') AS win_label
+          FROM days)
+        SELECT e.event_id, e.event_type, iv.win_label, e.value
+        FROM events e
+        JOIN iv ON iv.event_type = e.event_type
+               AND e.ts >= iv.s AND e.ts < iv.e
     """
 
     # ---- rolling MAD outliers: exact sorted-frame middle elements -----

@@ -158,3 +158,60 @@ def test_asof_join_null_payload_not_backfilled(spark):
 
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("x", "lid"), right_cols=["lid"])
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketized interval join == brute-force range join: overlapping
+    intervals, multi-bucket spans, end exclusivity, per-key scoping."""
+    import numpy as np
+
+    from tstoolbox_spark.operators.joins import interval_join
+
+    rng = np.random.RandomState(13)
+    n = 300
+    ev = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 72 * 3600, n), unit="s"),
+        "event_id": np.arange(n),
+    })
+    iv_rows = []
+    for i in range(40):
+        s = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            int(rng.randint(0, 70 * 3600)), unit="s")
+        dur = int(rng.randint(300, 8 * 3600))  # 5 min .. 8 h (multi-bucket)
+        iv_rows.append((rng.choice(["a", "b"]), s,
+                        s + pd.to_timedelta(dur, unit="s"), i))
+    iv = pd.DataFrame(iv_rows, columns=["k", "start", "end", "iv_id"])
+
+    got = (interval_join(
+        spark.createDataFrame(ev), spark.createDataFrame(iv),
+        by=["k"], bucket="1 hour")
+        .select("event_id", "iv_id").toPandas())
+    got_pairs = set(zip(got.event_id, got.iv_id))
+    exp_pairs = set()
+    for _, e in ev.iterrows():
+        for _, r in iv.iterrows():
+            if e.k == r.k and r.start <= e.ts < r.end:
+                exp_pairs.add((e.event_id, r.iv_id))
+    assert got_pairs == exp_pairs
+    assert exp_pairs  # non-vacuous
+
+
+def test_interval_join_is_equi_hash_join(spark):
+    """The scale claim: the plan is a hash join on (key, bucket) —
+    never BroadcastNestedLoopJoin / CartesianProduct, even though the
+    semantic predicate is a range."""
+    from tstoolbox_spark.operators.joins import interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("start"),
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 12 HOURS")).alias("end"),
+    ).distinct()
+    plan = (interval_join(ev, iv, by=["event_type"], bucket="1 hour")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

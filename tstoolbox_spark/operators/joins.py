@@ -135,3 +135,58 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.sum(value_col).alias(f"{value_col}_sum"))
     return s.groupBy(*keys, "session_id").agg(*aggs)
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: Sequence[str] = (),
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Point-in-interval join: each event row joined to every interval
+    row with ``start <= ts < end`` (and equal ``by`` keys).
+
+    The naive formulation — a join whose ONLY predicate is the range —
+    gives Spark nothing to hash on: the plan degenerates to
+    BroadcastNestedLoopJoin (or a cartesian product when neither side
+    broadcasts), O(|events| x |intervals|) at any scale. This
+    bucketizes time instead: events land in one fixed-width bucket,
+    intervals explode to every bucket they cover (sequence() — cheap
+    for intervals spanning few buckets; pick ``bucket`` near the
+    median interval length), and the join becomes a plain equi hash
+    join on (by..., bucket) with the exact range predicate applied as
+    a post-filter. Same shape Spark itself uses for stream-stream
+    range joins with watermarked state buckets.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?",
+                      bucket.strip().lower())
+    if not m:
+        raise ValueError(f"unsupported bucket {bucket!r} "
+                         "(use '<n> second|minute|hour|day')")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    w_us = int(m.group(1)) * mult[m.group(2)] * 1_000_000
+    keys = list(by)
+
+    ev = events.withColumn(
+        "__b", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(w_us))
+    )
+    iv = intervals.withColumn(
+        "__bs", F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(w_us))
+    ).withColumn(
+        # end is exclusive: the last covered bucket is the one holding
+        # end - 1 microsecond
+        "__be", F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - F.lit(1)) / F.lit(w_us))
+    ).filter(F.col(end_col) > F.col(start_col))
+    iv = iv.withColumn(
+        "__b", F.explode(F.sequence(F.col("__bs"), F.col("__be")))
+    ).drop("__bs", "__be")
+
+    joined = ev.join(iv, on=keys + ["__b"], how="inner").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("__b")
