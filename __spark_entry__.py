@@ -558,7 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
         "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
         "pq_topk", "text_normalize", "convert_units_mixed", "mad_outliers",
-        "interval_join_day_windows",
+        "interval_join_day_windows", "cusum_changepoints",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -3060,6 +3060,31 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         return out.select("event_id", "event_type", "win_label", "value")
 
     q["interval_join_day_windows"] = q_interval_join
+
+    def q_cusum(s, d):
+        """cusum_changepoints (engine extension): two-sided CUSUM
+        mean-shift flags over hourly means via the prefix-sum /
+        running-min identity (window.cusum_changepoints) — one window
+        sort, no recursion. Oracle: the prefix sums re-derived as a
+        sequential recursive CTE (same technique as peak_minmax /
+        ewm_mean_span12), so float accumulation order matches exactly;
+        moment sums route through decimal on both sides."""
+        from tstoolbox_spark.operators.window import cusum_changepoints
+
+        out = cusum_changepoints(
+            _hourly_mean(s, d), "value_mean",
+            key_cols=["event_type"], drift_k=0.5, threshold_h=5.0,
+            exact_decimal="decimal(38,6)",
+        )
+        return out.select(
+            "event_type", "ts",
+            F.round("cusum_pos", 6).alias("cusum_pos"),
+            F.round("cusum_neg", 6).alias("cusum_neg"),
+            F.col("shift_up").cast("int").alias("shift_up"),
+            F.col("shift_down").cast("int").alias("shift_down"),
+        )
+
+    q["cusum_changepoints"] = q_cusum
     return q
 
 
@@ -3294,6 +3319,53 @@ def _verb_oracles_round3() -> dict[str, str]:
         FROM events e
         JOIN iv ON iv.event_type = e.event_type
                AND e.ts >= iv.s AND e.ts < iv.e
+    """
+
+    # ---- CUSUM: sequential prefix sums as a recursive CTE -------------
+    # mirrors window.cusum_changepoints: P_i = P_{i-1} + dev_i in row
+    # order (Spark's expanding-window SUM accumulates sequentially);
+    # cusum = P - min(prefix mins, 0); moments via decimal sums.
+    DEC6 = "DECIMAL(38,6)"
+    o["cusum_changepoints"] = f"""
+        WITH RECURSIVE h AS ({hourly}),
+        mo AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(y AS {DEC6})) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(y AS {DEC6}) * CAST(y AS {DEC6}))
+                   AS DOUBLE) AS syy
+          FROM h GROUP BY 1),
+        ms AS (
+          SELECT event_type, sy / n AS mu,
+                 SQRT((syy - sy*sy/n) / (n - 1.0)) AS sigma
+          FROM mo),
+        r AS (
+          SELECT h.event_type, h.rn,
+                 h.y - ms.mu - 0.5*ms.sigma AS pp,
+                 (ms.mu - h.y) - 0.5*ms.sigma AS pn
+          FROM h JOIN ms USING (event_type) WHERE h.rn = 1
+          UNION ALL
+          SELECT h.event_type, h.rn,
+                 r.pp + (h.y - ms.mu - 0.5*ms.sigma),
+                 r.pn + ((ms.mu - h.y) - 0.5*ms.sigma)
+          FROM r
+          JOIN h ON h.event_type = r.event_type AND h.rn = r.rn + 1
+          JOIN ms ON ms.event_type = r.event_type),
+        fin AS (
+          SELECT r.event_type, r.rn, r.pp, r.pn,
+                 r.pp - LEAST(MIN(r.pp) OVER wmin, 0.0) AS cus_p,
+                 r.pn - LEAST(MIN(r.pn) OVER wmin, 0.0) AS cus_n
+          FROM r
+          WINDOW wmin AS (PARTITION BY r.event_type ORDER BY r.rn
+                          ROWS UNBOUNDED PRECEDING))
+        SELECT h.event_type, h.ts,
+               ROUND(f.cus_p, 6) AS cusum_pos,
+               ROUND(f.cus_n, 6) AS cusum_neg,
+               CAST(f.cus_p > 5.0*ms.sigma AS INT) AS shift_up,
+               CAST(f.cus_n > 5.0*ms.sigma AS INT) AS shift_down
+        FROM fin f
+        JOIN h ON h.event_type = f.event_type AND h.rn = f.rn
+        JOIN ms ON ms.event_type = f.event_type
     """
 
     # ---- rolling MAD outliers: exact sorted-frame middle elements -----

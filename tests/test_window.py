@@ -245,3 +245,37 @@ def test_rolling_mad_outliers(spark):
         assert bool(out["is_outlier"][i]) == exp
     assert bool(out["is_outlier"][30])
     assert not out["is_outlier"][5:25].any()
+
+
+def test_cusum_changepoints_matches_recursion(spark):
+    """The window-expression CUSUM equals the textbook recursion
+    s_i = max(0, s_{i-1} + dev_i) computed in numpy, and flags a mean
+    shift only after it happens."""
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.window import cusum_changepoints
+
+    rng = np.random.RandomState(21)
+    vals = np.concatenate([rng.randn(80), rng.randn(80) + 4.0])
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=160, freq="h"),
+         "value": vals}
+    )
+    out = (cusum_changepoints(spark.createDataFrame(pdf), "value",
+                              drift_k=0.5, threshold_h=5.0)
+           .orderBy("ts").toPandas())
+    mu, sigma = vals.mean(), vals.std(ddof=1)
+    s_p = s_n = 0.0
+    for i, x in enumerate(vals):
+        s_p = max(0.0, s_p + (x - mu - 0.5 * sigma))
+        s_n = max(0.0, s_n + ((mu - x) - 0.5 * sigma))
+        assert abs(out["cusum_pos"][i] - s_p) < 1e-9
+        assert abs(out["cusum_neg"][i] - s_n) < 1e-9
+    # the baseline is the GLOBAL mean, so the low first regime drives
+    # the negative side and the high second regime the positive side
+    up = out.index[out["shift_up"]].tolist()
+    down = out.index[out["shift_down"]].tolist()
+    assert up and min(up) >= 80  # upward flags only after the shift
+    assert down and max(down) < 100  # downward flags are regime-1 driven
+    assert not out["shift_up"][:80].any()

@@ -448,3 +448,64 @@ def rolling_mad_outliers(
         "is_outlier",
         F.when(full, F.abs(x - F.col("med")) > F.lit(float(k)) * F.col("mad")),
     ).drop("__arr")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    drift_k: float = 0.5,
+    threshold_h: float = 5.0,
+    exact_decimal: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection per key.
+
+    Engine extension (no reference verb): the standard changepoint
+    monitor over tier tables. The textbook recursion
+    ``s_i = max(0, s_{i-1} + dev_i)`` looks sequential, but
+    ``s_i = P_i - min_{j<=i} P_j`` with ``P`` the prefix sum of
+    deviations — so both sides compile to ONE key-window sort with a
+    running sum and a running min, no UDF, no recursion. Deviations
+    are standardized against the key's global mean/std (one
+    map-side-combinable aggregate broadcast back; ``exact_decimal``
+    routes the moment sums through decimal for order-independent
+    exactness). Flags rows where either side exceeds
+    ``threshold_h * sigma``.
+    """
+    keys = list(key_cols)
+    x = F.col(value_col).cast("double")
+    if exact_decimal:
+        sy = F.sum(x.cast(exact_decimal)).cast("double")
+        syy = F.sum(x.cast(exact_decimal) * x.cast(exact_decimal)).cast("double")
+    else:
+        sy, syy = F.sum(x), F.sum(x * x)
+    n = F.count(F.lit(1)).cast("double")
+    stats = df.groupBy(*keys).agg(
+        sy.alias("__sy"), syy.alias("__syy"), n.alias("__n")
+    ).select(
+        *keys,
+        (F.col("__sy") / F.col("__n")).alias("__mu"),
+        F.sqrt(
+            (F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n"))
+            / (F.col("__n") - F.lit(1.0))
+        ).alias("__sigma"),
+    )
+    out = (df.join(F.broadcast(stats), on=keys, how="left")
+           if keys else df.crossJoin(F.broadcast(stats)))
+    base = Window.partitionBy(*keys).orderBy(ts_col)
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    kd = F.lit(float(drift_k)) * F.col("__sigma")
+    dev_p = x - F.col("__mu") - kd
+    dev_n = (F.col("__mu") - x) - kd
+    pp = F.sum(dev_p).over(run)
+    pn = F.sum(dev_n).over(run)
+    out = out.withColumn("__pp", pp).withColumn("__pn", pn)
+    cus_p = F.col("__pp") - F.least(F.min("__pp").over(run), F.lit(0.0))
+    cus_n = F.col("__pn") - F.least(F.min("__pn").over(run), F.lit(0.0))
+    h = F.lit(float(threshold_h)) * F.col("__sigma")
+    return (out.withColumn("cusum_pos", cus_p)
+            .withColumn("cusum_neg", cus_n)
+            .withColumn("shift_up", F.col("cusum_pos") > h)
+            .withColumn("shift_down", F.col("cusum_neg") > h)
+            .drop("__sy", "__syy", "__n", "__mu", "__sigma", "__pp", "__pn"))
