@@ -559,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
         "pq_topk", "text_normalize", "convert_units_mixed", "mad_outliers",
         "interval_join_day_windows", "cusum_changepoints",
+        "seasonal_decompose_24h",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -3071,20 +3072,57 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         moment sums route through decimal on both sides."""
         from tstoolbox_spark.operators.window import cusum_changepoints
 
+        # decimal(18,12): hourly means are 2-decimal sums over counts,
+        # and counts divisible by 32/64 make s/c terminate EXACTLY on a
+        # .5e-6 half-point of a scale-6 grid, where the engines' cast
+        # rounding modes (half-up vs half-even) disagree; a scale-12
+        # half-point needs count % 2^11 == 0 — unreachable here.
         out = cusum_changepoints(
             _hourly_mean(s, d), "value_mean",
             key_cols=["event_type"], drift_k=0.5, threshold_h=5.0,
-            exact_decimal="decimal(38,6)",
+            exact_decimal="decimal(18,12)",
         )
+        def q6c(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
         return out.select(
             "event_type", "ts",
-            F.round("cusum_pos", 6).alias("cusum_pos"),
-            F.round("cusum_neg", 6).alias("cusum_neg"),
+            q6c("cusum_pos").alias("cusum_pos"),
+            q6c("cusum_neg").alias("cusum_neg"),
             F.col("shift_up").cast("int").alias("shift_up"),
             F.col("shift_down").cast("int").alias("shift_down"),
         )
 
     q["cusum_changepoints"] = q_cusum
+
+    def q_decompose(s, d):
+        """seasonal_decompose (statsmodels classical-additive analog,
+        stats.seasonal_decompose): 2x24-MA trend, phase-mean seasonal
+        centered per key, residual — one window sort + a keys x period
+        phase aggregate broadcast back. ROUND(6) absorbs the sliding-
+        frame AVG summation-order skew between engines."""
+        from tstoolbox_spark.operators.stats import seasonal_decompose
+
+        out = seasonal_decompose(
+            _hourly_mean(s, d), "value_mean", period=24,
+            key_cols=["event_type"], exact_decimal="decimal(38,12)",
+        )
+        # floor-quantize instead of ROUND: these low-entropy inputs
+        # land EXACTLY on .5e-6 boundaries where Spark (half-up) and
+        # DuckDB (half-even) round apart; floor(x*1e6 + 0.5)/1e6 is the
+        # same double ops in both engines, so identical in = identical
+        # out (the underlying doubles are identical via decimal sums).
+        def q6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        return out.select(
+            "event_type", "ts",
+            q6("trend").alias("trend"),
+            q6("seasonal").alias("seasonal"),
+            q6("resid").alias("resid"),
+        )
+
+    q["seasonal_decompose_24h"] = q_decompose
     return q
 
 
@@ -3321,51 +3359,94 @@ def _verb_oracles_round3() -> dict[str, str]:
                AND e.ts >= iv.s AND e.ts < iv.e
     """
 
-    # ---- CUSUM: sequential prefix sums as a recursive CTE -------------
-    # mirrors window.cusum_changepoints: P_i = P_{i-1} + dev_i in row
-    # order (Spark's expanding-window SUM accumulates sequentially);
-    # cusum = P - min(prefix mins, 0); moments via decimal sums.
-    DEC6 = "DECIMAL(38,6)"
+    # ---- classical additive seasonal decomposition ---------------------
+    o["seasonal_decompose_24h"] = f"""
+        WITH h AS ({hourly}),
+        tr AS (
+          SELECT *,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12)))
+                      OVER (PARTITION BY event_type ORDER BY rn
+                            ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+                   AS DOUBLE) AS s1,
+                 COUNT(y) OVER (PARTITION BY event_type ORDER BY rn
+                                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+                   AS c1,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12)))
+                      OVER (PARTITION BY event_type ORDER BY rn
+                            ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+                   AS DOUBLE) AS s2,
+                 COUNT(y) OVER (PARTITION BY event_type ORDER BY rn
+                                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+                   AS c2
+          FROM h),
+        t2 AS (
+          SELECT *, CASE WHEN c1 = 24 AND c2 = 24
+                         THEN (s1 / 24.0 + s2 / 24.0) / 2.0 END AS trend
+          FROM tr),
+        ph AS (
+          SELECT event_type, (rn - 1) % 24 AS phase,
+                 CAST(SUM(CAST(y - trend AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(y - trend) AS pm
+          FROM t2 WHERE trend IS NOT NULL GROUP BY 1, 2),
+        se AS (
+          SELECT event_type, phase,
+                 pm - CAST(SUM(CAST(pm AS DECIMAL(38,12)))
+                           OVER (PARTITION BY event_type) AS DOUBLE)
+                      / COUNT(pm) OVER (PARTITION BY event_type)
+                   AS seasonal
+          FROM ph)
+        SELECT t2.event_type, t2.ts,
+               FLOOR(t2.trend * 1e6 + 0.5) / 1e6 AS trend,
+               FLOOR(se.seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+               FLOOR((t2.y - t2.trend - se.seasonal) * 1e6 + 0.5) / 1e6
+                 AS resid
+        FROM t2
+        LEFT JOIN se ON se.event_type = t2.event_type
+                    AND se.phase = (t2.rn - 1) % 24
+    """
+
+    # ---- CUSUM: decimal prefix sums (exact, order-independent) --------
+    # mirrors window.cusum_changepoints with exact_decimal: deviations
+    # cast to DECIMAL(38,9) before the running sum, so P is identical
+    # under any accumulation order; outputs floor-quantized (identical
+    # doubles in -> identical out, no rounding-mode divergence).
     o["cusum_changepoints"] = f"""
-        WITH RECURSIVE h AS ({hourly}),
+        WITH h AS ({hourly}),
         mo AS (
           SELECT event_type,
                  CAST(COUNT(*) AS DOUBLE) AS n,
-                 CAST(SUM(CAST(y AS {DEC6})) AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(y AS {DEC6}) * CAST(y AS {DEC6}))
+                 CAST(SUM(CAST(y AS DECIMAL(18,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(y AS DECIMAL(18,12)) * CAST(y AS DECIMAL(18,12)))
                    AS DOUBLE) AS syy
           FROM h GROUP BY 1),
         ms AS (
           SELECT event_type, sy / n AS mu,
                  SQRT((syy - sy*sy/n) / (n - 1.0)) AS sigma
           FROM mo),
-        r AS (
-          SELECT h.event_type, h.rn,
-                 h.y - ms.mu - 0.5*ms.sigma AS pp,
-                 (ms.mu - h.y) - 0.5*ms.sigma AS pn
-          FROM h JOIN ms USING (event_type) WHERE h.rn = 1
-          UNION ALL
-          SELECT h.event_type, h.rn,
-                 r.pp + (h.y - ms.mu - 0.5*ms.sigma),
-                 r.pn + ((ms.mu - h.y) - 0.5*ms.sigma)
-          FROM r
-          JOIN h ON h.event_type = r.event_type AND h.rn = r.rn + 1
-          JOIN ms ON ms.event_type = r.event_type),
+        p AS (
+          SELECT h.event_type, h.ts, h.rn, ms.sigma,
+                 CAST(SUM(CAST(h.y - ms.mu - 0.5*ms.sigma
+                               AS DECIMAL(38,9))) OVER wrun AS DOUBLE)
+                   AS pp,
+                 CAST(SUM(CAST((ms.mu - h.y) - 0.5*ms.sigma
+                               AS DECIMAL(38,9))) OVER wrun AS DOUBLE)
+                   AS pn
+          FROM h JOIN ms USING (event_type)
+          WINDOW wrun AS (PARTITION BY h.event_type ORDER BY h.rn
+                          ROWS UNBOUNDED PRECEDING)),
         fin AS (
-          SELECT r.event_type, r.rn, r.pp, r.pn,
-                 r.pp - LEAST(MIN(r.pp) OVER wmin, 0.0) AS cus_p,
-                 r.pn - LEAST(MIN(r.pn) OVER wmin, 0.0) AS cus_n
-          FROM r
-          WINDOW wmin AS (PARTITION BY r.event_type ORDER BY r.rn
+          SELECT *,
+                 pp - LEAST(MIN(pp) OVER wrun, 0.0) AS cus_p,
+                 pn - LEAST(MIN(pn) OVER wrun, 0.0) AS cus_n
+          FROM p
+          WINDOW wrun AS (PARTITION BY event_type ORDER BY rn
                           ROWS UNBOUNDED PRECEDING))
-        SELECT h.event_type, h.ts,
-               ROUND(f.cus_p, 6) AS cusum_pos,
-               ROUND(f.cus_n, 6) AS cusum_neg,
-               CAST(f.cus_p > 5.0*ms.sigma AS INT) AS shift_up,
-               CAST(f.cus_n > 5.0*ms.sigma AS INT) AS shift_down
-        FROM fin f
-        JOIN h ON h.event_type = f.event_type AND h.rn = f.rn
-        JOIN ms ON ms.event_type = f.event_type
+        SELECT event_type, ts,
+               FLOOR(cus_p * 1e6 + 0.5) / 1e6 AS cusum_pos,
+               FLOOR(cus_n * 1e6 + 0.5) / 1e6 AS cusum_neg,
+               CAST(cus_p > 5.0*sigma AS INT) AS shift_up,
+               CAST(cus_n > 5.0*sigma AS INT) AS shift_down
+        FROM fin
     """
 
     # ---- rolling MAD outliers: exact sorted-frame middle elements -----

@@ -279,3 +279,44 @@ def test_cusum_changepoints_matches_recursion(spark):
     assert up and min(up) >= 80  # upward flags only after the shift
     assert down and max(down) < 100  # downward flags are regime-1 driven
     assert not out["shift_up"][:80].any()
+
+
+def test_seasonal_decompose_matches_classical(spark):
+    """Classical additive decomposition vs a hand-rolled numpy
+    implementation of the same algorithm (statsmodels semantics:
+    2xMA trend for even periods, centered phase-mean seasonal)."""
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.stats import seasonal_decompose
+
+    rng = np.random.RandomState(8)
+    n, period = 240, 24
+    t = np.arange(n)
+    vals = (10 + 0.05 * t + 3 * np.sin(2 * np.pi * t / period)
+            + 0.2 * rng.randn(n))
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2020-01-01", periods=n, freq="h"),
+         "value": vals}
+    )
+    out = (seasonal_decompose(spark.createDataFrame(pdf), "value",
+                              period=period)
+           .orderBy("ts").toPandas())
+    # numpy reference: 2x24-MA trend
+    trend = np.full(n, np.nan)
+    for i in range(12, n - 12):
+        trend[i] = (vals[i - 12:i + 12].mean()
+                    + vals[i - 11:i + 13].mean()) / 2
+    detr = vals - trend
+    pm = np.array([np.nanmean(detr[p::period]) for p in range(period)])
+    seasonal = pm - pm.mean()
+    np.testing.assert_allclose(out["trend"].to_numpy(), trend, atol=1e-9)
+    np.testing.assert_allclose(
+        out["seasonal"].to_numpy(), seasonal[t % period], atol=1e-9
+    )
+    resid = vals - trend - seasonal[t % period]
+    np.testing.assert_allclose(out["resid"].to_numpy(), resid, atol=1e-9)
+    # the recovered seasonal tracks the injected sine
+    assert np.corrcoef(seasonal,
+                       3 * np.sin(2 * np.pi * np.arange(period) / period)
+                       )[0, 1] > 0.99

@@ -786,3 +786,89 @@ def distributed_prefix_sum(
         )
         .drop("__pid", "__offset")
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    period: int,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    exact_decimal: str | None = None,
+) -> DataFrame:
+    """Classical additive decomposition x = trend + seasonal + resid
+    (statsmodels ``seasonal_decompose(model='additive')`` semantics,
+    re-derived declaratively — statsmodels is absent and row-iterative
+    anyway).
+
+    trend: centered moving average of width ``period`` (even periods
+    use the standard 2x-MA: window period+1 with half weights at the
+    ends), null at the edges like statsmodels. seasonal: per-key
+    phase means of the detrended series, centered so one period sums
+    to ~0, broadcast back — phase = row_number % period, so an
+    irregular grid should be regularized first. resid = x - trend -
+    seasonal. Shapes: one (key, ts) window sort + one phase aggregate
+    (keys x period rows) broadcast back; no UDF, no iteration.
+    ``exact_decimal`` routes the phase-mean sums through decimal for
+    order-independent exactness (hash-stable oracles).
+    """
+    keys = list(key_cols)
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    half = period // 2
+    p = F.lit(float(period))
+
+    def fsum(col, frame):
+        # decimal-routed frame sums: order-independent, so the trend is
+        # bit-identical across engines/partitionings (low-entropy
+        # inputs land EXACTLY on rounding boundaries, where a 1-ulp
+        # summation skew flips the displayed value)
+        if exact_decimal:
+            return F.sum(col.cast(exact_decimal)).over(frame).cast("double")
+        return F.sum(col).over(frame)
+
+    if period % 2:
+        frame = w.rowsBetween(-half, half)
+        n_in = F.count(x).over(frame)
+        trend = F.when(n_in == period, fsum(x, frame) / p)
+    else:
+        # 2x(period)-MA: mean over period+1 rows with the two end rows
+        # half-weighted == avg of the two length-`period` windows
+        f1 = w.rowsBetween(-half, half - 1)
+        f2 = w.rowsBetween(-half + 1, half)
+        n1, n2 = F.count(x).over(f1), F.count(x).over(f2)
+        trend = F.when(
+            (n1 == period) & (n2 == period),
+            (fsum(x, f1) / p + fsum(x, f2) / p) / F.lit(2.0),
+        )
+    out = df.withColumn("trend", trend)
+    out = out.withColumn(
+        "__phase",
+        (F.row_number().over(w) - F.lit(1)) % F.lit(period),
+    ).withColumn("__detr", x - F.col("trend"))
+    d = F.col("__detr")
+    if exact_decimal:
+        psum = F.sum(d.cast(exact_decimal)).cast("double")
+    else:
+        psum = F.sum(d)
+    phase_means = (
+        out.filter(d.isNotNull())
+        .groupBy(*keys, "__phase")
+        .agg((psum / F.count(d)).alias("__pm"))
+    )
+    # center the seasonal so one period sums to ~0 (statsmodels does)
+    if keys:
+        wk = Window.partitionBy(*keys)
+    else:
+        wk = Window.partitionBy(F.lit(1))
+    if exact_decimal:
+        pm_mean = (F.sum(F.col("__pm").cast(exact_decimal)).over(wk)
+                   .cast("double") / F.count("__pm").over(wk))
+    else:
+        pm_mean = F.avg("__pm").over(wk)
+    phase_means = phase_means.withColumn(
+        "seasonal", F.col("__pm") - pm_mean
+    ).drop("__pm")
+    out = out.join(F.broadcast(phase_means), on=keys + ["__phase"], how="left")
+    return (out.withColumn("resid", x - F.col("trend") - F.col("seasonal"))
+            .drop("__phase", "__detr"))

@@ -498,8 +498,17 @@ def cusum_changepoints(
     kd = F.lit(float(drift_k)) * F.col("__sigma")
     dev_p = x - F.col("__mu") - kd
     dev_n = (F.col("__mu") - x) - kd
-    pp = F.sum(dev_p).over(run)
-    pn = F.sum(dev_n).over(run)
+    if exact_decimal:
+        # accumulate the prefix sums in decimal: float running sums
+        # drift ~1e-13 between engines/plans (accumulator internals),
+        # which rounding then surfaces as 1e-6 flips on boundary rows;
+        # decimal prefix sums are exact and order-independent.
+        acc = "decimal(38,9)"
+        pp = F.sum(dev_p.cast(acc)).over(run).cast("double")
+        pn = F.sum(dev_n.cast(acc)).over(run).cast("double")
+    else:
+        pp = F.sum(dev_p).over(run)
+        pn = F.sum(dev_n).over(run)
     out = out.withColumn("__pp", pp).withColumn("__pn", pn)
     cus_p = F.col("__pp") - F.least(F.min("__pp").over(run), F.lit(0.0))
     cus_n = F.col("__pn") - F.least(F.min("__pn").over(run), F.lit(0.0))
