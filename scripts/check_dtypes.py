@@ -53,6 +53,12 @@ def main() -> None:
             continue
         for c in sorted(g.columns):
             if c in e.columns:
+                # a LIMIT-20 sample under arbitrary row order can catch
+                # a window where one engine's slice is all-null (pandas
+                # then types it object) — not a representation skew;
+                # skip rather than flap.
+                if g[c].isna().all() or e[c].isna().all():
+                    continue
                 a, b = str(g[c].dtype), str(e[c].dtype)
                 if a != b and not (
                     a.startswith("datetime64") and b.startswith("datetime64")
