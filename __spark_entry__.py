@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_textops_queries())
     q.update(_verb_queries_round3())
     q.update(_pipeline_queries_round3b())
+    q.update(_queries_round3c())
 
     # The round driver checks the FIRST 50 entries in insertion order
     # (confirmed in VERDICT r1/r2). Window placement is coverage
@@ -559,7 +560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
         "pq_topk", "text_normalize", "convert_units_mixed", "mad_outliers",
         "interval_join_day_windows", "cusum_changepoints",
-        "seasonal_decompose_24h",
+        "seasonal_decompose_24h", "incremental_rollup_refresh",
+        "bm25_topk", "theilsen_trend", "dominant_period_acf",
+        "upsample_linear_15m",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -1435,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_textops_oracles())
     o.update(_verb_oracles_round3())
     o.update(_pipeline_oracles_round3b())
+    o.update(_oracles_round3c())
     return o
 
 
@@ -3817,6 +3821,129 @@ def _pipeline_queries_round3b() -> dict[str, Callable[[SparkSession, str], DataF
         return bigram_logprob(_docs(s, d))
 
     q["bigram_logprob"] = q_bigram
+
+    def q_incremental_refresh(s, d):
+        """Incremental continuous-aggregate refresh for late data
+        (pipeline/incremental.py — TimescaleDB continuous-aggregate
+        refresh / Iceberg overwritePartitions semantics; ref semantics
+        anchor tstoolbox aggregate, functions/aggregate.py:237-239).
+        A deterministic slice of events (event_id % 97 == 0) plays the
+        late batch; the rest is the pre-existing 1m tier. The refreshed
+        tier must equal a FULL recompute over all events — which is
+        exactly the oracle SQL. Values ride through decimal partials so
+        the sum is order-exact on both engines."""
+        from tstoolbox_spark.pipeline import incremental, rollup
+
+        ev = _events(s, d).withColumn("n_tok", F.col("value").cast(DEC))
+        is_late = F.pmod(F.col("event_id"), F.lit(97)) == 0
+        native_cols = [F.col("event_type").alias("source"), "ts", "n_tok"]
+        on_time = ev.where(~is_late).select(*native_cols)
+        late = ev.where(is_late).select(*native_cols)
+        existing = rollup.rollup_base(on_time, "1m")
+        refreshed = incremental.incremental_tier_refresh(existing, late, "1m")
+        return refreshed.select(
+            F.col("source").alias("event_type"),
+            "ts",
+            F.col("n_tok_sum").cast("double").alias("value_sum"),
+            F.col("n_tok_count").cast("bigint").alias("value_count"),
+            F.col("n_tok_min").cast("double").alias("value_min"),
+            F.col("n_tok_max").cast("double").alias("value_max"),
+        )
+
+    q["incremental_rollup_refresh"] = q_incremental_refresh
+    return q
+
+
+# --------------------------------------------------------------------------
+# round-3c additions: BM25 retrieval, robust trend, period detection,
+# linear upsampling
+# --------------------------------------------------------------------------
+
+
+def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def q_bm25(s, d):
+        """Okapi BM25 top-20 over documents for a fixed 3-term query
+        (textops/retrieval.py — engine extension, Robertson & Walker
+        1994 k1/b form). Narrow doc-length projection + term-filtered
+        explode + broadcast idf join; oracle mirrors the identical
+        arithmetic shape, ROUND(6) + doc_id tiebreak pin the cut."""
+        from tstoolbox_spark.textops.retrieval import bm25_topk
+
+        return bm25_topk(_docs(s, d), ["join", "vector", "data"], k=20)
+
+    q["bm25_topk"] = q_bm25
+
+    def q_theilsen(s, d):
+        """Theil–Sen robust trend per event_type over hourly means
+        (stats.theil_sen — median of pairwise slopes, Theil 1950/Sen
+        1968; complements linear_trend's OLS). x is epoch HOURS; pair
+        arithmetic is deterministic IEEE on both engines, medians are
+        exact interpolated percentiles."""
+        from tstoolbox_spark.operators.stats import theil_sen
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = theil_sen(hourly, "value_mean", key_cols=["event_type"])
+        return out.select(
+            "event_type",
+            F.round("slope", 9).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+
+    q["theilsen_trend"] = q_theilsen
+
+    def q_dominant_period(s, d):
+        """Dominant seasonality per event_type: argmax-ACF lag in 1..48
+        over hourly means (stats.dominant_period; ACF per ref
+        correlation.py:125-176). corr ROUND(6) before ranking +
+        smallest-lag tiebreak keep the winner engine-stable."""
+        from tstoolbox_spark.operators.stats import dominant_period
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = dominant_period(
+            hourly, "value_mean", max_lag=48, key_cols=["event_type"]
+        )
+        return out.select(
+            "event_type",
+            F.col("period_lag").cast("int").alias("period_lag"),
+            "acf",
+        )
+
+    q["dominant_period_acf"] = q_dominant_period
+
+    def q_upsample(s, d):
+        """Upsample hourly means to a 15-minute grid with linear
+        interpolation (core.upsample_linear — asbestfreq +
+        fill method='linear' fused, ref tsutils.py:1349-1473 +
+        fill.py). One lead window + arithmetic explode; each gap
+        subdivided by actual elapsed time."""
+        from tstoolbox_spark.operators.core import upsample_linear
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = upsample_linear(
+            hourly, 900, ["value_mean"], key_cols=["event_type"]
+        )
+        # floor(x*1e6+0.5)/1e6 on BOTH engines: interpolated values can
+        # land exactly on a .5 rounding boundary where Spark (HALF_UP
+        # via BigDecimal) and DuckDB round apart
+        return out.select(
+            "event_type",
+            "ts",
+            (
+                F.floor(F.col("value_mean") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("value_mean"),
+        )
+
+    q["upsample_linear_15m"] = q_upsample
+
     return q
 
 
@@ -3951,5 +4078,120 @@ def _pipeline_oracles_round3b() -> dict[str, str]:
         SELECT d.doc_id, agg.mean_bigram_logprob,
                coalesce(agg.n_bigrams, 0) AS n_bigrams
         FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+    # incremental refresh == FULL recompute over raw ∪ late: the oracle
+    # IS the full 1m recompute over all events; values ride through the
+    # same decimal partials, so sums are order-exact on both engines.
+    DECS = "DECIMAL(28,2)"
+    o["incremental_rollup_refresh"] = f"""
+        SELECT event_type, date_trunc('minute', ts) AS ts,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS value_sum,
+               COUNT(value) AS value_count,
+               CAST(MIN(CAST(value AS {DECS})) AS DOUBLE) AS value_min,
+               CAST(MAX(CAST(value AS {DECS})) AS DOUBLE) AS value_max
+        FROM events GROUP BY 1, 2
+    """
+    return o
+
+
+def _oracles_round3c() -> dict[str, str]:
+    o: dict[str, str] = {}
+    DECS = "DECIMAL(28,2)"
+    hourly = f"""
+        SELECT event_type, date_trunc('hour', ts) AS ts,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS y
+        FROM events GROUP BY 1, 2
+    """
+
+    # same arithmetic shape as textops/retrieval.bm25_topk: narrow doc
+    # lengths, term-filtered token explode, |query|-row df/idf stats
+    o["bm25_topk"] = f"""
+        WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+                   FROM documents),
+        dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf
+               FROM d, unnest(ws) AS t(w)
+               WHERE w IN ('data', 'join', 'vector') GROUP BY 1, 2),
+        dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        st AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+                      (SELECT AVG(dl) FROM dl) AS avgdl),
+        sc AS (SELECT tf.doc_id,
+                      SUM(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                          * (tf.tf * (1.2 + 1))
+                          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                      ) AS score
+               FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), st
+               GROUP BY 1)
+        SELECT doc_id, ROUND(score, 6) AS bm25
+        FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+    # median of pairwise slopes + median-residual intercept; pair
+    # arithmetic is deterministic IEEE, medians exact interpolated
+    o["theilsen_trend"] = f"""
+        WITH h AS (
+          SELECT event_type, epoch(date_trunc('hour', ts)) / 3600.0 AS x,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS y
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        p AS (SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS m
+              FROM h a JOIN h b
+                ON a.event_type = b.event_type AND a.x < b.x),
+        ms AS (SELECT event_type, quantile_cont(m, 0.5) AS slope
+               FROM p GROUP BY 1),
+        ic AS (SELECT h.event_type, ms.slope,
+                      quantile_cont(h.y - ms.slope * h.x, 0.5) AS intercept
+               FROM h JOIN ms USING (event_type)
+               GROUP BY h.event_type, ms.slope)
+        SELECT event_type, ROUND(slope, 9) AS slope,
+               ROUND(intercept, 6) AS intercept
+        FROM ic
+    """
+
+    # ACF via rn self-join per lag; ROUND(6) before ranking + smallest
+    # lag tiebreak mirror stats.dominant_period exactly
+    o["dominant_period_acf"] = f"""
+        WITH h0 AS ({hourly}),
+        h AS (SELECT event_type, y,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts) AS rn
+              FROM h0),
+        g AS (SELECT unnest(range(1, 49)) AS k),
+        j AS (SELECT a.event_type, g.k, a.y AS y1, b.y AS y0
+              FROM h a CROSS JOIN g
+              JOIN h b ON b.event_type = a.event_type
+                      AND b.rn = a.rn - g.k),
+        c AS (SELECT event_type, k, ROUND(corr(y1, y0), 6) AS acf
+              FROM j GROUP BY 1, 2),
+        r AS (SELECT event_type, k, acf,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY acf DESC, k) AS rnk
+              FROM c WHERE acf IS NOT NULL)
+        SELECT event_type, CAST(k AS INT) AS period_lag, acf
+        FROM r WHERE rnk = 1
+    """
+
+    # lead window + arithmetic grid explode, gaps subdivided by actual
+    # elapsed seconds — mirrors core.upsample_linear
+    o["upsample_linear_15m"] = f"""
+        WITH h AS ({hourly}),
+        w AS (SELECT event_type, ts, y,
+                     lead(ts) OVER (PARTITION BY event_type ORDER BY ts) AS nts,
+                     lead(y) OVER (PARTITION BY event_type ORDER BY ts) AS ny
+              FROM h),
+        e AS (SELECT *, CASE WHEN nts IS NULL THEN 1
+                             ELSE greatest(CAST(floor(
+                                 (epoch(nts) - epoch(ts)) / 900) AS BIGINT), 1)
+                        END AS n
+              FROM w),
+        x AS (SELECT event_type, ts, y, nts, ny,
+                     unnest(range(0, n)) AS q
+              FROM e)
+        SELECT event_type, ts + to_seconds(q * 900) AS ts,
+               FLOOR((CASE WHEN q = 0 THEN y
+                           ELSE y + (ny - y)
+                                * ((q * 900) / (epoch(nts) - epoch(ts)))
+                      END) * 1e6 + 0.5) / 1e6 AS value_mean
+        FROM x
     """
     return o

@@ -139,6 +139,112 @@ def autocorrelation(
     return out.groupBy(*key_cols).agg(*aggs)
 
 
+def dominant_period(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int = 48,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Dominant seasonality per key: the lag in 1..max_lag with the
+    highest autocorrelation (engine extension; builds on
+    ``autocorrelation``, ref correlation.py:125-176 — the reference
+    stops at reporting the ACF, this picks the period).
+
+    One window sort materializes all ``max_lag`` lagged copies, one
+    aggregate pass computes every corr — no per-lag job. The argmax is
+    an array reduction over the max_lag-wide row (ties break to the
+    SMALLEST lag); corr is rounded to 6 decimals BEFORE ranking so the
+    winner is stable across engines. Returns (keys, period_lag, acf).
+    """
+    lags = list(range(1, max_lag + 1))
+    acf = autocorrelation(df, value_col, lags, ts_col, key_cols)
+    arr = F.array(
+        *[
+            F.struct(
+                F.round(F.col(f"acf_{i}"), 6).alias("acf"),
+                F.lit(-i).alias("negk"),
+            )
+            for i in lags
+        ]
+    )
+    best = F.array_max(F.filter(arr, lambda s: s["acf"].isNotNull()))
+    return acf.select(
+        *key_cols,
+        (-best["negk"]).alias("period_lag"),
+        best["acf"].alias("acf"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    x_unit_seconds: float = 3600.0,
+    max_points: int = 20_000,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the median of all pairwise
+    slopes (Theil 1950 / Sen 1968), with the median-residual intercept
+    ``median(y - m*x)``. Engine extension (complements ``linear_fit``'s
+    OLS trend with the 29%-breakdown robust estimator).
+
+    Scale shape: the pair set is an equi-join on the key with an
+    ``x_a < x_b`` filter — O(n²) rows PER KEY, so like
+    ``correlation_kendall`` this targets aggregated tiers, not raw
+    corpora; a guard refuses keys above ``max_points`` rows
+    (20k rows → 2·10⁸ pairs/key, the practical single-key ceiling).
+    ``x`` is the epoch time scaled by ``x_unit_seconds`` (default:
+    slope per HOUR) so slopes stay in a rounding-friendly range.
+    Both medians are exact percentiles over deterministic IEEE pair
+    arithmetic, so results are engine-portable.
+    """
+    keys = list(key_cols)
+    pts = df.select(
+        *keys,
+        (F.unix_timestamp(F.col(ts_col)) / F.lit(float(x_unit_seconds)))
+        .cast("double")
+        .alias("__x"),
+        F.col(value_col).cast("double").alias("__y"),
+    ).where(F.col("__y").isNotNull())
+    counts = pts.groupBy(*keys).count() if keys else pts.groupBy(F.lit(1)).count()
+    biggest = counts.agg(F.max("count")).collect()[0][0] or 0
+    if biggest > max_points:
+        raise ValueError(
+            f"theil_sen: a key has {biggest} rows (> {max_points}); "
+            "aggregate to a coarser tier first (O(n²) pairs per key)"
+        )
+    a = pts.select(*keys, F.col("__x").alias("xa"), F.col("__y").alias("ya"))
+    b = pts.select(*keys, F.col("__x").alias("xb"), F.col("__y").alias("yb"))
+    pairs = a.join(b, keys) if keys else a.crossJoin(b)
+    slopes = pairs.where(F.col("xa") < F.col("xb")).select(
+        *keys,
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+            "__m"
+        ),
+    )
+    med_slope = slopes.groupBy(*keys).agg(
+        F.percentile("__m", F.lit(0.5)).alias("slope")
+    ) if keys else slopes.agg(F.percentile("__m", F.lit(0.5)).alias("slope"))
+    joined = (
+        pts.join(F.broadcast(med_slope), keys)
+        if keys
+        else pts.crossJoin(F.broadcast(med_slope))
+    )
+    out = joined.groupBy(*keys).agg(
+        F.first("slope").alias("slope"),
+        F.percentile(
+            F.col("__y") - F.col("slope") * F.col("__x"), F.lit(0.5)
+        ).alias("intercept"),
+    ) if keys else joined.agg(
+        F.first("slope").alias("slope"),
+        F.percentile(
+            F.col("__y") - F.col("slope") * F.col("__x"), F.lit(0.5)
+        ).alias("intercept"),
+    )
+    return out
+
+
 def correlation_matrix(
     df: DataFrame,
     value_cols: Sequence[str],

@@ -4,4 +4,12 @@ retention, per-partition lineage + metrics, snapshot-checkpoint
 resume. See runner.run_pipeline for the end-to-end job.
 """
 
-from . import bucketing, compress, lineage, retention, rollup, runner  # noqa: F401
+from . import (  # noqa: F401
+    bucketing,
+    compress,
+    incremental,
+    lineage,
+    retention,
+    rollup,
+    runner,
+)

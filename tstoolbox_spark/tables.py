@@ -186,6 +186,114 @@ class ParquetSnapshotCatalog:
                 out[n] = next_id
         return out
 
+    # -------------------------------------------------- partition overwrite
+    def _live_partition_groups(
+        self, snap: dict, partition_col: str
+    ) -> list[tuple[str, list[str]]]:
+        """Enumerate the current snapshot's live partition directories
+        as (basePath, [partition dirs]) groups — the manifest-of-files
+        view an overwrite or TTL drop filters. Metadata-scale: one
+        directory listing at most."""
+        prefix = f"{partition_col}="
+
+        def _list(base: str) -> list[str]:
+            return sorted(
+                os.path.join(base, d)
+                for d in os.listdir(base)
+                if d.startswith(prefix)
+                and os.path.isdir(os.path.join(base, d))
+            )
+
+        if snap.get("refs") is not None:
+            return [(g["basePath"], list(g["paths"])) for g in snap["refs"]]
+        if "paths" in snap:
+            if snap["paths"] is None:
+                return [(snap["basePath"], _list(snap["basePath"]))]
+            return [(snap["basePath"], list(snap["paths"]))]
+        return [(snap["path"], _list(snap["path"]))]
+
+    def overwrite_partitions(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        partition_col: str,
+        partitions: list[str],
+    ) -> str:
+        """Iceberg ``overwritePartitions`` analog: replace ONLY the
+        named partitions of ``table`` with ``df``'s rows, carrying every
+        untouched partition of the current snapshot BY REFERENCE
+        (zero rows of untouched data rewritten — at 100 TB an hourly
+        late-data refresh rewrites ~1 day directory, not the tier).
+
+        ``df`` is filtered to ``partitions`` defensively, written to a
+        new snap dir partitioned by ``partition_col``, and the new
+        snapshot's ``refs`` unions the new dirs with the retained old
+        dirs. Data lands before the metadata swap; the commit is
+        validated against the base snapshot (optimistic concurrency),
+        and a losing writer's data dir is cleaned up. Returns the new
+        snapshot id.
+        """
+        cur = self.current_snapshot(table)
+        if cur is None:
+            raise FileNotFoundError(table)
+        part_by = cur.get("partition_by") or []
+        if partition_col not in part_by:
+            raise ValueError(
+                f"{table!r} is not partitioned by {partition_col!r} "
+                f"(partition_by={part_by})"
+            )
+        overwritten = set(partitions)
+        snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.root, table, f"snap-{snap_id}")
+        from pyspark.sql import functions as F
+
+        (
+            df.where(F.col(partition_col).isin(list(overwritten)))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(data_dir)
+        )
+        prefix = f"{partition_col}="
+        refs = []
+        for base, paths in self._live_partition_groups(cur, partition_col):
+            kept = [
+                p
+                for p in paths
+                if os.path.basename(p.rstrip("/"))[len(prefix):]
+                not in overwritten
+            ]
+            if kept:
+                refs.append({"basePath": base, "paths": sorted(kept)})
+        new_paths = sorted(
+            os.path.join(data_dir, d)
+            for d in os.listdir(data_dir)
+            if d.startswith(prefix)
+        )
+        if new_paths:
+            refs.append({"basePath": data_dir, "paths": new_paths})
+        snap = {
+            "id": snap_id,
+            "ts": time.time(),
+            "path": data_dir,  # owned dir (reclaimable on expire)
+            "refs": refs,
+            "partition_by": part_by,
+            "properties": {"overwrite_partitions": sorted(overwritten)},
+            "schema": json.loads(df.schema.json()),
+            "fields": self._assign_field_ids(table, df.columns),
+        }
+        for k in ("renames", "added"):
+            if cur.get(k):
+                snap[k] = cur[k]
+        try:
+            self._commit(table, snap, cur["id"])
+        except CommitConflict:
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        return snap_id
+
     # ----------------------------------------------------- schema evolution
     def rename_column(self, table: str, old: str, new: str) -> str:
         """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME
@@ -235,7 +343,15 @@ class ParquetSnapshotCatalog:
             "partition_by": cur.get("partition_by", []),
             "fields": fields,
         }
-        if "paths" in cur:
+        if cur.get("refs") is not None:
+            # partition-overwrite parent: inherit the group references
+            snap["refs"] = [
+                {"basePath": g["basePath"], "paths": list(g["paths"])}
+                for g in cur["refs"]
+            ]
+            if cur.get("schema"):
+                snap["schema"] = cur["schema"]
+        elif "paths" in cur:
             snap["paths"] = None if cur["paths"] is None else list(cur["paths"])
             snap["basePath"] = cur["basePath"]
         else:
@@ -266,7 +382,31 @@ class ParquetSnapshotCatalog:
         if sid is None:
             raise FileNotFoundError(f"table {table!r} has no current snapshot")
         snap = next(s for s in m["snapshots"] if s["id"] == sid)
-        if "paths" in snap:
+        if snap.get("refs") is not None:
+            # multi-group reference snapshot (partition overwrite):
+            # each group is (basePath, retained partition dirs); groups
+            # live under different base dirs, so they are scanned per
+            # group and unioned — Iceberg's manifest-of-files analog.
+            parts = [
+                spark.read.option("basePath", g["basePath"]).parquet(
+                    *g["paths"]
+                )
+                for g in snap["refs"]
+                if g["paths"]
+            ]
+            if not parts:
+                # every partition dropped: reproduce the empty frame
+                # from the recorded schema (metadata-only, no scan)
+                from pyspark.sql.types import StructType
+
+                df = spark.createDataFrame(
+                    [], StructType.fromJson(snap["schema"])
+                )
+            else:
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+        elif "paths" in snap:
             # metadata-only snapshot: paths None = whole-dir reference
             # (schema evolution child), a list = retained partition
             # directories (retention drop); basePath recovers the
@@ -325,7 +465,13 @@ class ParquetSnapshotCatalog:
         whole_refs = set()  # dirs referenced in full (schema-evo children)
         schema_anchors = set()
         for s in keep:
-            if "paths" not in s:
+            if s.get("refs") is not None:
+                # partition-overwrite snapshot: each referenced dir is
+                # live, wherever it physically lives
+                for g in s["refs"]:
+                    for p in g["paths"]:
+                        kept_refs.add(os.path.normpath(p))
+            elif "paths" not in s:
                 whole_refs.add(os.path.normpath(s["path"]))
             elif s["paths"] is None:
                 # schema-evolution child of a full snapshot: every
@@ -397,32 +543,36 @@ class ParquetSnapshotCatalog:
                 f"(partition_by={part_by}); metadata-only drop needs the "
                 "TTL column to be the partition column"
             )
-        base = cur.get("basePath", cur.get("path"))
-        if cur.get("paths") is not None:
-            candidates = list(cur["paths"])
-        else:
-            # full snapshot, or a schema-evo child referencing the
-            # whole owner dir (paths None): enumerate partition dirs
-            candidates = [
-                os.path.join(base, d)
-                for d in os.listdir(base)
-                if d.startswith(f"{partition_col}=")
-            ]
         prefix = f"{partition_col}="
-        retained = [
-            p
-            for p in candidates
-            if os.path.basename(p.rstrip("/"))[len(prefix):] >= cutoff
-        ]
+
+        def _retain(paths: list[str]) -> list[str]:
+            return sorted(
+                p
+                for p in paths
+                if os.path.basename(p.rstrip("/"))[len(prefix):] >= cutoff
+            )
+
+        groups = self._live_partition_groups(cur, partition_col)
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         snap = {
             "id": snap_id,
             "ts": time.time(),
-            "paths": sorted(retained),
-            "basePath": base,
             "partition_by": part_by,
             "properties": {"retention_cutoff": cutoff, "metadata_only": True},
         }
+        if cur.get("refs") is not None:
+            # multi-group parent (partition overwrite): filter each group
+            refs = [
+                {"basePath": base, "paths": kept}
+                for base, paths in groups
+                for kept in [_retain(paths)]
+                if kept
+            ]
+            snap["refs"] = refs
+        else:
+            base, candidates = groups[0]
+            snap["paths"] = _retain(candidates)
+            snap["basePath"] = base
         # schema evolution state and field ids survive retention drops
         for k in ("renames", "added", "fields", "schema"):
             if cur.get(k):
