@@ -562,7 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_day_windows", "cusum_changepoints",
         "seasonal_decompose_24h", "incremental_rollup_refresh",
         "bm25_topk", "theilsen_trend", "dominant_period_acf",
-        "upsample_linear_15m",
+        "upsample_linear_15m", "tier_quantiles_hist",
+        "tier_distinct_users_1d",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -3944,6 +3945,48 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["upsample_linear_15m"] = q_upsample
 
+    def q_hist_quantiles(s, d):
+        """Exact tier quantiles from materialized value-count histogram
+        partials (pipeline/rollup.hist_base/hist_cascade/
+        hist_quantiles): quantiles are holistic, but over a bounded
+        int domain the histogram partial composes losslessly — daily
+        histograms cascade to month, quantile reads never rescan raw.
+        percentile_disc semantics = DuckDB quantile_disc; the ceil
+        threshold is the same double arithmetic on both engines."""
+        from tstoolbox_spark.pipeline import rollup
+
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            F.col("l_returnflag").alias("source"),
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+            F.col("l_quantity").cast("int").alias("n_tok"),
+        )
+        daily = rollup.hist_base(li, "1d")
+        monthly = rollup.hist_cascade(daily, "1mo")
+        out = rollup.hist_quantiles(monthly, (0.5, 0.9, 0.99))
+        return out.select(
+            F.col("source").alias("l_returnflag"), "ts", "p50", "p90", "p99"
+        )
+
+    q["tier_quantiles_hist"] = q_hist_quantiles
+
+    def q_distinct_users(s, d):
+        """Distinct-count tier composition: hourly DISTINCT
+        (event_type, user) partials roll up to exact daily unique-user
+        counts — the set-union analog of the sum/count partial cascade
+        (distinct partials compose; counts of them do not). One
+        distinct shuffle + one partial-aggregated groupBy."""
+        ev = _events(s, d)
+        hourly = ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("ts"),
+            "user_id",
+        ).distinct()
+        return hourly.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("ts")
+        ).agg(F.count_distinct("user_id").alias("unique_users"))
+
+    q["tier_distinct_users_1d"] = q_distinct_users
+
     return q
 
 
@@ -4193,5 +4236,22 @@ def _oracles_round3c() -> dict[str, str]:
                                 * ((q * 900) / (epoch(nts) - epoch(ts)))
                       END) * 1e6 + 0.5) / 1e6 AS value_mean
         FROM x
+    """
+
+    # exact tier quantiles == quantile_disc over raw (percentile_disc
+    # convention: smallest value with cumulative count >= ceil(q*n))
+    o["tier_quantiles_hist"] = """
+        SELECT l_returnflag,
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
+               quantile_disc(CAST(l_quantity AS INT), 0.5) AS p50,
+               quantile_disc(CAST(l_quantity AS INT), 0.9) AS p90,
+               quantile_disc(CAST(l_quantity AS INT), 0.99) AS p99
+        FROM lineitem GROUP BY 1, 2
+    """
+
+    o["tier_distinct_users_1d"] = """
+        SELECT event_type, date_trunc('day', ts) AS ts,
+               COUNT(DISTINCT user_id) AS unique_users
+        FROM events GROUP BY 1, 2
     """
     return o

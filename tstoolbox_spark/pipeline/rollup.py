@@ -27,10 +27,23 @@ resample's left-closed/left-labeled default for T/H/D.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+TIERS = {
+    "1m": "minute",
+    "1h": "hour",
+    "1d": "day",
+    # calendar tiers (variable length — partial merge still exact, but
+    # they are rollup targets only, never the TTL partition unit).
+    # NESTING CAVEAT: ISO weeks straddle month boundaries, so '1w'
+    # partials must NEVER cascade into '1mo' — a week's counts would
+    # land wholesale in the month of the week's Monday. Cascade both
+    # from '1d' (minute/hour/day/month nest exactly; week nests only
+    # over day and finer).
+    "1w": "week",
+    "1mo": "month",
+}
 TIER_ORDER = ["1m", "1h", "1d"]
 
 PARTIAL_COLS = ["n_tok_sum", "n_tok_count", "n_tok_min", "n_tok_max"]
@@ -60,6 +73,72 @@ def rollup_cascade(finer: DataFrame, tier: str, key_cols: tuple[str, ...] = ("so
         F.min("n_tok_min").alias("n_tok_min"),
         F.max("n_tok_max").alias("n_tok_max"),
     )
+
+
+def hist_base(
+    df: DataFrame,
+    tier: str = "1h",
+    key_cols: tuple[str, ...] = ("source",),
+    value_col: str = "n_tok",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Value-count HISTOGRAM partials: one row per (key, bucket,
+    distinct value). Quantiles are holistic — they cannot be
+    materialized as sum/count partials — but over a BOUNDED integer
+    domain (token counts are 1..512, TPC-H quantities 1..50) the full
+    histogram is a tiny, losslessly composable partial: rows per tier
+    bucket <= |domain|, merging = adding counts. This buys EXACT
+    percentiles at every tier without rescanning raw — the
+    TimescaleDB ``percentile_agg`` continuous-aggregate shape, exact
+    instead of sketched. Same groupBy shuffle as ``rollup_base``.
+    """
+    unit = TIERS[tier]
+    return df.groupBy(
+        *key_cols,
+        F.date_trunc(unit, F.col(ts_col)).alias("ts"),
+        F.col(value_col).alias("v"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+def hist_cascade(
+    finer: DataFrame, tier: str, key_cols: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Finer-tier histogram partials → coarser tier (counts add)."""
+    unit = TIERS[tier]
+    return finer.groupBy(
+        *key_cols, F.date_trunc(unit, F.col("ts")).alias("ts"), "v"
+    ).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    key_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exact discrete quantiles per (key, bucket) from histogram
+    partials — percentile_disc semantics (smallest value whose
+    cumulative count reaches ceil(q*n), matching DuckDB quantile_disc
+    / Postgres percentile_disc).
+
+    One window cumsum ordered by value WITHIN each bucket (partition
+    sizes <= |domain|, so the sort is trivial) and one aggregate —
+    reading quantiles never touches raw rows.
+    """
+    keys = [*key_cols, "ts"]
+    bucket = Window.partitionBy(*keys)
+    byval = bucket.orderBy("v")
+    cum = F.sum("cnt").over(byval)
+    total = F.sum("cnt").over(bucket)
+    h = hist.select(*keys, "v", cum.alias("__cum"), total.alias("__tot"))
+    aggs = []
+    for q in qs:
+        thr = F.greatest(F.ceil(F.lit(q) * F.col("__tot")), F.lit(1))
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= thr, F.col("v"))).alias(
+                f"p{str(q).replace('0.', '').ljust(2, '0')}"
+            )
+        )
+    return h.groupBy(*keys).agg(*aggs)
 
 
 def with_mean(tier_df: DataFrame) -> DataFrame:
