@@ -563,7 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_24h", "incremental_rollup_refresh",
         "bm25_topk", "theilsen_trend", "dominant_period_acf",
         "upsample_linear_15m", "tier_quantiles_hist",
-        "tier_distinct_users_1d",
+        "tier_distinct_users_1d", "ddsketch_quantiles_daily",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -3987,6 +3987,34 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_distinct_users_1d"] = q_distinct_users
 
+    def q_ddsketch(s, d):
+        """DDSketch (Masson et al., VLDB'19) quantile partials for
+        UNBOUNDED double domains (pipeline/ddsketch.py): signed log
+        buckets compose like histograms, giving alpha-relative-error
+        p50/p90/p99 per (event_type, day) read from tier partials only.
+        Oracle replicates the identical bucket/decode arithmetic —
+        quantile_disc over bucket keys equals the cumulative-rank read."""
+        from tstoolbox_spark.pipeline import ddsketch
+
+        ev = _events(s, d).select(
+            F.col("event_type").alias("source"), "ts",
+            F.col("value").alias("n_tok"),
+        )
+        sk = ddsketch.ddsketch_base(ev, "1d", alpha=0.01)
+        out = ddsketch.ddsketch_quantiles(sk, (0.5, 0.9, 0.99), alpha=0.01)
+        def _r6(c):  # engine-identical rounding (see upsample note)
+            return (F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(c)
+
+        return out.select(
+            F.col("source").alias("event_type"),
+            "ts",
+            _r6("p50"),
+            _r6("p90"),
+            _r6("p99"),
+        )
+
+    q["ddsketch_quantiles_daily"] = q_ddsketch
+
     return q
 
 
@@ -4253,5 +4281,41 @@ def _oracles_round3c() -> dict[str, str]:
         SELECT event_type, date_trunc('day', ts) AS ts,
                COUNT(DISTINCT user_id) AS unique_users
         FROM events GROUP BY 1, 2
+    """
+
+    # DDSketch: identical signed log-bucket + midpoint-decode arithmetic;
+    # quantile_disc over ordered bucket keys == the cumulative-rank read
+    import math as _math
+
+    _g = (1.0 + 0.01) / (1.0 - 0.01)
+    _lg = _math.log(_g)
+    _bk = f"""CASE WHEN value > 0
+                   THEN CAST(CEIL(ln(abs(value)) / {_lg!r}) AS BIGINT) + 1000000
+                   WHEN value < 0
+                   THEN -(CAST(CEIL(ln(abs(value)) / {_lg!r}) AS BIGINT) + 1000000)
+                   ELSE 0 END"""
+    _dec = (
+        "CASE WHEN {b} > 0 THEN 2.0 * power({g}, CAST({b} - 1000000 AS DOUBLE)) / {g1} "
+        "WHEN {b} < 0 THEN -(2.0 * power({g}, CAST(-{b} - 1000000 AS DOUBLE)) / {g1}) "
+        "ELSE 0.0 END"
+    )
+
+    def _dq(q):
+        b = f"quantile_disc(bk, {q})"
+        return (
+            "FLOOR(("
+            + _dec.format(b=b, g=repr(_g), g1=repr(_g + 1.0))
+            + ") * 1e6 + 0.5) / 1e6"
+        )
+
+    o["ddsketch_quantiles_daily"] = f"""
+        WITH b AS (
+          SELECT event_type, date_trunc('day', ts) AS ts, {_bk} AS bk
+          FROM events WHERE value IS NOT NULL)
+        SELECT event_type, ts,
+               {_dq(0.5)} AS p50,
+               {_dq(0.9)} AS p90,
+               {_dq(0.99)} AS p99
+        FROM b GROUP BY 1, 2
     """
     return o

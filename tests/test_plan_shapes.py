@@ -225,3 +225,71 @@ def test_pq_scan_reads_codes_not_floats(spark, tmp_path):
     assert "pq_code" in read_schema and "embedding" not in read_schema
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan  # k-row ordered take, no sort
+
+
+def test_hist_tier_cascade_is_partial_agg_over_partials(spark):
+    """Histogram tier reads never rescan raw: the quantile read's scan
+    schema is the partial schema, every groupBy map-side combines, and
+    the whole day->month->quantile chain costs exactly 3 exchanges
+    (base histogram, cascade merge, quantile window)."""
+    from tstoolbox_spark.pipeline import rollup
+
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("source"),
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        F.col("l_quantity").cast("int").alias("n_tok"),
+    )
+    out = rollup.hist_quantiles(
+        rollup.hist_cascade(rollup.hist_base(li, "1d"), "1mo")
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 3
+    assert "partial_count" in plan or "partial_sum" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema  # pruned to 3 columns
+
+
+def test_bm25_broadcasts_idf_and_never_cross_joins(spark):
+    """BM25's per-term stats are a |query|-row frame: it must reach the
+    scored corpus as a broadcast, and nothing in the plan may
+    degenerate to a cartesian/nested-loop join."""
+    from tstoolbox_spark.textops.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["data", "join"], k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k take, not a full sort
+
+
+def test_upsample_linear_single_window_sort(spark):
+    """The upsample is one window sort + arithmetic explode: one
+    exchange (the window partition), one Sort, no join."""
+    from tstoolbox_spark.operators.core import upsample_linear
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    plan = _plan(upsample_linear(ev, 900, ["value"], key_cols=["event_type"]))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_theil_sen_pairs_are_key_equi_join(spark):
+    """The O(n²) pair generation must be an equi hash/merge join on the
+    key (bounded per key by the guard), never a cartesian product."""
+    from tstoolbox_spark.operators.stats import theil_sen
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.avg("value").alias("v"))
+    plan = _plan(theil_sen(hourly, "v", key_cols=["event_type"]))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

@@ -394,3 +394,53 @@ def test_streaming_ewm_matches_batch_and_resumes(spark, tmp_path):
     joined = got.join(batch, ["event_type", "ts"]).toPandas()
     assert len(joined) == n
     np.testing.assert_allclose(joined["ewm"], joined["expected"], rtol=1e-9)
+
+
+def test_streaming_hist_matches_batch_and_quantiles(spark, tmp_path):
+    """continuous_hist: streamed histogram partials equal the batch
+    hist_base cells they cover, and quantiles read from the streamed
+    tier equal quantiles from the batch tier for those buckets."""
+    from tstoolbox_spark.pipeline.rollup import hist_base, hist_quantiles
+    from tstoolbox_spark.streaming import continuous_hist
+
+    seq = generate_sequences(spark, 20_000)
+    in_dir = tmp_path / "hist_in"
+    with_ts = with_time_axis(seq)
+    cutoff = with_ts.agg(F.percentile_approx("ts", 0.8)).collect()[0][0]
+    early = with_ts.filter(F.col("ts") <= F.lit(cutoff)).drop("ts")
+    late = with_ts.filter(F.col("ts") > F.lit(cutoff)).drop("ts")
+    early.write.mode("overwrite").parquet(str(in_dir))
+    q = continuous_hist(
+        spark, str(in_dir), str(tmp_path / "htier"), str(tmp_path / "hck")
+    )
+    q.awaitTermination(120)
+    late.write.mode("append").parquet(str(in_dir))
+    q2 = continuous_hist(
+        spark, str(in_dir), str(tmp_path / "htier"), str(tmp_path / "hck")
+    )
+    q2.awaitTermination(180)
+
+    streamed = spark.read.parquet(str(tmp_path / "htier"))
+    n = streamed.count()
+    assert n > 0
+    # exactly-once: one row per (ts, source, v)
+    assert (
+        streamed.groupBy("ts", "source", "v")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    # cell parity vs the batch histogram
+    batch = hist_base(with_time_axis(seq), "1m")
+    joined = streamed.alias("s").join(
+        batch.alias("b"), ["ts", "source", "v"], "inner"
+    )
+    assert joined.count() == n
+    assert joined.filter(F.col("s.cnt") != F.col("b.cnt")).count() == 0
+    # quantiles from the streamed tier match quantiles from the batch
+    # tier on the emitted buckets
+    emitted = streamed.select("ts", "source").distinct()
+    qa = hist_quantiles(streamed).join(emitted, ["source", "ts"])
+    qb = hist_quantiles(batch).join(emitted, ["source", "ts"])
+    assert qa.exceptAll(qb).count() == 0 and qb.exceptAll(qa).count() == 0

@@ -7,6 +7,7 @@ resume. See runner.run_pipeline for the end-to-end job.
 from . import (  # noqa: F401
     bucketing,
     compress,
+    ddsketch,
     incremental,
     lineage,
     retention,

@@ -73,6 +73,49 @@ def continuous_rollup(
     return writer.start()
 
 
+def continuous_hist(
+    spark: SparkSession,
+    input_dir: str,
+    tier_dir: str,
+    checkpoint_dir: str,
+    tier: str = "1m",
+    watermark: str = "2 minutes",
+    key_cols: tuple[str, ...] = ("source",),
+    available_now: bool = True,
+):
+    """Streaming value-count HISTOGRAM partials — the incremental-ingest
+    mode of ``pipeline.rollup.hist_base``. Output schema
+    (ts, keys, v, cnt) is consumed unchanged by ``hist_cascade`` /
+    ``hist_quantiles``, so exact tier percentiles stay available while
+    data streams in. State per open bucket is bounded by the value
+    domain (|domain| counters), the same bound that makes the batch
+    partial composable; append mode + watermark emit a bucket's
+    histogram once it closes. Exactly-once via the file-sink
+    transaction log, resume via the checkpoint."""
+    unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(input_dir)
+    seq = with_time_axis(stream)
+    agg = (
+        seq.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", unit).alias("w"),
+            *key_cols,
+            F.col("n_tok").alias("v"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ts"), *key_cols, "v", "cnt")
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def continuous_ingest_dedup(
     spark: SparkSession,
     input_dir: str,
