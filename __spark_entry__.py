@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk", "theilsen_trend", "dominant_period_acf",
         "upsample_linear_15m", "tier_quantiles_hist",
         "tier_distinct_users_1d", "ddsketch_quantiles_daily",
+        "counter_agg_hourly", "heartbeat_gaps", "tier_top_values",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4015,6 +4016,60 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ddsketch_quantiles_daily"] = q_ddsketch
 
+    def q_counter_agg(s, d):
+        """Reset-aware counter rollup (operators/counters.py —
+        TimescaleDB counter_agg/delta semantics, Prometheus reset
+        rule). A deterministic sawtooth counter (row_number % 97 per
+        event_type, ordered ts/event_id) exercises resets; hourly
+        increase must equal the oracle's identical lag/CASE/SUM.
+        first/last readings are dropped here because equal-ts ties
+        would make them order-dependent."""
+        from tstoolbox_spark.operators.counters import counter_agg
+
+        ev = _events(s, d)
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        ctr = ev.select(
+            "event_type", "ts", "event_id",
+            (F.row_number().over(w) % 97).alias("v"),
+        )
+        out = counter_agg(
+            ctr, "v", "1h", key_cols=["event_type"], order_cols=["event_id"]
+        )
+        return out.select("event_type", "ts", "increase", "n_obs")
+
+    q["counter_agg_hourly"] = q_counter_agg
+
+    def q_gaps(s, d):
+        """Heartbeat gap detection (counters.detect_gaps — TimescaleDB
+        heartbeat_agg dead-interval read): consecutive events of a type
+        more than 15 minutes apart. One lag window + narrow filter;
+        output is only the gaps."""
+        from tstoolbox_spark.operators.counters import detect_gaps
+
+        return detect_gaps(_events(s, d), 900, key_cols=["event_type"])
+
+    q["heartbeat_gaps"] = q_gaps
+
+    def q_top_values(s, d):
+        """Exact heavy hitters from histogram tier partials
+        (rollup.hist_topk): top-3 most frequent quantities per
+        (returnflag, month) without rescanning raw; tie → smaller
+        value, fully deterministic."""
+        from tstoolbox_spark.pipeline import rollup
+
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            F.col("l_returnflag").alias("source"),
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+            F.col("l_quantity").cast("int").alias("n_tok"),
+        )
+        monthly = rollup.hist_cascade(rollup.hist_base(li, "1d"), "1mo")
+        out = rollup.hist_topk(monthly, 3)
+        return out.select(
+            F.col("source").alias("l_returnflag"), "ts", "rank", "v", "cnt"
+        )
+
+    q["tier_top_values"] = q_top_values
+
     return q
 
 
@@ -4317,5 +4372,51 @@ def _oracles_round3c() -> dict[str, str]:
                {_dq(0.9)} AS p90,
                {_dq(0.99)} AS p99
         FROM b GROUP BY 1, 2
+    """
+
+    # reset-aware counter increase: identical sawtooth construction +
+    # lag/CASE delta + hourly SUM (integer-valued doubles, exact)
+    o["counter_agg_hourly"] = """
+        WITH c AS (
+          SELECT event_type, ts, event_id,
+                 (row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id)) % 97 AS v
+          FROM events),
+        l AS (SELECT *, lag(v) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS prev
+              FROM c),
+        d AS (SELECT event_type, ts, v,
+                     CASE WHEN prev IS NULL THEN NULL
+                          WHEN v - prev < 0 THEN CAST(v AS DOUBLE)
+                          ELSE CAST(v - prev AS DOUBLE) END AS delta
+              FROM l)
+        SELECT event_type, date_trunc('hour', ts) AS ts,
+               SUM(delta) AS increase, COUNT(v) AS n_obs
+        FROM d GROUP BY 1, 2
+    """
+
+    o["heartbeat_gaps"] = """
+        WITH l AS (
+          SELECT event_type, ts,
+                 lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+          FROM events)
+        SELECT event_type, prev AS gap_start, ts AS gap_end,
+               CAST(epoch_us(ts) - epoch_us(prev) AS DOUBLE) / 1e6
+                 AS gap_seconds
+        FROM l
+        WHERE CAST(epoch_us(ts) - epoch_us(prev) AS DOUBLE) / 1e6 > 900
+    """
+
+    o["tier_top_values"] = """
+        WITH h AS (
+          SELECT l_returnflag,
+                 CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
+                 CAST(l_quantity AS INT) AS v, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2, 3),
+        r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag, ts
+                                           ORDER BY cnt DESC, v) AS rank
+              FROM h)
+        SELECT l_returnflag, ts, CAST(rank AS INT) AS rank, v, cnt
+        FROM r WHERE rank <= 3
     """
     return o

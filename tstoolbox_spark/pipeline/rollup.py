@@ -141,6 +141,23 @@ def hist_quantiles(
     return h.groupBy(*keys).agg(*aggs)
 
 
+def hist_topk(
+    hist: DataFrame, k: int = 3, key_cols: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Top-k most frequent values per (key, tier bucket) read from
+    histogram partials — exact heavy hitters without rescanning raw
+    (the sketch-free answer Misra-Gries approximates on unbounded
+    domains). Tie → smaller value first, so output is deterministic.
+    One window over partitions bounded by |domain| rows."""
+    keys = [*key_cols, "ts"]
+    w = Window.partitionBy(*keys).orderBy(F.col("cnt").desc(), F.col("v"))
+    return (
+        hist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*keys, "rank", "v", "cnt")
+    )
+
+
 def with_mean(tier_df: DataFrame) -> DataFrame:
     """Read-side derived mean (never materialized — keeps partials
     losslessly composable)."""

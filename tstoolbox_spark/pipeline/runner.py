@@ -134,7 +134,15 @@ def run_pipeline(
         # commits, slow scans, and a metadata-only TTL drop would still
         # list thousands of files). A day of 1m partials is sources x
         # 1440 rows — one task per day is the right grain at any SF.
-        return rollup.day_partition(tier_df).repartition(F.col("day"))
+        # sortWithinPartitions(source, ts): parquet row-group min/max
+        # stats become disjoint per (source, ts range), so point/range
+        # reads on a source or time slice skip whole row groups — free
+        # data-skipping at read time for one sort at write time.
+        return (
+            rollup.day_partition(tier_df)
+            .repartition(F.col("day"))
+            .sortWithinPartitions(*key_cols, "ts")
+        )
 
     tier_1m = rollup.rollup_base(cells, "1m", key_cols)
     snap_1m = catalog.write_snapshot(

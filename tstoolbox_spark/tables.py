@@ -144,6 +144,29 @@ class ParquetSnapshotCatalog:
         CommitConflict if another writer landed in between, deleting
         this writer's orphaned data directory.
         """
+        snap = self._prepare_snapshot(
+            df, table, partition_by, properties, compression
+        )
+        try:
+            self._commit(table, snap, expected_current)
+        except CommitConflict:
+            import shutil
+
+            shutil.rmtree(snap["path"], ignore_errors=True)
+            raise
+        return snap["id"]
+
+    def _prepare_snapshot(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        properties: dict | None = None,
+        compression: str | None = None,
+    ) -> dict:
+        """Phase 1 of a commit: land the data files and build the
+        snapshot record — durable but NOT yet referenced by any
+        manifest (Iceberg's data-files-first discipline)."""
         snap_id = f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.root, table, f"snap-{snap_id}")
         writer = df.write.mode("overwrite")
@@ -152,7 +175,7 @@ class ParquetSnapshotCatalog:
         if compression:
             writer = writer.option("compression", compression)
         writer.parquet(data_dir)
-        snap = {
+        return {
             "id": snap_id,
             "ts": time.time(),
             "path": data_dir,
@@ -161,14 +184,6 @@ class ParquetSnapshotCatalog:
             "schema": json.loads(df.schema.json()),
             "fields": self._assign_field_ids(table, [f.name for f in df.schema]),
         }
-        try:
-            self._commit(table, snap, expected_current)
-        except CommitConflict:
-            import shutil
-
-            shutil.rmtree(data_dir, ignore_errors=True)
-            raise
-        return snap_id
 
     def _assign_field_ids(self, table: str, names: list[str]) -> dict[str, int]:
         """Iceberg-style stable column ids: a name seen in the previous
@@ -185,6 +200,115 @@ class ParquetSnapshotCatalog:
                 next_id += 1
                 out[n] = next_id
         return out
+
+    # ------------------------------------------------ multi-table commits
+    def commit_group(self, writes: list[dict]) -> dict[str, str]:
+        """All-or-nothing commit across MULTIPLE tables (the Iceberg
+        multi-table-transaction analog; e.g. the sum-partial tier and
+        its histogram twin must never be visible half-updated).
+
+        ``writes``: [{'df', 'table', 'partition_by'?, 'properties'?,
+        'compression'?, 'expected_current'?}, ...].
+
+        Two-phase protocol:
+          1. every table's data dir lands (durable, unreferenced);
+          2. a write-ahead INTENT file records all prepared snapshots;
+          3. under ALL table locks (acquired in sorted order — no
+             deadlock), every ``expected_current`` is validated, then
+             each manifest swaps;
+          4. the intent file is removed.
+        A conflict in (3) aborts the whole group (data dirs + intent
+        deleted, CommitConflict). A crash between swaps in (3) leaves
+        the intent on disk; :meth:`recover_pending` rolls the group
+        FORWARD (idempotently re-applying missing manifest entries),
+        so readers either see none or all of the group after repair.
+        Returns {table: snapshot_id}.
+        """
+        import shutil
+
+        prepared: list[tuple[dict, dict]] = []  # (write spec, snap)
+        for wspec in writes:
+            snap = self._prepare_snapshot(
+                wspec["df"],
+                wspec["table"],
+                wspec.get("partition_by"),
+                wspec.get("properties"),
+                wspec.get("compression"),
+            )
+            prepared.append((wspec, snap))
+        intent_path = os.path.join(
+            self.root, f".pending-group-{uuid.uuid4().hex}.json"
+        )
+        tmp = intent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                [{"table": w["table"], "snap": s} for w, s in prepared], f
+            )
+        os.replace(tmp, intent_path)  # intent durable before any swap
+
+        tables = sorted({w["table"] for w, _ in prepared})
+        held: list[str] = []
+        try:
+            for t in tables:
+                self._acquire_lock(t)
+                held.append(t)
+            # validate every expectation BEFORE the first swap
+            for wspec, _ in prepared:
+                exp = wspec.get("expected_current", _UNSET)
+                if exp is _UNSET:
+                    continue
+                cur = self._read_manifest(wspec["table"])["current"]
+                if cur != exp:
+                    raise CommitConflict(
+                        f"table {wspec['table']!r}: current snapshot is "
+                        f"{cur!r}, expected {exp!r}"
+                    )
+            for wspec, snap in prepared:
+                m = self._read_manifest(wspec["table"])
+                m["snapshots"].append(snap)
+                m["current"] = snap["id"]
+                self._write_manifest(wspec["table"], m)
+            os.remove(intent_path)
+        except CommitConflict:
+            for _, snap in prepared:
+                shutil.rmtree(snap["path"], ignore_errors=True)
+            os.remove(intent_path)
+            raise
+        finally:
+            for t in reversed(held):
+                self._release_lock(t)
+        return {w["table"]: s["id"] for w, s in prepared}
+
+    def recover_pending(self) -> int:
+        """Roll FORWARD any crashed group commits: for every intent
+        file, idempotently re-apply the manifest entries that did not
+        land, then drop the intent. Returns the number of groups
+        repaired. Call on catalog open after an unclean shutdown (the
+        streaming/pipeline resume path does the analogous thing with
+        checkpoints)."""
+        repaired = 0
+        for entry in sorted(os.listdir(self.root)):
+            if not (
+                entry.startswith(".pending-group-") and entry.endswith(".json")
+            ):
+                continue
+            path = os.path.join(self.root, entry)
+            with open(path) as f:
+                group = json.load(f)
+            for item in group:
+                t, snap = item["table"], item["snap"]
+                self._acquire_lock(t)
+                try:
+                    m = self._read_manifest(t)
+                    if all(s["id"] != snap["id"] for s in m["snapshots"]):
+                        m["snapshots"].append(snap)
+                        m["current"] = snap["id"]
+                        self._write_manifest(t, m)
+                finally:
+                    self._release_lock(t)
+            os.remove(path)
+            repaired += 1
+        return repaired
 
     # -------------------------------------------------- partition overwrite
     def _live_partition_groups(
