@@ -151,3 +151,82 @@ def test_schema_evolution_over_overwrite_snapshot(spark, seq, split, tmp_path):
     df = cat.read(spark, "tier_1m")
     assert "tok_sum" in df.columns and "n_tok_sum" not in df.columns
     assert df.count() == rollup.rollup_base(seq, "1m").count()
+
+
+def test_refresh_all_tiers_matches_full_rebuild(spark, seq, split, tmp_path):
+    """End-to-end incremental cascade: after folding the late batch,
+    every tier equals a from-scratch rebuild over raw ∪ late."""
+    on_time, late, late_days = split
+    cat = ParquetSnapshotCatalog(str(tmp_path / "cat"))
+    base_1m = rollup.rollup_base(on_time, "1m")
+    cat.write_snapshot(
+        rollup.day_partition(base_1m), "tier_1m", partition_by=["day"]
+    )
+    cat.write_snapshot(
+        rollup.day_partition(rollup.rollup_cascade(base_1m, "1h")),
+        "tier_1h",
+        partition_by=["day"],
+    )
+    cat.write_snapshot(
+        rollup.day_partition(rollup.rollup_cascade(base_1m, "1d")),
+        "tier_1d",
+        partition_by=["day"],
+    )
+    sids = incremental.refresh_all_tiers(cat, spark, late)
+    assert set(sids) == {"1m", "1h", "1d"}
+
+    full_1m = rollup.rollup_base(seq, "1m")
+    expected = {
+        "tier_1m": full_1m,
+        "tier_1h": rollup.rollup_cascade(full_1m, "1h"),
+        "tier_1d": rollup.rollup_cascade(rollup.rollup_cascade(full_1m, "1h"), "1d"),
+    }
+    for tbl, exp in expected.items():
+        got = cat.read(spark, tbl).drop("day")
+        assert _sorted_rows(got) == _sorted_rows(exp), tbl
+    # coarser tiers only rewrote the touched days
+    snap_1d = cat.current_snapshot("tier_1d")
+    new_days = {
+        os.path.basename(p).split("=", 1)[1]
+        for g in snap_1d["refs"]
+        if g["basePath"] == snap_1d["path"]
+        for p in g["paths"]
+    }
+    assert new_days == set(late_days)
+
+
+def test_compact_partitions_preserves_rows(spark, seq, tmp_path):
+    cat = ParquetSnapshotCatalog(str(tmp_path / "cat"))
+    parts = rollup.day_partition(rollup.rollup_base(seq, "1m")).repartition(8)
+    cat.write_snapshot(parts, "tier_1m", partition_by=["day"])
+    before = cat.read(spark, "tier_1m")
+    n, tot = before.count(), before.agg({"n_tok_sum": "sum"}).collect()[0][0]
+    sid = cat.compact_partitions(spark, "tier_1m", "day")
+    after = cat.read(spark, "tier_1m")
+    assert after.count() == n
+    assert after.agg({"n_tok_sum": "sum"}).collect()[0][0] == tot
+    # every live partition now holds exactly one data file
+    snap = cat.current_snapshot("tier_1m")
+    assert snap["id"] == sid
+    for g in snap["refs"]:
+        for p in g["paths"]:
+            files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            assert len(files) == 1, p
+
+
+def test_snapshot_diff_surfaces_changes(spark, seq, split, tmp_path):
+    on_time, late, _ = split
+    cat = ParquetSnapshotCatalog(str(tmp_path / "cat"))
+    s1 = cat.write_snapshot(
+        rollup.day_partition(rollup.rollup_base(on_time, "1m")),
+        "tier_1m",
+        partition_by=["day"],
+    )
+    s2 = incremental.refresh_tier_snapshot(cat, spark, "tier_1m", late, "1m")
+    d = cat.snapshot_diff(spark, "tier_1m", s1, s2)
+    added, removed = d["added"].count(), d["removed"].count()
+    assert added > 0  # late batch created/updated buckets
+    # every changed bucket is on a late day
+    late_parts = rollup.rollup_base(late, "1m")
+    n_late_buckets = late_parts.count()
+    assert added <= n_late_buckets and removed <= n_late_buckets

@@ -105,3 +105,48 @@ def refresh_tier_snapshot(
     )
     out = rollup.day_partition(merged).repartition(F.col("day"))
     return catalog.overwrite_partitions(spark, out, table, "day", days)
+
+
+def refresh_all_tiers(
+    catalog: ParquetSnapshotCatalog,
+    spark: SparkSession,
+    late_raw: DataFrame,
+    key_cols: tuple[str, ...] = ("source",),
+    tables: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """End-to-end incremental refresh of the WHOLE tier cascade for a
+    late batch: fold into 1m, then rebuild ONLY the touched day
+    partitions of 1h and 1d from the refreshed finer tier.
+
+    Day boundaries align with every tier, so a touched day's coarser
+    rows are fully derivable from that day's finer partials — the
+    coarser refresh is a partition-pruned ``rollup_cascade`` over the
+    touched days followed by ``overwrite_partitions``; untouched days
+    of every tier are carried by reference. Total cost is
+    O(|late| + touched-day partials x 3), independent of history
+    length. Returns {tier: new snapshot id}.
+    """
+    tables = tables or {"1m": "tier_1m", "1h": "tier_1h", "1d": "tier_1d"}
+    late_parts = rollup.rollup_base(late_raw, "1m", key_cols)
+    days = touched_days(late_parts)
+    out: dict[str, str] = {}
+    if not days:
+        for tier, tbl in tables.items():
+            cur = catalog.current_snapshot(tbl)
+            out[tier] = cur["id"] if cur else ""
+        return out
+    out["1m"] = refresh_tier_snapshot(
+        catalog, spark, tables["1m"], late_raw, "1m", key_cols
+    )
+    for finer, coarser in (("1m", "1h"), ("1h", "1d")):
+        finer_df = (
+            catalog.read(spark, tables[finer])
+            .where(F.col("day").isin(days))
+            .drop("day")
+        )
+        merged = rollup.rollup_cascade(finer_df, coarser, key_cols)
+        redone = rollup.day_partition(merged).repartition(F.col("day"))
+        out[coarser] = catalog.overwrite_partitions(
+            spark, redone, tables[coarser], "day", days
+        )
+    return out

@@ -418,6 +418,62 @@ class ParquetSnapshotCatalog:
             raise
         return snap_id
 
+    def compact_partitions(
+        self,
+        spark: SparkSession,
+        table: str,
+        partition_col: str,
+        partitions: list[str] | None = None,
+        files_per_partition: int = 1,
+    ) -> str:
+        """Small-file compaction (Iceberg ``rewrite_data_files``
+        analog): rewrite the named partitions (default: every live
+        partition) at ``files_per_partition`` files each, committed as
+        a partition overwrite — readers never see a half-compacted
+        table, untouched partitions are carried by reference, and the
+        previous snapshot remains time-travelable until expired.
+        Rows are unchanged; only the file layout is. Returns the new
+        snapshot id."""
+        cur = self.current_snapshot(table)
+        if cur is None:
+            raise FileNotFoundError(table)
+        if partitions is None:
+            prefix = f"{partition_col}="
+            partitions = sorted(
+                {
+                    os.path.basename(p.rstrip("/"))[len(prefix):]
+                    for _, paths in self._live_partition_groups(
+                        cur, partition_col
+                    )
+                    for p in paths
+                }
+            )
+        from pyspark.sql import functions as F
+
+        df = (
+            self.read(spark, table)
+            .where(F.col(partition_col).isin(partitions))
+            .repartition(files_per_partition, F.col(partition_col))
+        )
+        return self.overwrite_partitions(
+            spark, df, table, partition_col, partitions
+        )
+
+    def snapshot_diff(
+        self, spark: SparkSession, table: str, from_id: str, to_id: str
+    ) -> dict[str, DataFrame]:
+        """Row-level change set between two snapshots (Iceberg
+        changelog-read analog): {'added': rows only in ``to``,
+        'removed': rows only in ``from``} — multiset semantics via
+        exceptAll, so duplicate-count changes surface too."""
+        a = self.read(spark, table, snapshot_id=from_id)
+        b = self.read(spark, table, snapshot_id=to_id)
+        cols = [c for c in b.columns if c in a.columns]
+        return {
+            "added": b.select(*cols).exceptAll(a.select(*cols)),
+            "removed": a.select(*cols).exceptAll(b.select(*cols)),
+        }
+
     # ----------------------------------------------------- schema evolution
     def rename_column(self, table: str, old: str, new: str) -> str:
         """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME
