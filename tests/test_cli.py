@@ -1,0 +1,109 @@
+"""CLI parity surface: flag parsing, common-pipeline ordering, verb
+dispatch with kwargs passthrough, and printiso output — in-process via
+run_verb (one Spark session; main() only differs by session creation).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tstoolbox_spark.cli import _coerce, parse_argv, run_verb
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "in.csv"
+    rows = ["Datetime,flow,stage"]
+    for h in range(48):
+        rows.append(f"2024-01-01 {h % 24:02d}:00:00,{(h % 5) + 1}.0,{h}.5"
+                    if h < 24 else
+                    f"2024-01-02 {h % 24:02d}:00:00,{(h % 5) + 1}.0,{h}.5")
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_parse_argv_forms():
+    verb, flags = parse_argv(
+        ["aggregate", "--groupby=D", "--statistic", "mean,sum", "--clean"]
+    )
+    assert verb == "aggregate"
+    assert flags == {"groupby": "D", "statistic": "mean,sum", "clean": "True"}
+
+
+def test_coerce_types():
+    assert _coerce("1") == 1
+    assert _coerce("1.5") == 1.5
+    assert _coerce("True") is True
+    assert _coerce("mean,sum") == ["mean", "sum"]
+    assert _coerce("H") == "H"
+
+
+def test_cli_aggregate_matches_operator(spark, csv_path):
+    from tstoolbox_spark.operators.aggregate import aggregate
+    from tstoolbox_spark.sources.csv import read_timeseries_csv
+
+    out = run_verb(
+        spark,
+        "aggregate",
+        {"input_ts": csv_path, "groupby": "D", "statistic": "mean,sum"},
+    )
+    direct = aggregate(
+        read_timeseries_csv(spark, csv_path), "D", ["mean", "sum"]
+    )
+    assert sorted(out.columns) == sorted(direct.columns)
+    assert out.exceptAll(direct).count() == 0
+    assert out.count() == 2  # two days
+
+
+def test_cli_common_pipeline_slice_then_verb(spark, csv_path):
+    out = run_verb(
+        spark,
+        "rolling_window",
+        {
+            "input_ts": csv_path,
+            "start_date": "2024-01-01",
+            "end_date": "2024-01-01 23:59",
+            "statistic": "mean",
+            "window": "3",
+        },
+    )
+    assert out.count() == 24  # slice applied before the verb
+    assert any(c.endswith("_mean") for c in out.columns)
+
+
+def test_cli_equation_and_pick(spark, csv_path):
+    out = run_verb(
+        spark,
+        "equation",
+        {"input_ts": csv_path, "columns": "flow", "equation": "x1*2"},
+    )
+    rows = out.orderBy("ts").limit(3).collect()
+    assert [r[out.columns[-1]] for r in rows] == [2.0, 4.0, 6.0]
+
+
+def test_cli_identity_verbs_run_common_only(spark, csv_path):
+    out = run_verb(
+        spark, "dropna", {"input_ts": csv_path, "dropna": "any"}
+    )
+    assert out.count() == 48  # nothing null in the fixture
+
+
+def test_cli_unknown_verb_exits():
+    with pytest.raises(SystemExit):
+        parse_argv([])  # no verb → usage + exit
+    with pytest.raises(SystemExit):
+        run_verb(None, "no_such_verb", {})
+
+
+def test_cli_filter_dispatch(spark, csv_path):
+    out = run_verb(
+        spark,
+        "filter",
+        {
+            "input_ts": csv_path,
+            "columns": "flow",
+            "filter_type": "hanning",
+            "window_len": "5",
+        },
+    )
+    assert out.count() == 48
