@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_linear_15m", "tier_quantiles_hist",
         "tier_distinct_users_1d", "ddsketch_quantiles_daily",
         "counter_agg_hourly", "heartbeat_gaps", "tier_top_values",
+        "semdedup", "m4_downsample",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4070,6 +4071,33 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_top_values"] = q_top_values
 
+    def q_semdedup(s, d):
+        """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-
+        cluster the corpus, drop WITHIN-cluster semantic duplicates
+        (cosine >= 0.35), keeping the item farthest from its centroid.
+        Centroids pinned to vec_id<8 (the ivf_topk idiom) so the
+        assign→cell-join→dominate chain has an exact SQL twin. The
+        pairwise test never leaves a cell — no crossJoin."""
+        from tstoolbox_spark.textops.similarity import semdedup
+
+        emb = _emb(s, d)
+        rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        cents = [[float(x) for x in r["embedding"]] for r in rows]
+        return semdedup(emb, cents, threshold=0.35)
+
+    q["semdedup"] = q_semdedup
+
+    def q_m4(s, d):
+        """M4 visualization downsampling (Jugel et al., VLDB 2014):
+        per (event_type, day) keep only the 4 extrema rows (min/max
+        value, first/last ts). One groupBy, map-side combine collapses
+        each partition to <=4 rows per bucket before the shuffle."""
+        from tstoolbox_spark.operators.downsample import m4_downsample
+
+        return m4_downsample(_events(s, d), "D", key_cols=["event_type"])
+
+    q["m4_downsample"] = q_m4
+
     return q
 
 
@@ -4418,5 +4446,67 @@ def _oracles_round3c() -> dict[str, str]:
               FROM h)
         SELECT l_returnflag, ts, CAST(rank AS INT) AS rank, v, cnt
         FROM r WHERE rank <= 3
+    """
+
+    # semdedup: centroids pinned to vec_id<8, first-max assignment
+    # tie-break = ORDER BY cos DESC, cell ASC (similarity.py semantics:
+    # array_position of array_max). Both engines fold the 64-element
+    # dot product left-to-right in doubles, so cell ids, centroid
+    # cosines, and the dominance comparisons are bit-exact.
+    def _cos3(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    o["semdedup"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        assigned AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT cell FROM c
+                  ORDER BY {_cos3('c.cv', 'e.v')} DESC, cell ASC
+                  LIMIT 1) AS cell
+          FROM e),
+        wc AS (
+          SELECT a.vec_id, a.v, a.cell, {_cos3('a.v', 'c.cv')} AS cc
+          FROM assigned a JOIN c ON c.cell = a.cell),
+        dom AS (
+          SELECT DISTINCT a.vec_id
+          FROM wc a JOIN wc b
+            ON a.cell = b.cell AND a.vec_id != b.vec_id
+          WHERE {_cos3('a.v', 'b.v')} >= 0.35e0
+            AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id)))
+        SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cell,
+               ROUND(w.cc, 6) AS cent_cos,
+               (dom.vec_id IS NULL) AS kept
+        FROM wc w LEFT JOIN dom ON dom.vec_id = w.vec_id
+    """
+
+    # m4_downsample: four extrema per (event_type, day); the struct
+    # min/max tie-breaks (vmin: earliest ts on value ties; vmax:
+    # latest; tfirst: lowest value on ts ties; tlast: highest) are
+    # row_number orderings; DISTINCT collapses rows holding several
+    # roles exactly like the Spark side's array_distinct.
+    o["m4_downsample"] = """
+        WITH b AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                 ts, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        r AS (
+          SELECT event_type, bucket, ts, v,
+            row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY v ASC,  ts ASC)  AS rvmin,
+            row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY v DESC, ts DESC) AS rvmax,
+            row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY ts ASC,  v ASC)  AS rtfirst,
+            row_number() OVER (PARTITION BY event_type, bucket
+                               ORDER BY ts DESC, v DESC) AS rtlast
+          FROM b)
+        SELECT DISTINCT event_type, bucket, ts, v AS value
+        FROM r WHERE rvmin = 1 OR rvmax = 1 OR rtfirst = 1 OR rtlast = 1
+        ORDER BY event_type, bucket, ts, value
     """
     return o

@@ -56,6 +56,14 @@ BENCH_QUERIES = [
     "chunk_pack_64",
     "peak_minmax",
     "fit_lowess",
+    # round-3 continuation additions (new keys only — existing keys keep
+    # round-over-round comparability)
+    "incremental_rollup_refresh",
+    "tier_quantiles_hist",
+    "ddsketch_quantiles_daily",
+    "bm25_topk",
+    "counter_agg_hourly",
+    "upsample_linear_15m",
 ]
 
 

@@ -381,3 +381,62 @@ def pq_topk(
     return (scored.select(id_col, dist.alias("adc_dist"))
             .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
             .limit(k))
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a k-means coarse
+    quantizer, then drop, WITHIN each cluster only, every item that
+    has a semantic duplicate (cosine >= threshold) of higher keep
+    priority. Keep priority follows the paper: among duplicates the
+    item FARTHEST from its cluster centroid survives (lowest cosine
+    to centroid; ties broken by lower id).
+
+    Scale shape: centroid assignment is a broadcast argmax per row
+    (no shuffle); the pairwise test is an equi-join on ``cell`` — the
+    O(n^2) blowup is bounded per cluster, never global. At 100 TB:
+    k grows with the corpus so cluster sizes stay bounded, the join
+    shuffles each vector once on its cell id, and the dominated-id
+    set is a distinct over join output. No crossJoin anywhere.
+
+    Returns one row per input id: (id, cell, cent_cos, kept).
+    """
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    base = assign_cells(df, centroids, vec_col).withColumn(
+        "cent_cos", cosine(F.col(vec_col), F.element_at(cents, F.col("cell") + 1))
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        "cell", F.col("cent_cos").alias("cc_a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        "cell", F.col("cent_cos").alias("cc_b"),
+    )
+    dominated = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .filter(
+            (F.col("cc_b") < F.col("cc_a"))
+            | ((F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        base.join(dominated, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.round("cent_cos", 6).alias("cent_cos"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
