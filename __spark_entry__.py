@@ -565,7 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_linear_15m", "tier_quantiles_hist",
         "tier_distinct_users_1d", "ddsketch_quantiles_daily",
         "counter_agg_hourly", "heartbeat_gaps", "tier_top_values",
-        "semdedup", "m4_downsample",
+        "semdedup", "m4_downsample", "funnel_3step", "retention_weekly",
+        "ccf_click_view",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4098,6 +4099,50 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["m4_downsample"] = q_m4
 
+    def q_funnel(s, d):
+        """Ordered funnel view→click→purchase: a user reaches step k
+        only via strictly increasing timestamps (operators/events.py:
+        one shuffle + one sort, k stacked cumulative windows)."""
+        from tstoolbox_spark.operators.events import funnel_conversion
+
+        ev = _events(s, d).filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        return funnel_conversion(ev, ["view", "click", "purchase"])
+
+    q["funnel_3step"] = q_funnel
+
+    def q_retention(s, d):
+        """Weekly retention cohorts (epoch-anchored weeks, the agg_7day
+        bucket convention): cohort = first-activity week, users =
+        distinct actives at each whole-week offset."""
+        from tstoolbox_spark.operators.events import retention_cohorts
+
+        ev = _events(s, d).filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        return retention_cohorts(ev, "W")
+
+    q["retention_weekly"] = q_retention
+
+    def q_ccf(s, d):
+        """Cross-correlation of hourly click-mean vs view-mean at six
+        leads — the kendall_click_view pivot feeding stats.
+        cross_correlation (one window pass, all lags in one agg)."""
+        from tstoolbox_spark.operators.stats import cross_correlation
+
+        ev = _events(s, d).filter(F.col("ts").isNotNull())
+        hour = F.date_trunc("hour", F.col("ts")).alias("ts")
+        wide = (
+            ev.filter(F.col("event_type").isin("click", "view"))
+            .groupBy(hour)
+            .pivot("event_type", ["click", "view"])
+            .agg((_dsum("value") / F.count("value")))
+        )
+        return cross_correlation(wide, "click", "view", [1, 2, 3, 6, 12, 24])
+
+    q["ccf_click_view"] = q_ccf
+
     return q
 
 
@@ -4478,7 +4523,7 @@ def _oracles_round3c() -> dict[str, str]:
             ON a.cell = b.cell AND a.vec_id != b.vec_id
           WHERE {_cos3('a.v', 'b.v')} >= 0.35e0
             AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id)))
-        SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cell,
+        SELECT w.vec_id, CAST(w.cell AS INT) AS cell,
                ROUND(w.cc, 6) AS cent_cos,
                (dom.vec_id IS NULL) AS kept
         FROM wc w LEFT JOIN dom ON dom.vec_id = w.vec_id
@@ -4508,5 +4553,72 @@ def _oracles_round3c() -> dict[str, str]:
         SELECT DISTINCT event_type, bucket, ts, v AS value
         FROM r WHERE rvmin = 1 OR rvmax = 1 OR rtfirst = 1 OR rtlast = 1
         ORDER BY event_type, bucket, ts, value
+    """
+
+    # funnel_3step: the Spark cumulative-window chain reduces to
+    # "min step-k ts strictly after the step-(k-1) completion" per
+    # user (proof in operators/events.py docstring); floor(x*1e6+0.5)
+    # is the engine-identical 6-dp rounding used repo-wide.
+    o["funnel_3step"] = """
+        WITH e AS (SELECT user_id, ts, event_type FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        m0 AS (SELECT user_id, min(ts) AS t FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        m1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN m0 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > m0.t GROUP BY 1),
+        m2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN m1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > m1.t GROUP BY 1),
+        c AS (SELECT (SELECT count(*) FROM m0) AS u0,
+                     (SELECT count(*) FROM m1) AS u1,
+                     (SELECT count(*) FROM m2) AS u2)
+        SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+               u0 AS users, 1.0e0 AS conversion FROM c
+        UNION ALL
+        SELECT CAST(2 AS INT), 'click', u1,
+               floor(CAST(u1 AS DOUBLE) / NULLIF(u0, 0) * 1e6 + 0.5) / 1e6 FROM c
+        UNION ALL
+        SELECT CAST(3 AS INT), 'purchase', u2,
+               floor(CAST(u2 AS DOUBLE) / NULLIF(u1, 0) * 1e6 + 0.5) / 1e6 FROM c
+    """
+
+    # retention_weekly: epoch-anchored week buckets (the agg_7day
+    # convention); offsets are exact multiples so the INT cast is safe
+    # on both engines despite their different double→int rules.
+    o["retention_weekly"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id AS u,
+                 to_timestamp(CAST(floor(epoch(ts) / 604800) * 604800
+                                   AS BIGINT))::TIMESTAMP AS p
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        f AS (SELECT u, min(p) AS cohort FROM act GROUP BY 1)
+        SELECT cohort,
+               CAST((epoch(p) - epoch(cohort)) / 604800 AS INT) AS "offset",
+               count(DISTINCT act.u) AS users
+        FROM act JOIN f USING (u)
+        GROUP BY 1, 2
+    """
+
+    # ccf_click_view: row-lead pairs via an rn self-join per lag (the
+    # dominant_period_acf idiom); hourly pivot identical to the
+    # kendall_click_view oracle.
+    o["ccf_click_view"] = """
+        WITH wide AS (
+          SELECT date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CASE WHEN event_type = 'click'
+                          THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
+                   / COUNT(CASE WHEN event_type = 'click' THEN value END) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'view'
+                          THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE)
+                   / COUNT(CASE WHEN event_type = 'view' THEN value END) AS y
+          FROM events
+          WHERE event_type IN ('click', 'view') AND ts IS NOT NULL
+          GROUP BY 1),
+        h AS (SELECT x, y, row_number() OVER (ORDER BY ts) AS rn FROM wide),
+        g AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS k),
+        j AS (SELECT g.k, a.x AS x, b.y AS y
+              FROM h a CROSS JOIN g JOIN h b ON b.rn = a.rn + g.k)
+        SELECT CAST(k AS INT) AS "lag",
+               floor(corr(x, y) * 1e6 + 0.5) / 1e6 AS ccf
+        FROM j GROUP BY k
     """
     return o

@@ -60,6 +60,17 @@ def main() -> None:
                 if g[c].isna().all() or e[c].isna().all():
                     continue
                 a, b = str(g[c].dtype), str(e[c].dtype)
+                # same sampling flap, partial form: the engine whose
+                # 20-row slice caught a null gets pandas' int→float64
+                # promotion, the other keeps intXX. Skip only that
+                # exact shape — genuine width skew (HUGEINT→object,
+                # int32 vs int64 with no nulls) still reports.
+                ints = ("int8", "int16", "int32", "int64")
+                if (g[c].isna().any() or e[c].isna().any()) and (
+                    (a == "float64" and b in ints)
+                    or (b == "float64" and a in ints)
+                ):
+                    continue
                 if a != b and not (
                     a.startswith("datetime64") and b.startswith("datetime64")
                 ):

@@ -1,0 +1,126 @@
+"""Ordered funnels, retention cohorts, and cross-correlation.
+
+Funnel oracle: hand-built event logs exercising the strict-ordering
+rule (same-timestamp events never chain, out-of-order steps don't
+count). Retention oracle: pandas re-derivation of epoch-anchored
+weekly cohorts. CCF oracle: numpy corrcoef on explicitly shifted
+copies.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from tstoolbox_spark.operators.events import funnel_conversion, retention_cohorts
+from tstoolbox_spark.operators.stats import cross_correlation
+
+
+def _t(minute):
+    return dt.datetime(2022, 5, 1, 0, minute)
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1: clean 3-step completion
+        (1, _t(1), "view"), (1, _t(2), "click"), (1, _t(3), "purchase"),
+        # u2: click at the SAME instant as view -> must not chain
+        (2, _t(1), "view"), (2, _t(1), "click"), (2, _t(5), "purchase"),
+        # u3: click BEFORE the first view -> step 2 never completes
+        (3, _t(1), "click"), (3, _t(2), "view"), (3, _t(3), "purchase"),
+        # u4: skips click entirely
+        (4, _t(1), "view"), (4, _t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["step"]: (r["step_name"], r["users"], r["conversion"])
+        for r in funnel_conversion(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        1: ("view", 4, 1.0),
+        2: ("click", 1, 0.25),
+        3: ("purchase", 1, 1.0),
+    }
+
+
+def test_funnel_reuses_same_click_never(spark):
+    # one click between view and purchase satisfies step 2; purchase
+    # must be strictly AFTER that click
+    rows = [(1, _t(1), "view"), (1, _t(2), "click"), (1, _t(2), "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["step"]: r["users"] for r in
+           funnel_conversion(df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 1, 2: 1, 3: 0}
+
+
+def test_funnel_single_sort(spark):
+    """Step k reads step k-1's window output, so Catalyst must stack
+    one Window node per step — but they all share the same (user, ts)
+    spec, so the data is shuffled and sorted exactly ONCE however many
+    steps the funnel has."""
+    rows = [(1, _t(1), "view"), (1, _t(2), "click"), (1, _t(3), "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    plan = (
+        funnel_conversion(df, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Sort ") == 1
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def _retention_pandas(pdf, secs=604_800):
+    p = (pdf["ts"].astype("int64") // 10**9 // secs) * secs
+    act = pd.DataFrame({"u": pdf["user_id"], "p": p}).drop_duplicates()
+    first = act.groupby("u")["p"].min().rename("cohort")
+    j = act.join(first, on="u")
+    j["offset"] = ((j["p"] - j["cohort"]) // secs).astype(int)
+    out = (
+        j.groupby(["cohort", "offset"])["u"].nunique().rename("users").reset_index()
+    )
+    out["cohort"] = pd.to_datetime(out["cohort"], unit="s")
+    return out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
+def test_retention_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    t0 = dt.datetime(2023, 1, 2)
+    rows = []
+    for u in range(40):
+        start = int(rng.integers(0, 21))
+        for d in sorted(rng.choice(60, size=rng.integers(1, 12), replace=False)):
+            rows.append((u, t0 + dt.timedelta(days=start + int(d))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    got = (
+        retention_cohorts(spark.createDataFrame(pdf), "W")
+        .toPandas()
+        .sort_values(["cohort", "offset"])
+        .reset_index(drop=True)
+    )
+    exp = _retention_pandas(pdf)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # offset-0 rows are the cohort sizes and dominate every later offset
+    g0 = got[got["offset"] == 0].set_index("cohort")["users"]
+    for _, r in got.iterrows():
+        assert r["users"] <= g0[r["cohort"]]
+
+
+def test_ccf_recovers_known_shift(spark):
+    rng = np.random.default_rng(9)
+    n = 400
+    x = rng.normal(size=n)
+    y = np.roll(x, 2) + rng.normal(scale=0.01, size=n)  # y_t ~ x_{t-2}
+    t0 = dt.datetime(2024, 2, 1)
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=i), float(x[i]), float(y[i])) for i in range(n)],
+        "ts timestamp, x double, y double",
+    )
+    lags = [0, 1, 2, 3, 4]
+    got = {r["lag"]: r["ccf"] for r in cross_correlation(df, "x", "y", lags).collect()}
+    assert max(got, key=got.get) == 2
+    for k in lags:
+        exp = np.corrcoef(x[: n - k], y[k:])[0, 1]
+        assert abs(got[k] - exp) < 2e-6

@@ -139,6 +139,50 @@ def autocorrelation(
     return out.groupBy(*key_cols).agg(*aggs)
 
 
+def cross_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    lags: Sequence[int],
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """CCF: Pearson corr(x_t, y_{t+k}) at each lag k (engine
+    extension of ``autocorrelation``, ref correlation.py:125-176 —
+    same windowed-copies idiom, two series instead of one).
+
+    One window sort materializes every lead copy of y, one aggregate
+    pass computes all correlations, then an array explode unpivots to
+    (keys, lag, ccf) rows — no per-lag job, no self-join.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    out = df
+    for k in lags:
+        out = out.withColumn(f"__lead{k}", F.lead(F.col(y_col), k).over(w))
+    agg = out.groupBy(*key_cols).agg(
+        *[
+            F.corr(F.col(x_col), F.col(f"__lead{k}")).alias(f"__c{k}")
+            for k in lags
+        ]
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    # engine-identical 6-dp rounding (see funnel note)
+                    (
+                        F.floor(F.col(f"__c{k}") * F.lit(1e6) + F.lit(0.5))
+                        / F.lit(1e6)
+                    ).alias("ccf"),
+                )
+                for k in lags
+            ]
+        )
+    ).alias("r")
+    return agg.select(*key_cols, rows).select(*key_cols, "r.lag", "r.ccf")
+
+
 def dominant_period(
     df: DataFrame,
     value_col: str,
