@@ -566,7 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_distinct_users_1d", "ddsketch_quantiles_daily",
         "counter_agg_hourly", "heartbeat_gaps", "tier_top_values",
         "semdedup", "m4_downsample", "funnel_3step", "retention_weekly",
-        "ccf_click_view",
+        "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4143,6 +4143,56 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ccf_click_view"] = q_ccf
 
+    def q_twa(s, d):
+        """Time-weighted hourly average over the irregular event
+        samples (TimescaleDB time_weight semantics, trapezoid
+        weighting) — operators/aggregate.py:time_weighted_avg, one
+        shuffle (window partition key == groupBy key)."""
+        from tstoolbox_spark.operators.aggregate import time_weighted_avg
+
+        return time_weighted_avg(
+            _events(s, d), "H", method="linear", key_cols=["event_type"]
+        )
+
+    q["twa_linear_hourly"] = q_twa
+
+    def q_sniff(s, d):
+        """Magic-byte media sniffing (multimodal.py:sniff_media_type)
+        over synthesized payloads: real published signatures prepended
+        to the document bytes by doc_id % 6 (jpeg/png/gif/wav/mp4/
+        none), so every branch of the sniffer executes."""
+        from tstoolbox_spark.multimodal import sniff_media_type
+
+        docs = _docs(s, d)
+        m = F.col("doc_id") % 6
+        hdr = (
+            F.when(m == 0, F.lit(bytes.fromhex("FFD8FFE0")))
+            .when(m == 1, F.lit(bytes.fromhex("89504E470D0A1A0A")))
+            .when(m == 2, F.lit(b"GIF89a"))
+            .when(m == 3, F.lit(b"RIFF" + bytes(4) + b"WAVE"))
+            .when(m == 4, F.lit(bytes.fromhex("00000018") + b"ftypisom"))
+            .otherwise(F.lit(b""))
+        )
+        assets = docs.select(
+            "doc_id",
+            F.concat(hdr, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+        )
+        return sniff_media_type(assets).select(
+            "doc_id", "media_type", F.octet_length("payload").alias("n_bytes")
+        )
+
+    q["media_sniff"] = q_sniff
+
+    def q_entropy(s, d):
+        """Per-document unigram Shannon entropy (textops/quality.py:
+        token_entropy): explode → two map-side-combinable aggregates,
+        DECIMAL-fixed c·log2(c) partials."""
+        from tstoolbox_spark.textops.quality import token_entropy
+
+        return token_entropy(_docs(s, d))
+
+    q["token_entropy"] = q_entropy
+
     return q
 
 
@@ -4620,5 +4670,90 @@ def _oracles_round3c() -> dict[str, str]:
         SELECT CAST(k AS INT) AS "lag",
                floor(corr(x, y) * 1e6 + 0.5) / 1e6 AS ccf
         FROM j GROUP BY k
+    """
+
+    # twa_linear_hourly: lead-pair trapezoid integration per (key,
+    # bucket); per-pair areas fixed to DECIMAL(38,6) before the sum
+    # exactly like the Spark side, duration kept in exact long micros.
+    o["twa_linear_hourly"] = """
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, ts,
+                 CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        p AS (
+          SELECT event_type, bucket, v,
+                 epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us,
+                 lead(v) OVER w AS lv
+          FROM b
+          WINDOW w AS (PARTITION BY event_type, bucket
+                       ORDER BY epoch_us(ts), v)),
+        a AS (
+          SELECT event_type, bucket,
+                 SUM(CAST((v + lv) / 2 * (dt_us / 1e6) AS DECIMAL(38,6)))
+                   AS area,
+                 SUM(dt_us) AS dt,
+                 SUM(CAST(v AS DECIMAL(28,2))) AS vsum,
+                 COUNT(v) AS cnt
+          FROM p GROUP BY 1, 2)
+        SELECT event_type, bucket AS ts,
+               floor((CASE WHEN dt > 0
+                           THEN CAST(area AS DOUBLE) / (dt / 1e6)
+                           ELSE CAST(vsum AS DOUBLE) / cnt END)
+                     * 1e6 + 0.5) / 1e6 AS value_twa
+        FROM a
+    """
+
+    # media_sniff: identical header injection (doc_id % 6) and the
+    # identical signature decision order, evaluated on the hex string
+    # (prefix at char 1, RIFF subtype at char 17 = byte 9, ftyp at
+    # char 9 = byte 5).
+    o["media_sniff"] = """
+        WITH a AS (
+          SELECT doc_id,
+                 (CASE CAST(doc_id % 6 AS INT)
+                    WHEN 0 THEN unhex('FFD8FFE0')
+                    WHEN 1 THEN unhex('89504E470D0A1A0A')
+                    WHEN 2 THEN unhex('474946383961')
+                    WHEN 3 THEN unhex('524946460000000057415645')
+                    WHEN 4 THEN unhex('000000186674797069736F6D')
+                    ELSE ''::BLOB END) || encode(text) AS payload
+          FROM documents),
+        h AS (SELECT doc_id, payload, hex(payload) AS hx FROM a)
+        SELECT doc_id,
+               CASE
+                 WHEN substr(hx, 1, 6)  = 'FFD8FF' THEN 'image/jpeg'
+                 WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+                 WHEN substr(hx, 1, 12) = '474946383761' THEN 'image/gif'
+                 WHEN substr(hx, 1, 12) = '474946383961' THEN 'image/gif'
+                 WHEN substr(hx, 1, 8)  = '4F676753' THEN 'audio/ogg'
+                 WHEN substr(hx, 1, 6)  = '494433' THEN 'audio/mpeg'
+                 WHEN substr(hx, 1, 8)  = '25504446' THEN 'application/pdf'
+                 WHEN substr(hx, 1, 8) = '52494646'
+                      AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+                 WHEN substr(hx, 1, 8) = '52494646'
+                      AND substr(hx, 17, 8) = '41564920' THEN 'video/avi'
+                 WHEN substr(hx, 1, 8) = '52494646'
+                      AND substr(hx, 17, 8) = '57454250' THEN 'image/webp'
+                 WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
+                 ELSE 'application/octet-stream'
+               END AS media_type,
+               CAST(octet_length(payload) AS INT) AS n_bytes
+        FROM h
+    """
+
+    # token_entropy: H = log2(n) - Σ c·log2(c) / n over the shared
+    # _WORDS tokenization; c·log2(c) fixed to DECIMAL(38,6) like Spark.
+    o["token_entropy"] = f"""
+        WITH t AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+        c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+        a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                     SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                              AS DECIMAL(38,6))) AS s
+              FROM c GROUP BY 1)
+        SELECT doc_id, n_tok,
+               floor((log2(CAST(n_tok AS DOUBLE))
+                      - CAST(s AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
+                 AS entropy_bits
+        FROM a
     """
     return o

@@ -108,3 +108,57 @@ def frame_sample_stub(df: DataFrame, every_ms: int) -> DataFrame:
     raise NotImplementedError(
         "frame sampling requires pyav/ffmpeg on the executors."
     )
+
+
+# Published file signatures ("magic numbers", public knowledge — e.g.
+# the IANA media-type registries and format specs): prefix byte
+# patterns, plus the two offset rules (RIFF subtype at byte 9, ISO
+# BMFF 'ftyp' at byte 5).
+_PREFIX_SIGS: list[tuple[bytes, str]] = [
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"OggS", "audio/ogg"),
+    (b"ID3", "audio/mpeg"),
+    (b"%PDF", "application/pdf"),
+]
+_RIFF_SUBTYPES: list[tuple[bytes, str]] = [
+    (b"WAVE", "audio/wav"),
+    (b"AVI ", "video/avi"),
+    (b"WEBP", "image/webp"),
+]
+SNIFF_FALLBACK = "application/octet-stream"
+
+
+def sniff_media_type(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "media_type"
+) -> DataFrame:
+    """Detect the container format of an opaque binary payload from
+    its magic bytes — REAL capability (unlike decode, sniffing needs
+    no codec library): pure JVM column expressions over the first 12
+    bytes, zero shuffle, and with a payload-only projection the scan
+    reads nothing else.
+
+    At 100 TB this is the cheap pre-partition step: route payloads to
+    modality-specific decode stages (and quarantine mislabeled rows
+    where ``media_type`` disagrees with the declared ``modality``
+    column) before any expensive Python stage runs.
+    """
+    p = F.col(payload_col)
+
+    def hx(b: bytes) -> str:
+        return b.hex().upper()
+
+    head = F.hex(F.substring(p, 1, 12))
+    at5 = F.hex(F.substring(p, 5, 4))
+    at9 = F.hex(F.substring(p, 9, 4))
+    expr = None
+    for sig, mime in _PREFIX_SIGS:
+        cond = head.startswith(hx(sig))
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    riff = head.startswith(hx(b"RIFF"))
+    for sub, mime in _RIFF_SUBTYPES:
+        expr = expr.when(riff & (at9 == hx(sub)), mime)
+    expr = expr.when(at5 == hx(b"ftyp"), "video/mp4")
+    return df.withColumn(out_col, expr.otherwise(SNIFF_FALLBACK))

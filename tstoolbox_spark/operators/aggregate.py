@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .core import parse_freq
@@ -181,3 +181,77 @@ def describe(
             F.max(v).alias(f"{c}_max"),
         ]
     return df.groupBy(*key_cols).agg(*exprs)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    freq: str,
+    method: str = "linear",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Time-weighted average per (keys, bucket) over IRREGULARLY
+    sampled data — the TimescaleDB ``time_weight`` semantics (public
+    docs): integrate the interpolant between consecutive samples
+    inside the bucket and divide by the covered duration (first
+    sample → last sample; no extrapolation across bucket edges).
+    ``method='linear'`` uses the trapezoid (gauges), ``'locf'`` holds
+    the earlier value (counters/steps). A bucket whose samples span
+    zero time (single sample, or all samples at one instant) falls
+    back to the plain mean of its values.
+
+    Scale shape: one window pass partitioned by (keys, bucket) for the
+    lead pair, then one groupBy with map-side partial aggregation —
+    pairs never cross buckets, so both the sort and the aggregate key
+    on the same composite and the data shuffles once. Per-pair areas
+    are fixed to DECIMAL(38,6) before the cross-row sum so the total
+    is independent of partial-merge order (the repo-wide determinism
+    rule for double sums); the duration denominator stays in exact
+    long microseconds.
+
+    Ties in ``ts`` are ordered by value (documented, mirrored by the
+    oracle) so the trapezoid pairing is deterministic; zero-width
+    pairs contribute zero area either way.
+    """
+    if method not in ("linear", "locf"):
+        raise ValueError(f"method must be 'linear' or 'locf', got {method!r}")
+    keys = list(key_cols)
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+    b = bucket_expr(ts_col, freq).alias("__bucket")
+    base = nn.select(*keys, b, F.col(ts_col).alias("__ts"), v.alias("__v"))
+    # cast: parquet NTZ timestamps; session TZ is pinned UTC so this
+    # is a pure type adjustment
+    mic = F.unix_micros(F.col("__ts").cast("timestamp"))
+    w = Window.partitionBy(*keys, "__bucket").orderBy(mic, F.col("__v"))
+    paired = base.select(
+        *keys,
+        "__bucket",
+        "__v",
+        (F.unix_micros(F.lead(F.col("__ts").cast("timestamp"), 1).over(w)) - mic)
+        .alias("__dt_us"),
+        F.lead("__v", 1).over(w).alias("__lv"),
+    )
+    height = (
+        (F.col("__v") + F.col("__lv")) / 2.0 if method == "linear" else F.col("__v")
+    )
+    area = (height * (F.col("__dt_us") / F.lit(1e6))).cast("decimal(38,6)")
+    agg = paired.groupBy(*keys, "__bucket").agg(
+        F.sum(area).alias("__area"),
+        F.sum("__dt_us").alias("__dt"),
+        F.sum(F.col("__v").cast("decimal(28,2)")).alias("__vsum"),
+        F.count("__v").alias("__cnt"),
+    )
+    twa = F.when(
+        F.col("__dt") > 0,
+        F.col("__area").cast("double") / (F.col("__dt") / F.lit(1e6)),
+    ).otherwise(F.col("__vsum").cast("double") / F.col("__cnt"))
+    return agg.select(
+        *keys,
+        F.col("__bucket").alias(ts_col),
+        # engine-identical 6-dp rounding (floor(x*1e6+0.5)/1e6)
+        (F.floor(twa * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            f"{value_col}_twa"
+        ),
+    )

@@ -412,3 +412,41 @@ def text_normalize(
     if lowercase:
         s = F.lower(s)
     return df.withColumn(out, s)
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy in bits — the standard
+    token-diversity quality signal (low entropy = boilerplate /
+    repeated tokens; the scalar complement to gopher_quality_flags'
+    discrete repetition rules).
+
+    Uses the identity H = log2(n) - (Σ c·log2 c)/n so the second
+    aggregate needs only (count, c·log2 c) partials. Scale shape:
+    explode words → groupBy (doc, token) count → groupBy doc; both
+    aggregations are map-side combinable and token strings are gone
+    after the first shuffle. The per-token c·log2(c) terms are fixed
+    to DECIMAL(38,6) before the cross-row sum (repo determinism rule
+    for double sums).
+
+    Output: (id_col, n_tok, entropy_bits), entropy rounded via the
+    engine-identical floor(x*1e6+0.5)/1e6.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("__w")
+    )
+    counts = toks.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    c = F.col("__c").cast("double")
+    agg = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tok"),
+        F.sum((c * F.log2(c)).cast("decimal(38,6)")).alias("__s"),
+    )
+    h = F.log2(F.col("n_tok").cast("double")) - F.col("__s").cast("double") / F.col(
+        "n_tok"
+    )
+    return agg.select(
+        id_col,
+        "n_tok",
+        (F.floor(h * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("entropy_bits"),
+    )
