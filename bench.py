@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "bm25_topk",
     "counter_agg_hourly",
     "upsample_linear_15m",
+    "m4_downsample",
+    "twa_linear_hourly",
+    "funnel_3step",
+    "semdedup",
 ]
 
 
