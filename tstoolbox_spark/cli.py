@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _verb_registry() -> dict[str, callable]:
     from .operators import accumulate as _acc
     from .operators import aggregate as _agg
-    from .operators import core, counters, fill, peaks, reshape
+    from .operators import core, counters, downsample, fill, peaks, reshape
     from .operators import signal, stats, transform, window
 
     return {
@@ -71,6 +71,11 @@ def _verb_registry() -> dict[str, callable]:
         "upsample": core.upsample_linear,
         "counter_agg": counters.counter_agg,
         "detect_gaps": counters.detect_gaps,
+        "time_weighted_avg": _agg.time_weighted_avg,
+        "m4": downsample.m4_downsample,
+        "cross_correlation": lambda df, lags="1", **kw: stats.cross_correlation(
+            df, lags=[int(x) for x in str(lags).split(",")], **kw
+        ),
         # common-pipeline-only verbs: the shared flags do all the work
         "pick": lambda df: df,
         "date_slice": lambda df: df,

@@ -411,23 +411,34 @@ def semdedup(
     base = assign_cells(df, centroids, vec_col).withColumn(
         "cent_cos", cosine(F.col(vec_col), F.element_at(cents, F.col("cell") + 1))
     )
-    a = base.select(
+    # precompute each row's norm ONCE: the pair test then needs only a
+    # dot product (sqrt(dot(a,a)) per pair = the row norm, so
+    # dot/(na*nb) is bit-identical to cosine(va, vb) at a third of the
+    # per-pair array traversals)
+    normed = base.withColumn("__n", _norm(F.col(vec_col)))
+    a = normed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        "cell", F.col("cent_cos").alias("cc_a"),
+        "cell", F.col("cent_cos").alias("cc_a"), F.col("__n").alias("na"),
     )
-    b = base.select(
+    b = normed.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        "cell", F.col("cent_cos").alias("cc_b"),
+        "cell", F.col("cent_cos").alias("cc_b"), F.col("__n").alias("nb"),
     )
+    # evaluate each unordered pair once (id_a < id_b); (cc, id) totally
+    # orders a pair, so its dominated member is simply its max by that
+    # order — the same set the two-sided "exists a better duplicate"
+    # formulation yields
+    pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    loser = F.when(
+        (F.col("cc_a") > F.col("cc_b"))
+        | ((F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
     dominated = (
         a.join(b, "cell")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
-        .filter(
-            (F.col("cc_b") < F.col("cc_a"))
-            | ((F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a")))
-        )
-        .select(F.col("id_a").alias(id_col))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= F.lit(float(threshold)))
+        .select(loser.alias(id_col))
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
