@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_agg_hourly", "heartbeat_gaps", "tier_top_values",
         "semdedup", "m4_downsample", "funnel_3step", "retention_weekly",
         "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
+        "holt_level_trend",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4193,6 +4194,37 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_entropy"] = q_entropy
 
+    def q_holt(s, d):
+        """Holt double exponential smoothing (level + trend, α=0.4
+        β=0.1) over per-type hourly means (operators/scan.py:holt —
+        textbook FPP §8.2 form; engine extension, no ref twin). Keys
+        parallelize; the within-key recurrence runs honest-sequential
+        per key (exact=True), with affine_scan (Blelloch 1990 two-pass
+        parallel scan) as the 100-TB single-series path, pytest-matched
+        to 1e-10. Oracle: recursive CTE carrying (level, trend) with
+        the identical IEEE arithmetic shape; floor-round(6) on both
+        engines."""
+        from tstoolbox_spark.operators.scan import holt
+
+        def _r6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = holt(
+            hourly, 0.4, 0.1, value_col="value_mean", ts_col="ts",
+            key_cols=["event_type"],
+        )
+        return out.select(
+            "event_type", "ts",
+            _r6("level").alias("level"),
+            _r6("trend").alias("trend"),
+            _r6("fitted").alias("fitted"),
+        )
+
+    q["holt_level_trend"] = q_holt
+
     return q
 
 
@@ -4755,5 +4787,35 @@ def _oracles_round3c() -> dict[str, str]:
                       - CAST(s AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
                  AS entropy_bits
         FROM a
+    """
+
+    # holt_level_trend: l_t = α·x_t + (1-α)(l+b), b_t = β(l_t - l) +
+    # (1-β)b stepped per key by a recursive CTE (the ewm_mean_span12
+    # technique); l_new is repeated verbatim inside b's expression —
+    # DuckDB folds both to the same double. Seed l_1 = x_1, b_1 = 0,
+    # fitted_1 = x_1. e-notation literals keep doubles (DuckDB 0.4 is
+    # DECIMAL and would coerce the recursive union).
+    o["holt_level_trend"] = f"""
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, ts, rn, x AS l, 0e0 AS b, x AS f FROM h
+          WHERE rn = 1
+          UNION ALL
+          SELECT h.event_type, h.ts, h.rn,
+                 4e-1 * h.x + (1e0 - 4e-1) * (r.l + r.b),
+                 1e-1 * ((4e-1 * h.x + (1e0 - 4e-1) * (r.l + r.b)) - r.l)
+                   + (1e0 - 1e-1) * r.b,
+                 r.l + r.b
+          FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        SELECT event_type, ts,
+               floor(l * 1e6 + 0.5) / 1e6 AS level,
+               floor(b * 1e6 + 0.5) / 1e6 AS trend,
+               floor(f * 1e6 + 0.5) / 1e6 AS fitted
+        FROM r
     """
     return o

@@ -1,0 +1,218 @@
+"""Linear-recurrence scans: Holt exponential smoothing + the generic
+distributed affine scan that makes such recurrences 100-TB-viable.
+
+A first-order linear recurrence  s_t = A·s_{t-1} + u_t  (A a constant
+k×k matrix, u_t a per-row input vector) covers Holt level/trend
+smoothing, EWM variants, and IIR filter states. It looks inherently
+sequential, but affine maps COMPOSE:  s_j→t = P·s_j + q  for a
+constant P = A^(t-j) and a locally computable q — so the classic
+two-pass parallel-scan applies (Blelloch 1990, public):
+
+  pass A: each range partition scans its own rows from the zero state
+          → (local final state, row count), collected at metadata
+          scale (keys × partitions rows);
+  driver: compose partition boundaries in order:
+          s_before(p) = A^n(p-1)·s_before(p-1) + q(p-1);
+  pass B: each partition re-scans from its broadcast boundary state
+          and emits per-row states.
+
+Every row is touched exactly twice, partitions run in parallel, and
+the only sequential work is over the (keys × partitions) boundary
+list on the driver.
+
+Determinism note: recomposing FP affine maps reassociates the
+arithmetic, so the distributed scan matches a sequential scan to
+~1e-12 relative, not bit-for-bit (pytest contract). ``holt`` therefore
+also ships an ``exact=True`` per-key sequential grouped-map path
+(the dtw convention: keys parallelize, within-key is honest-
+sequential) whose arithmetic shape is mirrored 1:1 by the DuckDB
+recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def affine_scan(
+    df: DataFrame,
+    input_cols: Sequence[str],
+    matrix: Sequence[Sequence[float]],
+    key_cols: Sequence[str] = (),
+    order_cols: Sequence[str] = ("ts",),
+    state_cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append per-row states of  s_t = A·s_{t-1} + u_t  (s_0 = 0)
+    over rows ordered by ``order_cols`` within each key.
+
+    ``input_cols`` name the k components of u_t; ``state_cols`` the k
+    output columns (default ``s0..s{k-1}``). ``(key, order)`` tuples
+    must be unique for a deterministic result.
+    """
+    A = np.asarray(matrix, dtype=np.float64)
+    k = A.shape[0]
+    if A.shape != (k, k) or len(input_cols) != k:
+        raise ValueError("matrix must be k x k with k input_cols")
+    outs = list(state_cols or [f"s{i}" for i in range(k)])
+    keys, order = list(key_cols), list(order_cols)
+    ucols = list(input_cols)
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in [*keys, *order]])
+    # pin partition ids once (the distributed_prefix_sum idiom): both
+    # passes and the boundary collect must see the same placement
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+
+    def _local(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(order)
+        u = g[ucols].to_numpy(dtype=np.float64)
+        s = np.zeros(k)
+        for row in u:
+            s = A @ s + row
+        return pd.DataFrame(
+            [[*[g[c].iloc[0] for c in keys], int(g["__pid"].iloc[0]), len(g),
+              *[float(x) for x in s]]],
+            columns=[*keys, "__pid", "__n", *[f"__q{i}" for i in range(k)]],
+        )
+
+    part_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in keys]
+        + ["__pid int", "__n long"]
+        + [f"__q{i} double" for i in range(k)]
+    )
+    parts = (
+        with_pid.groupBy(*keys, "__pid")
+        .applyInPandas(_local, schema=part_schema)
+        .collect()
+    )
+
+    by_key: dict[tuple, list] = {}
+    for r in parts:
+        by_key.setdefault(tuple(r[c] for c in keys), []).append(r)
+    rows = []
+    for key, lst in by_key.items():
+        s = np.zeros(k)
+        for r in sorted(lst, key=lambda r: r["__pid"]):
+            rows.append((*key, r["__pid"], *[float(x) for x in s]))
+            q = np.array([r[f"__q{i}"] for i in range(k)])
+            s = np.linalg.matrix_power(A, r["__n"]) @ s + q
+    off_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in keys]
+        + ["__pid int"] + [f"__b{i} double" for i in range(k)]
+    )
+    offsets = df.sparkSession.createDataFrame(rows, off_schema)
+
+    joined = with_pid.join(F.broadcast(offsets), [*keys, "__pid"])
+    # plain lists only below — a closure capturing df would drag the
+    # SparkContext into the worker pickle (SPARK-5063)
+    field_names = [f.name for f in df.schema.fields]
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    out_schema = ", ".join(out_fields + [f"{c} double" for c in outs])
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(order)
+        u = g[ucols].to_numpy(dtype=np.float64)
+        s = np.array([g[f"__b{i}"].iloc[0] for i in range(k)])
+        states = np.empty((len(g), k))
+        for i, row in enumerate(u):
+            s = A @ s + row
+            states[i] = s
+        res = g[field_names].copy()
+        for j, c in enumerate(outs):
+            res[c] = states[:, j]
+        return res
+
+    return joined.groupBy(*keys, "__pid").applyInPandas(_emit, schema=out_schema)
+
+
+def holt(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    exact: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Holt double (level + trend) exponential smoothing per key
+    (textbook form, e.g. Hyndman & Athanasopoulos FPP §8.2 — public):
+
+        l_t = α·y_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    init l_1 = y_1, b_1 = 0; ``fitted`` is the one-step-ahead forecast
+    l_{t-1} + b_{t-1} (fitted_1 = y_1). Output: keys + (ts, value,
+    level, trend, fitted).
+
+    exact=True (default): one pandas group per key — deterministic,
+    arithmetic shape mirrored exactly by the DuckDB recursive-CTE
+    oracle; keys parallelize, within-key is honestly sequential.
+    exact=False: route through :func:`affine_scan` (the recurrence in
+    companion form — A = [[1-α, 1-α], [-αβ, 1-αβ]], u_t = [α·y_t,
+    αβ·y_t], first row u_1 = [y_1, 0]) — the 100-TB path for single
+    huge series; matches exact to ~1e-12 relative (FP recomposition).
+    """
+    if not (0.0 < alpha <= 1.0 and 0.0 <= beta <= 1.0):
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+    keys = list(key_cols)
+    one_a, one_b = 1.0 - alpha, 1.0 - beta
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(*keys, ts_col, F.col(value_col).cast("double").alias(value_col))
+    out_schema = ", ".join(
+        [f"{c} {base.schema[c].dataType.simpleString()}" for c in keys]
+        + [f"{ts_col} {base.schema[ts_col].dataType.simpleString()}",
+           f"{value_col} double", "level double", "trend double",
+           "fitted double"]
+    )
+
+    if not exact:
+        w = Window.partitionBy(*keys).orderBy(ts_col)
+        first = F.row_number().over(w) == 1
+        y = F.col(value_col)
+        prepped = base.withColumn(
+            "__u0", F.when(first, y).otherwise(F.lit(alpha) * y)
+        ).withColumn(
+            "__u1", F.when(first, F.lit(0.0)).otherwise(F.lit(alpha * beta) * y)
+        )
+        A = [[one_a, one_a], [-alpha * beta, 1.0 - alpha * beta]]
+        scanned = affine_scan(
+            prepped, ["__u0", "__u1"], A, key_cols=keys,
+            order_cols=[ts_col], state_cols=["level", "trend"],
+            num_partitions=num_partitions,
+        )
+        lagw = Window.partitionBy(*keys).orderBy(ts_col)
+        fitted = F.coalesce(
+            F.lag(F.col("level") + F.col("trend"), 1).over(lagw), F.col(value_col)
+        )
+        return scanned.select(
+            *keys, ts_col, value_col, "level", "trend", fitted.alias("fitted")
+        )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(ts_col)
+        y = g[value_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        lvl = np.empty(n); trd = np.empty(n); fit = np.empty(n)
+        l, b = float(y[0]), 0.0
+        lvl[0], trd[0], fit[0] = l, b, float(y[0])
+        for t in range(1, n):
+            fit[t] = l + b
+            # shape mirrored 1:1 by the recursive-CTE oracle
+            l_new = alpha * float(y[t]) + one_a * (l + b)
+            b = beta * (l_new - l) + one_b * b
+            l = l_new
+            lvl[t], trd[t] = l, b
+        res = g[[*keys, ts_col, value_col]].copy()
+        res["level"], res["trend"], res["fitted"] = lvl, trd, fit
+        return res
+
+    grouped = base.groupBy(*keys) if keys else base.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(_holt, schema=out_schema)
