@@ -567,7 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_agg_hourly", "heartbeat_gaps", "tier_top_values",
         "semdedup", "m4_downsample", "funnel_3step", "retention_weekly",
         "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
-        "holt_level_trend",
+        "holt_level_trend", "holt_winters_24h", "holt_forecast_24h",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4225,6 +4225,57 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["holt_level_trend"] = q_holt
 
+    def q_hw(s, d):
+        """Holt-Winters additive seasonal (α=0.3 β=0.1 γ=0.2, m=24h)
+        over per-type hourly means (operators/scan.py:holt_winters,
+        FPP §8.3). Integer-micro seed sums make the seeds bit-identical
+        cross-engine; the oracle recursion carries the 24-slot seasonal
+        queue as a DOUBLE[] (the dtw list-carrying technique)."""
+        from tstoolbox_spark.operators.scan import holt_winters
+
+        def _r6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = holt_winters(
+            hourly, 0.3, 0.1, 0.2, 24, value_col="value_mean", ts_col="ts",
+            key_cols=["event_type"],
+        )
+        return out.select(
+            "event_type", "ts",
+            _r6("level").alias("level"),
+            _r6("trend").alias("trend"),
+            _r6("seasonal").alias("seasonal"),
+            _r6("fitted").alias("fitted"),
+        )
+
+    q["holt_winters_24h"] = q_hw
+
+    def q_holt_fc(s, d):
+        """24-hour-ahead Holt forecast per event_type
+        (operators/scan.py:holt_forecast): smoothing pass → final
+        (level, trend) per key (metadata scale) → declarative horizon
+        explode, ŷ_{n+h} = l_n + h·b_n."""
+        from tstoolbox_spark.operators.scan import holt_forecast
+
+        def _r6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = holt_forecast(
+            hourly, 0.4, 0.1, horizon=24, step_seconds=3600,
+            value_col="value_mean", ts_col="ts", key_cols=["event_type"],
+        )
+        return out.select(
+            "event_type", "ts", "h", _r6("yhat").alias("yhat")
+        )
+
+    q["holt_forecast_24h"] = q_holt_fc
+
     return q
 
 
@@ -4817,5 +4868,88 @@ def _oracles_round3c() -> dict[str, str]:
                floor(b * 1e6 + 0.5) / 1e6 AS trend,
                floor(f * 1e6 + 0.5) / 1e6 AS fitted
         FROM r
+    """
+
+    # holt_winters_24h: the HW additive recursion with the m=24
+    # seasonal queue carried as a DOUBLE[] per step (dtw list
+    # technique). Seeds from HUGEINT micro-unit sums — identical
+    # doubles on both engines; l_new / s_new expressions are repeated
+    # verbatim where the recurrence references them (deterministic
+    # re-evaluation). Anchor is a virtual rn=0 state row.
+    _hw_l = "3e-1 * (h.x - r.sq[1]) + (1e0 - 3e-1) * (r.l + r.b)"
+    _hw_s = f"2e-1 * (h.x - ({_hw_l})) + (1e0 - 2e-1) * r.sq[1]"
+    o["holt_winters_24h"] = f"""
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        seed1 AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN rn <= 24
+                          THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                      AS DOUBLE) / 24 / 1e6 AS l0,
+                 (CAST(SUM(CASE WHEN rn > 24 AND rn <= 48
+                           THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                       AS DOUBLE) / 24 / 1e6
+                  - CAST(SUM(CASE WHEN rn <= 24
+                             THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                         AS DOUBLE) / 24 / 1e6) / 24 AS b0,
+                 list(x ORDER BY rn) FILTER (rn <= 24) AS xs,
+                 max(rn) AS n
+          FROM h GROUP BY 1 HAVING max(rn) >= 48),
+        seed AS (
+          SELECT event_type, l0, b0, n,
+                 list_transform(xs, v -> v - l0) AS s0
+          FROM seed1),
+        r AS (
+          SELECT event_type, TIMESTAMP '1900-01-01' AS ts, 0 AS rn,
+                 l0 AS l, b0 AS b, 0e0 AS snew, 0e0 AS f, s0 AS sq
+          FROM seed
+          UNION ALL
+          SELECT h.event_type, h.ts, h.rn,
+                 {_hw_l} AS l,
+                 1e-1 * (({_hw_l}) - r.l) + (1e0 - 1e-1) * r.b AS b,
+                 {_hw_s} AS snew,
+                 r.l + r.b + r.sq[1] AS f,
+                 list_append(r.sq[2:24], {_hw_s}) AS sq
+          FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        SELECT event_type, ts,
+               floor(l * 1e6 + 0.5) / 1e6 AS level,
+               floor(b * 1e6 + 0.5) / 1e6 AS trend,
+               floor(snew * 1e6 + 0.5) / 1e6 AS seasonal,
+               floor(f * 1e6 + 0.5) / 1e6 AS fitted
+        FROM r WHERE rn >= 1
+    """
+
+    # holt_forecast_24h: the holt_level_trend recursion, final state
+    # per key (rn = max rn), horizon explode via generate_series;
+    # ŷ = l + h·b and epoch+3600·h timestamp arithmetic mirror the
+    # Spark expressions exactly.
+    o["holt_forecast_24h"] = f"""
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, ts, rn, x AS l, 0e0 AS b FROM h WHERE rn = 1
+          UNION ALL
+          SELECT h.event_type, h.ts, h.rn,
+                 4e-1 * h.x + (1e0 - 4e-1) * (r.l + r.b),
+                 1e-1 * ((4e-1 * h.x + (1e0 - 4e-1) * (r.l + r.b)) - r.l)
+                   + (1e0 - 1e-1) * r.b
+          FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1),
+        last AS (
+          SELECT r.event_type, r.ts, r.l, r.b
+          FROM r JOIN (SELECT event_type, max(rn) AS mr FROM h GROUP BY 1) mx
+            ON r.event_type = mx.event_type AND r.rn = mx.mr)
+        SELECT event_type,
+               to_timestamp(epoch(ts) + hs.h * 3600)::TIMESTAMP AS ts,
+               CAST(hs.h AS INT) AS h,
+               floor((l + CAST(hs.h AS DOUBLE) * b) * 1e6 + 0.5) / 1e6 AS yhat
+        FROM last, (SELECT unnest(generate_series(1, 24)) AS h) hs
     """
     return o

@@ -14,7 +14,12 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from tstoolbox_spark.operators.scan import affine_scan, holt
+from tstoolbox_spark.operators.scan import (
+    affine_scan,
+    holt,
+    holt_forecast,
+    holt_winters,
+)
 
 
 def _series(seed=4, n=600, keys=("a", "b")):
@@ -99,6 +104,80 @@ def test_holt_scan_path_matches_exact(spark):
     np.testing.assert_allclose(d["level"], e["level"], rtol=1e-10)
     np.testing.assert_allclose(d["trend"], e["trend"], rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(d["fitted"], e["fitted"], rtol=1e-10)
+
+
+def _hw_numpy(y, a, b_, g_, m):
+    y6 = np.floor(np.asarray(y) * 1e6 + 0.5).astype(np.int64)
+    l = float(int(y6[:m].sum())) / m / 1e6
+    b = (float(int(y6[m : 2 * m].sum())) / m / 1e6 - l) / m
+    s = [y[j] - l for j in range(m)]
+    lvl, trd, sea, fit = [], [], [], []
+    for t in range(len(y)):
+        s_old = s[0]
+        fit.append(l + b + s_old)
+        l_new = a * (y[t] - s_old) + (1 - a) * (l + b)
+        b = b_ * (l_new - l) + (1 - b_) * b
+        s_new = g_ * (y[t] - l_new) + (1 - g_) * s_old
+        l = l_new
+        s = s[1:] + [s_new]
+        lvl.append(l); trd.append(b); sea.append(s_new)
+    return map(np.array, (lvl, trd, sea, fit))
+
+
+def test_holt_winters_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2022, 1, 1)
+    rows = []
+    for k in ("a", "b"):
+        n = 200
+        season = 10 * np.sin(2 * np.pi * np.arange(n) / 24)
+        vals = 50 + 0.05 * np.arange(n) + season + rng.normal(0, 0.5, n)
+        rows += [(k, t0 + dt.timedelta(hours=i), float(round(vals[i], 3)))
+                 for i in range(n)]
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    out = (
+        holt_winters(spark.createDataFrame(pdf), 0.3, 0.1, 0.2, 24,
+                     key_cols=["key"])
+        .toPandas().sort_values(["key", "ts"]).reset_index(drop=True)
+    )
+    for k, g in out.groupby("key"):
+        y = pdf[pdf["key"] == k].sort_values("ts")["value"].to_numpy()
+        lvl, trd, sea, fit = _hw_numpy(list(y), 0.3, 0.1, 0.2, 24)
+        np.testing.assert_allclose(g["level"], lvl, rtol=1e-12)
+        np.testing.assert_allclose(g["trend"], trd, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(g["seasonal"], sea, rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(g["fitted"], fit, rtol=1e-12)
+
+
+def test_holt_winters_drops_short_keys(spark):
+    pdf = _series(n=100, keys=("long",))
+    short = _series(n=30, keys=("short",))
+    df = spark.createDataFrame(pd.concat([pdf, short]))
+    out = holt_winters(df, 0.3, 0.1, 0.2, 24, key_cols=["key"]).toPandas()
+    assert set(out["key"]) == {"long"}
+    assert len(out) == 100
+
+
+def test_holt_forecast_linear_extrapolation(spark):
+    pdf = _series(n=120)
+    df = spark.createDataFrame(pdf)
+    sm = (
+        holt(df, 0.4, 0.1, key_cols=["key"])
+        .toPandas().sort_values(["key", "ts"])
+    )
+    fc = (
+        holt_forecast(df, 0.4, 0.1, horizon=6, step_seconds=3600,
+                      key_cols=["key"])
+        .toPandas().sort_values(["key", "h"]).reset_index(drop=True)
+    )
+    assert len(fc) == 2 * 6
+    for k, g in fc.groupby("key"):
+        last = sm[sm["key"] == k].iloc[-1]
+        exp = last["level"] + g["h"].to_numpy() * last["trend"]
+        np.testing.assert_allclose(g["yhat"], exp, rtol=1e-12)
+        ts = pd.to_datetime(g["ts"])
+        assert (ts.diff().iloc[1:] == pd.Timedelta(hours=1)).all()
+        assert ts.iloc[0] == sm[sm["key"] == k]["ts"].max() + pd.Timedelta(hours=1)
 
 
 def test_holt_validates_params(spark):

@@ -216,3 +216,136 @@ def holt(
 
     grouped = base.groupBy(*keys) if keys else base.groupBy(F.lit(1).alias("__g"))
     return grouped.applyInPandas(_holt, schema=out_schema)
+
+
+def holt_forecast(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    horizon: int,
+    step_seconds: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """h-step-ahead Holt forecasts  ŷ_{n+h} = l_n + h·b_n  per key
+    (FPP §8.2 forecast equation), h = 1..horizon at ``step_seconds``
+    spacing after each key's last observation.
+
+    Runs :func:`holt`, keeps only each key's final (level, trend)
+    state — one row per key, metadata scale — and explodes the
+    horizon declaratively (sequence → posexplode); the smoothing pass
+    dominates, the forecast step is shuffle-free on keys already
+    grouped."""
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    keys = list(key_cols)
+    sm = holt(df, alpha, beta, value_col=value_col, ts_col=ts_col, key_cols=keys)
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    last = (
+        sm.withColumn("__rn", F.row_number().over(w.orderBy(F.col(ts_col).desc())))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, ts_col, "level", "trend")
+    )
+    h = F.posexplode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("__p", "h")
+    out = last.select(*keys, ts_col, "level", "trend", h)
+    step = F.col("h").cast("long") * F.lit(int(step_seconds))
+    return out.select(
+        *keys,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col(ts_col).cast("timestamp")) + step
+        ).alias(ts_col),
+        F.col("h").cast("int").alias("h"),
+        (F.col("level") + F.col("h").cast("double") * F.col("trend")).alias("yhat"),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    season_length: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per key (textbook form,
+    FPP §8.3 — public); m = ``season_length``:
+
+        fitted_t = l + b + s_old            (one-step-ahead forecast)
+        l_t = α·(y_t - s_old) + (1-α)·(l + b)
+        b_t = β·(l_t - l) + (1-β)·b
+        s_t = γ·(y_t - l_t) + (1-γ)·s_old   (replaces the queue head)
+
+    Seeding convention (documented, deterministic): with x_t the
+    ordered series, l_0 = mean(x_1..x_m), b_0 = (mean(x_{m+1}..x_{2m})
+    - l_0)/m, seasonal queue s_j = x_j - l_0 (j = 1..m, oldest first);
+    the recursion then runs over ALL rows t = 1..n (backcast style).
+    Seed means are computed from floor-rounded 1e-6 integer micro-units
+    so the DuckDB recursive-CTE oracle sees bit-identical seeds (cross-
+    engine float sum association differs; the recurrences themselves
+    are identical IEEE given identical seeds).
+
+    Keys with fewer than 2m observations are dropped (seeding needs two
+    full seasons). Keys parallelize; within-key is honest-sequential
+    (the dtw convention). The recurrence is also expressible as a
+    k = m+2 affine state  s_t = A·s_{t-1} + u_t·y_t  (level, trend, m
+    seasonal slots with a cyclic-shift block), so :func:`affine_scan`
+    is the single-huge-series scale path if ever needed; per-key
+    grouping is the natural 100-TB shape for multi-series data.
+
+    Output: keys + (ts, value, level, trend, seasonal, fitted).
+    """
+    m = int(season_length)
+    if m < 2:
+        raise ValueError(f"season_length must be >= 2, got {m}")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 <= v <= 1.0) or (nm == "alpha" and v == 0.0):
+            raise ValueError(f"{nm} out of range: {v}")
+    keys = list(key_cols)
+    one_a, one_b, one_g = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(*keys, ts_col, F.col(value_col).cast("double").alias(value_col))
+    cnt_w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    base = (
+        base.withColumn("__n", F.count(F.lit(1)).over(cnt_w))
+        .filter(F.col("__n") >= 2 * m)
+        .drop("__n")
+    )
+    out_schema = ", ".join(
+        [f"{c} {base.schema[c].dataType.simpleString()}" for c in keys]
+        + [f"{ts_col} {base.schema[ts_col].dataType.simpleString()}",
+           f"{value_col} double", "level double", "trend double",
+           "seasonal double", "fitted double"]
+    )
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(ts_col)
+        y = g[value_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        # integer-micro seed sums: exact, association-free (oracle
+        # mirrors SUM(CAST(floor(x*1e6+0.5) AS HUGEINT)))
+        y6 = np.floor(y * 1e6 + 0.5).astype(np.int64)
+        l = float(int(y6[:m].sum())) / m / 1e6
+        b = (float(int(y6[m : 2 * m].sum())) / m / 1e6 - l) / m
+        s = [y[j] - l for j in range(m)]
+        lvl = np.empty(n); trd = np.empty(n); sea = np.empty(n); fit = np.empty(n)
+        for t in range(n):
+            s_old = s[0]
+            fit[t] = l + b + s_old
+            yt = float(y[t])
+            l_new = alpha * (yt - s_old) + one_a * (l + b)
+            b = beta * (l_new - l) + one_b * b
+            s_new = gamma * (yt - l_new) + one_g * s_old
+            l = l_new
+            s = s[1:] + [s_new]
+            lvl[t], trd[t], sea[t] = l, b, s_new
+        res = g[[*keys, ts_col, value_col]].copy()
+        res["level"], res["trend"] = lvl, trd
+        res["seasonal"], res["fitted"] = sea, fit
+        return res
+
+    grouped = base.groupBy(*keys) if keys else base.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(_hw, schema=out_schema)
