@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup", "m4_downsample", "funnel_3step", "retention_weekly",
         "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
         "holt_level_trend", "holt_winters_24h", "holt_forecast_24h",
+        "mixture_sample_weighted", "shard_assign_16",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4276,6 +4277,34 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["holt_forecast_24h"] = q_holt_fc
 
+    def q_mixture(s, d):
+        """Target source-mixture sampling (sampling.mixture_sample):
+        per-source counts → largest no-upsampling corpus matching the
+        target weights (T = min n_s/w_s, rate_s = w_s·T/n_s) →
+        deterministic md5-ticket filter. Weights are powers of two so
+        every rate/cutoff is exact in both engines; the oracle derives
+        the same rates fully in SQL."""
+        from tstoolbox_spark.textops.sampling import mixture_sample
+
+        docs = _docs(s, d)
+        return mixture_sample(
+            docs, {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+        ).select("doc_id", "source")
+
+    q["mixture_sample_weighted"] = q_mixture
+
+    def q_shard(s, d):
+        """Size-balanced shard assignment (packing.shard_assign):
+        serpentine walk over the distributed_rank global size order —
+        LPT-flavored balance with no single-task sort and no greedy
+        driver loop."""
+        from tstoolbox_spark.textops.packing import shard_assign
+
+        docs = _docs(s, d).select("doc_id", "n_chars")
+        return shard_assign(docs, 16, size_col="n_chars")
+
+    q["shard_assign_16"] = q_shard
+
     return q
 
 
@@ -4951,5 +4980,44 @@ def _oracles_round3c() -> dict[str, str]:
                CAST(hs.h AS INT) AS h,
                floor((l + CAST(hs.h AS DOUBLE) * b) * 1e6 + 0.5) / 1e6 AS yhat
         FROM last, (SELECT unnest(generate_series(1, 24)) AS h) hs
+    """
+
+    # mixture_sample_weighted: rates derived in SQL exactly as the
+    # driver does (T = min n/w, rate = least(1, w·T/n), cutoff =
+    # floor(rate·2^20 + 0.5)); weights are powers of two (sum exactly
+    # 1.0) so normalization is the identity and every product is an
+    # exact double on both engines.
+    _mx_ticket = _md5int_sql("d.doc_id::VARCHAR") + f" % {1 << 20}"
+    o["mixture_sample_weighted"] = f"""
+        WITH c AS (
+          SELECT source, CAST(count(*) AS DOUBLE) AS n,
+                 CASE source WHEN 'src0' THEN 5e-1 WHEN 'src1' THEN 25e-2
+                      WHEN 'src2' THEN 125e-3 WHEN 'src3' THEN 125e-3
+                 END AS w
+          FROM documents
+          WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+        t AS (SELECT min(n / w) AS tt FROM c),
+        cut AS (
+          SELECT source,
+                 CAST(floor(least(1e0, w * tt / n) * {1 << 20} + 0.5)
+                      AS BIGINT) AS cut
+          FROM c, t)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN cut ON d.source = cut.source
+        WHERE {_mx_ticket} < cut.cut
+    """
+
+    # shard_assign_16: global (n_chars, doc_id) row-number + the same
+    # serpentine block arithmetic; distributed_rank's 'first' ties
+    # semantics with the doc_id tiebreak equals row_number exactly.
+    o["shard_assign_16"] = """
+        WITH r AS (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS i
+          FROM documents)
+        SELECT doc_id, n_chars,
+               CAST(CASE WHEN (i // 16) % 2 = 0 THEN i % 16
+                         ELSE 15 - (i % 16) END AS INT) AS shard
+        FROM r
     """
     return o

@@ -59,3 +59,58 @@ def test_chunk_pack_doc_larger_than_max_len(spark):
     flat = [t for chunk in p["tokens"] for t in chunk]
     assert flat == list(range(50)) + [99, 98]
     assert p["n_tok"].tolist()[:-1] == [8] * (len(p) - 1)
+
+
+def test_shard_assign_balance_and_determinism(spark):
+    """Serpentine assignment: every shard total within one max-doc of
+    the mean; output identical under different input partitioning."""
+    import pandas as pd
+
+    from tstoolbox_spark.textops.packing import shard_assign
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(1000),
+        "n_tok": rng.integers(10, 5000, 1000),
+    })
+    df = spark.createDataFrame(pdf)
+    out = shard_assign(df, 16).toPandas()
+    assert sorted(out.columns) == ["doc_id", "n_tok", "shard"]
+    assert out["shard"].between(0, 15).all()
+    totals = out.groupby("shard")["n_tok"].sum()
+    assert len(totals) == 16
+    assert totals.max() - totals.min() <= pdf["n_tok"].max()
+
+    again = shard_assign(df.repartition(13), 16).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("", "_b"))
+    assert (merged["shard"] == merged["shard_b"]).all()
+
+
+def test_shard_assign_matches_rownumber_serpentine(spark):
+    import pandas as pd
+
+    from tstoolbox_spark.textops.packing import shard_assign
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "n_tok": rng.integers(1, 50, 200),  # heavy ties
+    })
+    out = shard_assign(spark.createDataFrame(pdf), 7).toPandas()
+    ref = pdf.sort_values(["n_tok", "doc_id"]).reset_index(drop=True)
+    i = np.arange(len(ref))
+    pos, block = i % 7, i // 7
+    ref["shard"] = np.where(block % 2 == 0, pos, 6 - pos)
+    merged = out.merge(ref, on="doc_id", suffixes=("", "_ref"))
+    assert (merged["shard"] == merged["shard_ref"]).all()
+
+
+def test_shard_assign_validates(spark):
+    import pandas as pd
+    import pytest
+
+    from tstoolbox_spark.textops.packing import shard_assign
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "n_tok": [5]}))
+    with pytest.raises(ValueError):
+        shard_assign(df, 0)

@@ -93,3 +93,42 @@ def chunk_pack_tokens(
         .withColumn("n_tok", F.size(tokens_col))
     )
     return packed
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    size_col: str = "n_tok",
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Assign documents to ``n_shards`` size-balanced training shards.
+
+    Serpentine (boustrophedon) assignment over the global size rank:
+    rank all docs by (size, id), walk shards 0..N-1 on even rank
+    blocks and N-1..0 on odd blocks — the classic LPT-flavored
+    balancing that keeps every shard's total within one max-doc of
+    optimal, while staying fully declarative (no greedy driver loop).
+
+    The global rank comes from stats.distributed_rank — quantile-
+    bucketed parallel ranking, NO single-task global sort — so the
+    assignment is deterministic, partitioning-independent, and scales
+    to corpus sizes where ``row_number() OVER (ORDER BY ...)`` would
+    straggle. Output: input columns + ``out_col`` (int in [0, N)).
+
+    No reference twin (training-data extension, tokens axis); the
+    DuckDB oracle is ``row_number() OVER (ORDER BY size, id)`` plus
+    the same serpentine arithmetic.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from ..operators.stats import distributed_rank
+
+    ranked = distributed_rank(
+        df, size_col, tiebreak_cols=[id_col], out_col="__r"
+    )
+    i = F.col("__r") - F.lit(1)
+    block = (i / F.lit(n_shards)).cast("long")  # i >= 0: trunc == floor
+    pos = i % F.lit(n_shards)
+    serp = F.when(block % 2 == 0, pos).otherwise(F.lit(n_shards - 1) - pos)
+    return ranked.withColumn(out_col, serp.cast("int")).drop("__r")
