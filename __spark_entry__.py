@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
         "holt_level_trend", "holt_winters_24h", "holt_forecast_24h",
         "mixture_sample_weighted", "shard_assign_16",
+        "holt_winters_forecast_36h",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4293,6 +4294,28 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_sample_weighted"] = q_mixture
 
+    def q_hw_fc(s, d):
+        """36-hour-ahead Holt-Winters forecast per event_type
+        (scan.py:holt_winters_forecast): ŷ_{n+h} = l_n + h·b_n +
+        seasonal queue slot ((h-1) mod 24)+1 — horizon 36 exercises
+        the seasonal wrap. Oracle reads the final queue straight off
+        the recursion's last DOUBLE[] state."""
+        from tstoolbox_spark.operators.scan import holt_winters_forecast
+
+        def _r6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = holt_winters_forecast(
+            hourly, 0.3, 0.1, 0.2, 24, horizon=36, step_seconds=3600,
+            value_col="value_mean", ts_col="ts", key_cols=["event_type"],
+        )
+        return out.select("event_type", "ts", "h", _r6("yhat").alias("yhat"))
+
+    q["holt_winters_forecast_36h"] = q_hw_fc
+
     def q_shard(s, d):
         """Size-balanced shard assignment (packing.shard_assign):
         serpentine walk over the distributed_rank global size order —
@@ -4980,6 +5003,58 @@ def _oracles_round3c() -> dict[str, str]:
                CAST(hs.h AS INT) AS h,
                floor((l + CAST(hs.h AS DOUBLE) * b) * 1e6 + 0.5) / 1e6 AS yhat
         FROM last, (SELECT unnest(generate_series(1, 24)) AS h) hs
+    """
+
+    # holt_winters_forecast_36h: same HW recursion; the final r row
+    # (rn = n) carries the seasonal queue, so the forecast is one
+    # list index per horizon step — sq[((h-1) % 24) + 1] is the
+    # oldest-first slot the Spark side reads via descending row rank.
+    o["holt_winters_forecast_36h"] = f"""
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        seed1 AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN rn <= 24
+                          THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                      AS DOUBLE) / 24 / 1e6 AS l0,
+                 (CAST(SUM(CASE WHEN rn > 24 AND rn <= 48
+                           THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                       AS DOUBLE) / 24 / 1e6
+                  - CAST(SUM(CASE WHEN rn <= 24
+                             THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                         AS DOUBLE) / 24 / 1e6) / 24 AS b0,
+                 list(x ORDER BY rn) FILTER (rn <= 24) AS xs,
+                 max(rn) AS n
+          FROM h GROUP BY 1 HAVING max(rn) >= 48),
+        seed AS (
+          SELECT event_type, l0, b0, n,
+                 list_transform(xs, v -> v - l0) AS s0
+          FROM seed1),
+        r AS (
+          SELECT event_type, TIMESTAMP '1900-01-01' AS ts, 0 AS rn,
+                 l0 AS l, b0 AS b, s0 AS sq
+          FROM seed
+          UNION ALL
+          SELECT h.event_type, h.ts, h.rn,
+                 {_hw_l} AS l,
+                 1e-1 * (({_hw_l}) - r.l) + (1e0 - 1e-1) * r.b AS b,
+                 list_append(r.sq[2:24], {_hw_s}) AS sq
+          FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1),
+        last AS (
+          SELECT r.event_type, r.ts, r.l, r.b, r.sq
+          FROM r JOIN (SELECT event_type, max(rn) AS mr FROM h GROUP BY 1) mx
+            ON r.event_type = mx.event_type AND r.rn = mx.mr)
+        SELECT event_type,
+               to_timestamp(epoch(ts) + hs.h * 3600)::TIMESTAMP AS ts,
+               CAST(hs.h AS INT) AS h,
+               floor((l + CAST(hs.h AS DOUBLE) * b
+                      + sq[CAST((hs.h - 1) % 24 + 1 AS INT)]) * 1e6 + 0.5)
+                 / 1e6 AS yhat
+        FROM last, (SELECT unnest(generate_series(1, 36)) AS h) hs
     """
 
     # mixture_sample_weighted: rates derived in SQL exactly as the

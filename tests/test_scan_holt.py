@@ -186,3 +186,42 @@ def test_holt_validates_params(spark):
         holt(df, 1.5, 0.1)
     with pytest.raises(ValueError):
         affine_scan(df, ["value"], [[1.0, 0.0], [0.0, 1.0]])
+
+
+def test_holt_winters_forecast_with_seasonal_wrap(spark):
+    from tstoolbox_spark.operators.scan import holt_winters_forecast
+
+    rng = np.random.default_rng(13)
+    t0 = dt.datetime(2022, 1, 1)
+    n, m = 150, 24
+    rows = []
+    for k in ("a", "b"):
+        season = 8 * np.sin(2 * np.pi * np.arange(n) / m)
+        vals = 40 + 0.1 * np.arange(n) + season + rng.normal(0, 0.4, n)
+        rows += [(k, t0 + dt.timedelta(hours=i), float(round(vals[i], 3)))
+                 for i in range(n)]
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    fc = (
+        holt_winters_forecast(spark.createDataFrame(pdf), 0.3, 0.1, 0.2, m,
+                              horizon=36, step_seconds=3600, key_cols=["key"])
+        .toPandas().sort_values(["key", "h"]).reset_index(drop=True)
+    )
+    assert len(fc) == 2 * 36
+    for k, g in fc.groupby("key"):
+        y = pdf[pdf["key"] == k].sort_values("ts")["value"].to_list()
+        # replay the recurrence to get the final state + queue
+        y6 = np.floor(np.asarray(y) * 1e6 + 0.5).astype(np.int64)
+        l = float(int(y6[:m].sum())) / m / 1e6
+        b = (float(int(y6[m:2 * m].sum())) / m / 1e6 - l) / m
+        s = [y[j] - l for j in range(m)]
+        for t in range(n):
+            s_old = s[0]
+            l_new = 0.3 * (y[t] - s_old) + 0.7 * (l + b)
+            b = 0.1 * (l_new - l) + 0.9 * b
+            s = s[1:] + [0.2 * (y[t] - l_new) + 0.8 * s_old]
+            l = l_new
+        exp = [l + h * b + s[(h - 1) % m] for h in range(1, 37)]
+        np.testing.assert_allclose(g["yhat"], exp, rtol=1e-10)
+        ts = pd.to_datetime(g["ts"])
+        assert ts.iloc[0] == t0 + dt.timedelta(hours=n)
+        assert (ts.diff().iloc[1:] == pd.Timedelta(hours=1)).all()

@@ -349,3 +349,64 @@ def holt_winters(
 
     grouped = base.groupBy(*keys) if keys else base.groupBy(F.lit(1).alias("__g"))
     return grouped.applyInPandas(_hw, schema=out_schema)
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    season_length: int,
+    horizon: int,
+    step_seconds: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """h-step-ahead Holt-Winters additive forecasts per key
+    (FPP §8.3):  ŷ_{n+h} = l_n + h·b_n + s_{n+h-m·(⌊(h-1)/m⌋+1)}.
+
+    Runs :func:`holt_winters`, keeps each key's last m rows — the
+    final seasonal queue IS their ``seasonal`` column (oldest =
+    m-th-newest row) — plus the final (level, trend), all metadata
+    scale, then explodes the horizon declaratively; the seasonal term
+    for step h is the queue slot ((h-1) mod m) + 1 counted from the
+    oldest, i.e. the row with descending rank m - ((h-1) mod m).
+    """
+    m = int(season_length)
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    keys = list(key_cols)
+    sm = holt_winters(
+        df, alpha, beta, gamma, m,
+        value_col=value_col, ts_col=ts_col, key_cols=keys,
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    lastm = (
+        sm.withColumn("__rd", F.row_number().over(w.orderBy(F.col(ts_col).desc())))
+        .filter(F.col("__rd") <= m)
+        .select(*keys, ts_col, "level", "trend", "seasonal", "__rd")
+    )
+    final = lastm.filter(F.col("__rd") == 1).select(
+        *keys, ts_col, "level", "trend"
+    )
+    hexp = F.posexplode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("__p", "h")
+    fc = final.select(*keys, ts_col, "level", "trend", hexp)
+    # queue slot for step h, as a descending row rank
+    rd = F.lit(m) - (F.col("h") - F.lit(1)) % F.lit(m)
+    fc = fc.withColumn("__rd", rd.cast("int"))
+    seas = lastm.select(*keys, "__rd", F.col("seasonal").alias("__s"))
+    out = fc.join(F.broadcast(seas), [*keys, "__rd"])
+    step = F.col("h").cast("long") * F.lit(int(step_seconds))
+    return out.select(
+        *keys,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col(ts_col).cast("timestamp")) + step
+        ).alias(ts_col),
+        F.col("h").cast("int").alias("h"),
+        (
+            F.col("level")
+            + F.col("h").cast("double") * F.col("trend")
+            + F.col("__s")
+        ).alias("yhat"),
+    )
