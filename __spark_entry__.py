@@ -569,7 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
         "holt_level_trend", "holt_winters_24h", "holt_forecast_24h",
         "mixture_sample_weighted", "shard_assign_16",
-        "holt_winters_forecast_36h",
+        "holt_winters_forecast_36h", "ljung_box_10",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4328,6 +4328,29 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shard_assign_16"] = q_shard
 
+    def q_lb(s, d):
+        """Ljung-Box white-noise diagnostic, lags 1..10, over per-type
+        hourly means (stats.ljung_box — Ljung & Box 1978). Mean and
+        every cross product ride integer-quantized partial sums, so
+        shuffle order can't move the result and the oracle matches the
+        identical arithmetic bit-for-bit."""
+        from tstoolbox_spark.operators.stats import ljung_box
+
+        def _r6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = ljung_box(hourly, "value_mean", 10, key_cols=["event_type"])
+        return out.select(
+            "event_type", "lag",
+            _r6("rho").alias("rho"),
+            _r6("q_stat").alias("q_stat"),
+        )
+
+    q["ljung_box_10"] = q_lb
+
     return q
 
 
@@ -5080,6 +5103,66 @@ def _oracles_round3c() -> dict[str, str]:
         SELECT d.doc_id, d.source
         FROM documents d JOIN cut ON d.source = cut.source
         WHERE {_mx_ticket} < cut.cut
+    """
+
+    # ljung_box_10: ρ_k and the cumulative Q statistic rebuilt from the
+    # same integer-quantized partials (floor(p·1e6 + 0.5) longs for
+    # mean/products, 1e-15-unit integer cumsum for Σρ²/(n-k)) — every
+    # float op identical, association-free.
+    _lb_lags = ", ".join(
+        f"lag(dv, {k}) OVER (PARTITION BY event_type ORDER BY rn) AS l{k}"
+        for k in range(1, 11)
+    )
+    _lb_nums = ", ".join(
+        f"SUM(CAST(floor(dv * l{k} * 1e6 + 0.5) AS BIGINT)) AS n{k}"
+        for k in range(1, 11)
+    )
+    _lb_unpivot = ", ".join(
+        "{'k': %d, 'num': n%d}" % (k, k) for k in range(1, 11)
+    )
+    o["ljung_box_10"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e6 AS mu,
+                 COUNT(*) AS n
+          FROM h GROUP BY 1),
+        d AS (
+          SELECT h.event_type, rn, x - mu AS dv, n
+          FROM h JOIN st USING (event_type)),
+        l AS (SELECT event_type, dv, n, {_lb_lags} FROM d),
+        a AS (
+          SELECT event_type, max(n) AS n,
+                 SUM(CAST(floor(dv * dv * 1e6 + 0.5) AS BIGINT)) AS den,
+                 {_lb_nums}
+          FROM l GROUP BY 1),
+        r AS (
+          SELECT event_type, n,
+                 unnest([{_lb_unpivot}]) AS u,
+                 den
+          FROM a),
+        rr AS (
+          SELECT event_type, n, u.k AS lag,
+                 CAST(u.num AS DOUBLE) / CAST(den AS DOUBLE) AS rho
+          FROM r),
+        q AS (
+          SELECT event_type, lag, rho, n,
+                 SUM(CAST(floor(rho * rho / (CAST(n AS DOUBLE) - lag) * 1e15
+                                + 0.5) AS BIGINT))
+                   OVER (PARTITION BY event_type ORDER BY lag) AS cum
+          FROM rr)
+        SELECT event_type, CAST(lag AS INT) AS lag,
+               floor(rho * 1e6 + 0.5) / 1e6 AS rho,
+               floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2e0)
+                     * (CAST(cum AS DOUBLE) / 1e15) * 1e6 + 0.5) / 1e6
+                 AS q_stat
+        FROM q
     """
 
     # shard_assign_16: global (n_chars, doc_id) row-number + the same

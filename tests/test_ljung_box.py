@@ -1,0 +1,87 @@
+"""ljung_box vs a full-precision numpy re-derivation of the textbook
+Box-Jenkins estimator (quantized partials cost ~1e-9 relative)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstoolbox_spark.operators.stats import ljung_box
+
+
+def _lb_numpy(y, h):
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    d = y - y.mean()
+    den = (d * d).sum()
+    rho = np.array([(d[k:] * d[:-k]).sum() / den for k in range(1, h + 1)])
+    q = n * (n + 2) * np.cumsum(rho**2 / (n - np.arange(1, h + 1)))
+    return rho, q
+
+
+def _frame(seed=21, n=400, keys=("a", "b")):
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2023, 1, 1)
+    rows = []
+    for k in keys:
+        # AR(1)-ish so the autocorrelation is real
+        e = rng.normal(0, 1, n)
+        v = np.empty(n)
+        v[0] = e[0]
+        for i in range(1, n):
+            v[i] = 0.6 * v[i - 1] + e[i]
+        rows += [(k, t0 + dt.timedelta(hours=i), float(round(v[i] + 50, 4)))
+                 for i in range(n)]
+    return pd.DataFrame(rows, columns=["key", "ts", "value"])
+
+
+def test_ljung_box_matches_numpy(spark):
+    pdf = _frame()
+    out = (
+        ljung_box(spark.createDataFrame(pdf), "value", 10, key_cols=["key"])
+        .toPandas().sort_values(["key", "lag"]).reset_index(drop=True)
+    )
+    assert list(out.columns) == ["key", "lag", "rho", "q_stat"]
+    for k, g in out.groupby("key"):
+        y = pdf[pdf["key"] == k].sort_values("ts")["value"].to_numpy()
+        rho, q = _lb_numpy(y, 10)
+        np.testing.assert_allclose(g["rho"], rho, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(g["q_stat"], q, rtol=1e-5, atol=1e-6)
+        # AR(1) data: Q must grow with h and be far from white noise
+        assert g["q_stat"].is_monotonic_increasing
+        assert g["q_stat"].iloc[0] > 50
+
+
+def test_ljung_box_white_noise_small_q(spark):
+    rng = np.random.default_rng(9)
+    n = 500
+    t0 = dt.datetime(2023, 1, 1)
+    pdf = pd.DataFrame({
+        "ts": [t0 + dt.timedelta(hours=i) for i in range(n)],
+        "value": rng.normal(0, 1, n).round(4),
+    })
+    out = (
+        ljung_box(spark.createDataFrame(pdf), "value", 5)
+        .toPandas().sort_values("lag")
+    )
+    # white noise: Q(5) ~ chi2(5); far below the AR case
+    assert out["q_stat"].iloc[-1] < 20
+
+
+def test_ljung_box_partitioning_independent(spark):
+    pdf = _frame(n=200)
+    a = ljung_box(spark.createDataFrame(pdf), "value", 4, key_cols=["key"]).toPandas()
+    b = ljung_box(spark.createDataFrame(pdf).repartition(17), "value", 4,
+                  key_cols=["key"]).toPandas()
+    m = a.merge(b, on=["key", "lag"], suffixes=("", "_b"))
+    assert (m["rho"] == m["rho_b"]).all()
+    assert (m["q_stat"] == m["q_stat_b"]).all()
+
+
+def test_ljung_box_validates(spark):
+    pdf = _frame(n=10)
+    with pytest.raises(ValueError):
+        ljung_box(spark.createDataFrame(pdf), "value", 0)

@@ -1022,3 +1022,89 @@ def seasonal_decompose(
     out = out.join(F.broadcast(phase_means), on=keys + ["__phase"], how="left")
     return (out.withColumn("resid", x - F.col("trend") - F.col("seasonal"))
             .drop("__phase", "__detr"))
+
+
+def ljung_box(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Ljung-Box portmanteau test per key (Box & Pierce 1970 / Ljung &
+    Box 1978, textbook form):
+
+        ρ_k = Σ_{t>k} d_t·d_{t-k} / Σ_t d_t²     (d_t = x_t - x̄)
+        Q(h) = n·(n+2)·Σ_{k=1..h} ρ_k² / (n-k)
+
+    One row per lag k = 1..max_lag with (rho, q_stat); Q(h) against
+    χ²(h) is the classic "are the residuals white noise" diagnostic
+    after a fit (e.g. Holt/Holt-Winters ``fitted`` residuals).
+
+    Scale/determinism shape: one window sort materializes every lagged
+    copy; the mean and all cross products ride integer-quantized
+    partial sums (floor(x·1e6 + 0.5) / floor(p·1e6 + 0.5) longs —
+    exact, association-free, so shuffle order can't move the result
+    and the DuckDB oracle matches bit-for-bit); the ≤max_lag-row
+    cumulative Σρ²/(n-k) is an integer cumsum of 1e-15-quantized
+    terms. No driver data path; per key the agg is one pass.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    keys = list(key_cols)
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(
+        *keys, ts_col, x.alias("__x")
+    )
+    gb = base.groupBy(*keys) if keys else base.groupBy()
+    stats = gb.agg(
+        (
+            F.sum(F.floor(F.col("__x") * F.lit(1e6) + F.lit(0.5))).cast("double")
+            / F.count("__x") / F.lit(1e6)
+        ).alias("__mu"),
+        F.count("__x").alias("__n"),
+    )
+    d = (
+        base.join(F.broadcast(stats), on=keys) if keys
+        else base.crossJoin(F.broadcast(stats))
+    ).withColumn("__d", F.col("__x") - F.col("__mu"))
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+         ).orderBy(ts_col)
+    for k in range(1, max_lag + 1):
+        d = d.withColumn(f"__l{k}", F.lag("__d", k).over(w))
+
+    def _q6(p):  # exact integer partial: floor(p*1e6 + 0.5)
+        return F.floor(p * F.lit(1e6) + F.lit(0.5))
+
+    gb2 = d.groupBy(*keys) if keys else d.groupBy()
+    agg = gb2.agg(
+        F.max("__n").alias("__n"),
+        F.sum(_q6(F.col("__d") * F.col("__d"))).alias("__den"),
+        *[
+            F.sum(_q6(F.col("__d") * F.col(f"__l{k}"))).alias(f"__num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    lagrows = agg.select(
+        *keys, "__n", "__den",
+        F.posexplode(
+            F.array(*[F.col(f"__num{k}") for k in range(1, max_lag + 1)])
+        ).alias("__p", "__num"),
+    ).select(
+        *keys, "__n", "__den",
+        (F.col("__p") + 1).cast("int").alias("lag"),
+        (F.col("__num").cast("double") / F.col("__den").cast("double"))
+        .alias("rho"),
+    )
+    nd = F.col("__n").cast("double")
+    term = F.floor(
+        F.col("rho") * F.col("rho") / (nd - F.col("lag")) * F.lit(1e15)
+        + F.lit(0.5)
+    )
+    wq = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+          ).orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    out = lagrows.withColumn(
+        "q_stat",
+        nd * (nd + F.lit(2.0)) * (F.sum(term).over(wq).cast("double") / F.lit(1e15)),
+    )
+    return out.select(*keys, "lag", "rho", "q_stat")
