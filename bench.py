@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "twa_linear_hourly",
     "funnel_3step",
     "semdedup",
+    "holt_winters_24h",
+    "ljung_box_10",
+    "shard_assign_16",
 ]
 
 
