@@ -569,7 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
         "holt_level_trend", "holt_winters_24h", "holt_forecast_24h",
         "mixture_sample_weighted", "shard_assign_16",
-        "holt_winters_forecast_36h", "ljung_box_10",
+        "holt_winters_forecast_36h", "ljung_box_10", "ar2_yule_walker",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4351,6 +4351,28 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ljung_box_10"] = q_lb
 
+    def q_ar2(s, d):
+        """AR(2) Yule-Walker fit per event_type over hourly means
+        (stats.ar2_yule_walker — Box & Jenkins closed form from the
+        same association-free quantized ACF sums as ljung_box)."""
+        from tstoolbox_spark.operators.stats import ar2_yule_walker
+
+        def _r6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = ar2_yule_walker(hourly, "value_mean", key_cols=["event_type"])
+        return out.select(
+            "event_type",
+            _r6("rho1").alias("rho1"), _r6("rho2").alias("rho2"),
+            _r6("phi1").alias("phi1"), _r6("phi2").alias("phi2"),
+            _r6("sigma2").alias("sigma2"),
+        )
+
+    q["ar2_yule_walker"] = q_ar2
+
     return q
 
 
@@ -5163,6 +5185,58 @@ def _oracles_round3c() -> dict[str, str]:
                      * (CAST(cum AS DOUBLE) / 1e15) * 1e6 + 0.5) / 1e6
                  AS q_stat
         FROM q
+    """
+
+    # ar2_yule_walker: the ljung_box quantized centered sums at lags
+    # 1..2, then the Box-Jenkins closed forms — every float op
+    # mirrored (c0 = den/1e6/n recovers Σd²/n from the quantized
+    # denominator).
+    o["ar2_yule_walker"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e6 AS mu,
+                 COUNT(*) AS n
+          FROM h GROUP BY 1),
+        d AS (
+          SELECT h.event_type, rn, x - mu AS dv, n
+          FROM h JOIN st USING (event_type)),
+        l AS (
+          SELECT event_type, dv, n,
+                 lag(dv, 1) OVER (PARTITION BY event_type ORDER BY rn) AS l1,
+                 lag(dv, 2) OVER (PARTITION BY event_type ORDER BY rn) AS l2
+          FROM d),
+        a AS (
+          SELECT event_type, max(n) AS n,
+                 SUM(CAST(floor(dv * dv * 1e6 + 0.5) AS BIGINT)) AS den,
+                 SUM(CAST(floor(dv * l1 * 1e6 + 0.5) AS BIGINT)) AS n1,
+                 SUM(CAST(floor(dv * l2 * 1e6 + 0.5) AS BIGINT)) AS n2
+          FROM l GROUP BY 1),
+        r AS (
+          SELECT event_type, n, den,
+                 CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS rho1,
+                 CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS rho2
+          FROM a),
+        p AS (
+          SELECT event_type, n, den, rho1, rho2,
+                 rho1 * (1e0 - rho2) / (1e0 - rho1 * rho1) AS phi1,
+                 (rho2 - rho1 * rho1) / (1e0 - rho1 * rho1) AS phi2
+          FROM r)
+        SELECT event_type,
+               floor(rho1 * 1e6 + 0.5) / 1e6 AS rho1,
+               floor(rho2 * 1e6 + 0.5) / 1e6 AS rho2,
+               floor(phi1 * 1e6 + 0.5) / 1e6 AS phi1,
+               floor(phi2 * 1e6 + 0.5) / 1e6 AS phi2,
+               floor(CAST(den AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                     * (1e0 - phi1 * rho1 - phi2 * rho2) * 1e6 + 0.5) / 1e6
+                 AS sigma2
+        FROM p
     """
 
     # shard_assign_16: global (n_chars, doc_id) row-number + the same

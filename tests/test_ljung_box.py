@@ -85,3 +85,30 @@ def test_ljung_box_validates(spark):
     pdf = _frame(n=10)
     with pytest.raises(ValueError):
         ljung_box(spark.createDataFrame(pdf), "value", 0)
+
+
+def test_ar2_yule_walker_matches_numpy(spark):
+    from tstoolbox_spark.operators.stats import ar2_yule_walker
+
+    pdf = _frame(seed=31, n=600)
+    out = (
+        ar2_yule_walker(spark.createDataFrame(pdf), "value", key_cols=["key"])
+        .toPandas().sort_values("key").reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        y = pdf[pdf["key"] == row["key"]].sort_values("ts")["value"].to_numpy()
+        rho, _ = _lb_numpy(y, 2)
+        r1, r2 = rho
+        disc = 1 - r1 * r1
+        phi1 = r1 * (1 - r2) / disc
+        phi2 = (r2 - r1 * r1) / disc
+        d = y - y.mean()
+        c0 = (d * d).sum() / len(y)
+        sigma2 = c0 * (1 - phi1 * r1 - phi2 * r2)
+        np.testing.assert_allclose(
+            [row["rho1"], row["rho2"], row["phi1"], row["phi2"], row["sigma2"]],
+            [r1, r2, phi1, phi2, sigma2], rtol=1e-5, atol=1e-6,
+        )
+        # AR(1) source with coef 0.6: phi1 near 0.6, phi2 near 0
+        assert 0.4 < row["phi1"] < 0.8
+        assert abs(row["phi2"]) < 0.2

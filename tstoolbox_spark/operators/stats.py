@@ -1024,6 +1024,52 @@ def seasonal_decompose(
             .drop("__phase", "__detr"))
 
 
+def _centered_lag_sums(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int,
+    ts_col: str,
+    keys: list[str],
+) -> DataFrame:
+    """Shared ACF machinery (ljung_box, ar2_yule_walker): per key, the
+    integer-quantized centered sums — __n, __den = Σ q6(d_t²), __numk =
+    Σ q6(d_t·d_{t-k}) with d_t = x_t − x̄ and q6(p) = floor(p·1e6+0.5).
+    The mean itself rides quantized longs, so every output is an exact
+    integer (association-free) and any SQL engine reproduces it
+    bit-for-bit. One window sort + one aggregate pass."""
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(*keys, ts_col, x.alias("__x"))
+    gb = base.groupBy(*keys) if keys else base.groupBy()
+    stats = gb.agg(
+        (
+            F.sum(F.floor(F.col("__x") * F.lit(1e6) + F.lit(0.5))).cast("double")
+            / F.count("__x") / F.lit(1e6)
+        ).alias("__mu"),
+        F.count("__x").alias("__n"),
+    )
+    d = (
+        base.join(F.broadcast(stats), on=keys) if keys
+        else base.crossJoin(F.broadcast(stats))
+    ).withColumn("__d", F.col("__x") - F.col("__mu"))
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+         ).orderBy(ts_col)
+    for k in range(1, max_lag + 1):
+        d = d.withColumn(f"__l{k}", F.lag("__d", k).over(w))
+
+    def _q6(p):  # exact integer partial: floor(p*1e6 + 0.5)
+        return F.floor(p * F.lit(1e6) + F.lit(0.5))
+
+    gb2 = d.groupBy(*keys) if keys else d.groupBy()
+    return gb2.agg(
+        F.max("__n").alias("__n"),
+        F.sum(_q6(F.col("__d") * F.col("__d"))).alias("__den"),
+        *[
+            F.sum(_q6(F.col("__d") * F.col(f"__l{k}"))).alias(f"__num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+
+
 def ljung_box(
     df: DataFrame,
     value_col: str,
@@ -1052,39 +1098,7 @@ def ljung_box(
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     keys = list(key_cols)
-    x = F.col(value_col).cast("double")
-    base = df.filter(x.isNotNull()).select(
-        *keys, ts_col, x.alias("__x")
-    )
-    gb = base.groupBy(*keys) if keys else base.groupBy()
-    stats = gb.agg(
-        (
-            F.sum(F.floor(F.col("__x") * F.lit(1e6) + F.lit(0.5))).cast("double")
-            / F.count("__x") / F.lit(1e6)
-        ).alias("__mu"),
-        F.count("__x").alias("__n"),
-    )
-    d = (
-        base.join(F.broadcast(stats), on=keys) if keys
-        else base.crossJoin(F.broadcast(stats))
-    ).withColumn("__d", F.col("__x") - F.col("__mu"))
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-         ).orderBy(ts_col)
-    for k in range(1, max_lag + 1):
-        d = d.withColumn(f"__l{k}", F.lag("__d", k).over(w))
-
-    def _q6(p):  # exact integer partial: floor(p*1e6 + 0.5)
-        return F.floor(p * F.lit(1e6) + F.lit(0.5))
-
-    gb2 = d.groupBy(*keys) if keys else d.groupBy()
-    agg = gb2.agg(
-        F.max("__n").alias("__n"),
-        F.sum(_q6(F.col("__d") * F.col("__d"))).alias("__den"),
-        *[
-            F.sum(_q6(F.col("__d") * F.col(f"__l{k}"))).alias(f"__num{k}")
-            for k in range(1, max_lag + 1)
-        ],
-    )
+    agg = _centered_lag_sums(df, value_col, max_lag, ts_col, keys)
     lagrows = agg.select(
         *keys, "__n", "__den",
         F.posexplode(
@@ -1108,3 +1122,48 @@ def ljung_box(
         nd * (nd + F.lit(2.0)) * (F.sum(term).over(wq).cast("double") / F.lit(1e15)),
     )
     return out.select(*keys, "lag", "rho", "q_stat")
+
+
+def ar2_yule_walker(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """AR(2) fit per key via the Yule-Walker closed form (Box &
+    Jenkins 1970, textbook):
+
+        φ1 = ρ1·(1-ρ2) / (1-ρ1²)
+        φ2 = (ρ2-ρ1²) / (1-ρ1²)
+        σ² = c0·(1 - φ1·ρ1 - φ2·ρ2)      (innovation variance,
+                                           c0 = Σd²/n)
+
+    with ρ_k the standard Box-Jenkins autocorrelation estimator.
+    Output: keys + (rho1, rho2, phi1, phi2, sigma2). AR(p>2) needs a
+    Toeplitz solve (driver-side at keys×p² metadata scale) — not
+    shipped; p=2 covers the classic damped-oscillation diagnostics and
+    stays fully closed-form on any SQL engine.
+
+    Same determinism shape as :func:`ljung_box`: every sum is an
+    integer-quantized partial (one window sort, one aggregate pass),
+    so the result is a pure function of the input.
+    """
+    keys = list(key_cols)
+    agg = _centered_lag_sums(df, value_col, 2, ts_col, keys)
+    den = F.col("__den").cast("double")
+    rho1 = (F.col("__num1").cast("double") / den).alias("rho1")
+    rho2 = (F.col("__num2").cast("double") / den).alias("rho2")
+    out = agg.select(*keys, "__n", "__den", rho1, rho2)
+    r1, r2 = F.col("rho1"), F.col("rho2")
+    disc = F.lit(1.0) - r1 * r1
+    phi1 = (r1 * (F.lit(1.0) - r2) / disc).alias("phi1")
+    phi2 = ((r2 - r1 * r1) / disc).alias("phi2")
+    out = out.select(*keys, "__n", "__den", "rho1", "rho2", phi1, phi2)
+    c0 = (
+        F.col("__den").cast("double") / F.lit(1e6)
+        / F.col("__n").cast("double")
+    )
+    sigma2 = (
+        c0 * (F.lit(1.0) - F.col("phi1") * r1 - F.col("phi2") * r2)
+    ).alias("sigma2")
+    return out.select(*keys, "rho1", "rho2", "phi1", "phi2", sigma2)
