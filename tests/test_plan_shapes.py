@@ -293,3 +293,50 @@ def test_theil_sen_pairs_are_key_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_ljung_box_no_single_partition_sort(spark):
+    """ljung_box / ar2: one window sort per key partition, all partials
+    map-side-combinable longs, never a SinglePartition exchange."""
+    from tstoolbox_spark.operators.stats import ar2_yule_walker, ljung_box
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.avg("value").alias("v"))
+    for out in (
+        ljung_box(hourly, "v", 5, key_cols=["event_type"]),
+        ar2_yule_walker(hourly, "v", key_cols=["event_type"]),
+    ):
+        plan = _plan(out)
+        assert "Exchange SinglePartition" not in plan
+        assert "partial_sum" in plan  # quantized partials combine map-side
+
+
+def test_shard_assign_no_global_single_task_sort(spark):
+    """shard_assign rides distributed_rank: the size ordering must not
+    collapse to a one-task global sort."""
+    from tstoolbox_spark.textops.packing import shard_assign
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    plan = _plan(shard_assign(docs, 8, size_col="n_chars"))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_holt_forecast_horizon_join_is_broadcast(spark):
+    """holt_winters_forecast joins the horizon rows to the metadata-
+    scale seasonal queue via broadcast — no shuffled join of the
+    forecast explode."""
+    from tstoolbox_spark.operators.scan import holt_winters_forecast
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.avg("value").alias("v"))
+    fc = holt_winters_forecast(hourly, 0.3, 0.1, 0.2, 24, horizon=12,
+                               step_seconds=3600, value_col="v",
+                               ts_col="ts", key_cols=["event_type"])
+    plan = _plan(fc)
+    assert "BroadcastHashJoin" in plan
