@@ -107,3 +107,38 @@ def test_cli_filter_dispatch(spark, csv_path):
         },
     )
     assert out.count() == 48
+
+
+def test_cli_holt_and_ljung_box(spark, csv_path):
+    """New forecasting/diagnostic verbs dispatch through the CLI."""
+    out = run_verb(
+        spark, "holt",
+        {"input_ts": csv_path, "alpha": "0.4", "beta": "0.1",
+         "value_col": "flow"},
+    )
+    assert {"level", "trend", "fitted"} <= set(out.columns)
+    assert out.count() == 48
+    lb = run_verb(
+        spark, "ljung_box",
+        {"input_ts": csv_path, "max_lag": "3", "value_col": "flow"},
+    )
+    assert {"lag", "rho", "q_stat"} <= set(lb.columns)
+    assert lb.count() == 3
+
+
+def test_cli_aggregate_output_verbs_print_without_ts(spark, csv_path):
+    """Verbs whose output has no time column (ar2, theil_sen) must
+    print through write_iso_csv without the Datetime injection."""
+    from tstoolbox_spark.sources.csv import write_iso_csv
+
+    out = run_verb(
+        spark, "ar2", {"input_ts": csv_path, "value_col": "flow"}
+    )
+    text = write_iso_csv(out)
+    assert text.splitlines()[0] == "rho1,rho2,phi1,phi2,sigma2"
+    assert len(text.strip().splitlines()) == 2
+
+    ts_out = run_verb(
+        spark, "theil_sen", {"input_ts": csv_path, "value_col": "flow"}
+    )
+    assert "slope" in write_iso_csv(ts_out).splitlines()[0]

@@ -28,7 +28,7 @@ def _verb_registry() -> dict[str, callable]:
     from .operators import accumulate as _acc
     from .operators import aggregate as _agg
     from .operators import core, counters, downsample, fill, peaks, reshape
-    from .operators import signal, stats, transform, window
+    from .operators import scan, signal, stats, transform, window
 
     return {
         "aggregate": _agg.aggregate,
@@ -76,6 +76,12 @@ def _verb_registry() -> dict[str, callable]:
         "cross_correlation": lambda df, lags="1", **kw: stats.cross_correlation(
             df, lags=[int(x) for x in str(lags).split(",")], **kw
         ),
+        "holt": scan.holt,
+        "holt_winters": scan.holt_winters,
+        "holt_forecast": scan.holt_forecast,
+        "holt_winters_forecast": scan.holt_winters_forecast,
+        "ljung_box": stats.ljung_box,
+        "ar2": stats.ar2_yule_walker,
         # common-pipeline-only verbs: the shared flags do all the work
         "pick": lambda df: df,
         "date_slice": lambda df: df,

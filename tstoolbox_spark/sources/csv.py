@@ -112,10 +112,16 @@ def write_iso_csv(
     CSV text (test/driver scale only — collects); with a path, writes a
     distributed CSV directory (``single_file=True`` coalesces to one
     part for tool interop — driver-scale outputs only)."""
-    cols = [F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("Datetime")] + [
-        F.col(c) for c in df.columns if c != ts_col
-    ]
-    out = df.select(*cols).orderBy("Datetime")
+    if ts_col in df.columns:
+        cols = [
+            F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("Datetime")
+        ] + [F.col(c) for c in df.columns if c != ts_col]
+        out = df.select(*cols).orderBy("Datetime")
+    else:
+        # aggregate verbs (gof, describe, theil_sen, ar2, ...) emit no
+        # time column; print as-is, ordered by every column so the text
+        # is deterministic
+        out = df.orderBy(*df.columns)
     if path is None:
         # inline-text mode funnels through the driver by design (fixture
         # exports, doctest parity) — bound it so a tier table pointed
