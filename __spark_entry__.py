@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_level_trend", "holt_winters_24h", "holt_forecast_24h",
         "mixture_sample_weighted", "shard_assign_16",
         "holt_winters_forecast_36h", "ljung_box_10", "ar2_yule_walker",
+        "forecast_accuracy_holt",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4373,6 +4374,36 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ar2_yule_walker"] = q_ar2
 
+    def q_fcacc(s, d):
+        """Forecast-accuracy battery (stats.forecast_accuracy, Hyndman
+        & Koehler 2006) scoring the Holt one-step fitted values against
+        the hourly actuals per event_type, MASE scaled by the 24h
+        seasonal naive. Fitted values are bit-identical cross-engine
+        (holt_level_trend), so the quantized accuracy sums match
+        exactly."""
+        from tstoolbox_spark.operators.scan import holt
+        from tstoolbox_spark.operators.stats import forecast_accuracy
+
+        def _r6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        sm = holt(hourly, 0.4, 0.1, value_col="value_mean", ts_col="ts",
+                  key_cols=["event_type"])
+        out = forecast_accuracy(
+            sm, "value_mean", "fitted", key_cols=["event_type"],
+            season_length=24,
+        )
+        return out.select(
+            "event_type", "n",
+            _r6("mae").alias("mae"), _r6("rmse").alias("rmse"),
+            _r6("smape").alias("smape"), _r6("mase").alias("mase"),
+        )
+
+    q["forecast_accuracy_holt"] = q_fcacc
+
     return q
 
 
@@ -5237,6 +5268,57 @@ def _oracles_round3c() -> dict[str, str]:
                      * (1e0 - phi1 * rho1 - phi2 * rho2) * 1e6 + 0.5) / 1e6
                  AS sigma2
         FROM p
+    """
+
+    # forecast_accuracy_holt: the holt recursion rejoined to the
+    # actuals, then the Hyndman & Koehler battery from the same
+    # quantized partials (floor(v·1e6+0.5) longs); mase repeats the
+    # mae expression verbatim over the naive-error mean.
+    _fa_mae = "CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) / 1e6"
+    o["forecast_accuracy_holt"] = f"""
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, ts, rn, x AS l, 0e0 AS b, x AS f FROM h
+          WHERE rn = 1
+          UNION ALL
+          SELECT h.event_type, h.ts, h.rn,
+                 4e-1 * h.x + (1e0 - 4e-1) * (r.l + r.b),
+                 1e-1 * ((4e-1 * h.x + (1e0 - 4e-1) * (r.l + r.b)) - r.l)
+                   + (1e0 - 1e-1) * r.b,
+                 r.l + r.b
+          FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1),
+        j AS (
+          SELECT r.event_type, r.rn, h.x AS y, r.f AS p
+          FROM r JOIN h ON r.event_type = h.event_type AND r.rn = h.rn),
+        l2 AS (
+          SELECT event_type, y, p,
+                 lag(y, 24) OVER (PARTITION BY event_type ORDER BY rn) AS ynv
+          FROM j),
+        a AS (
+          SELECT event_type, COUNT(y) AS n,
+                 SUM(CAST(floor(abs(y - p) * 1e6 + 0.5) AS BIGINT)) AS sae,
+                 SUM(CAST(floor((y - p) * (y - p) * 1e6 + 0.5) AS BIGINT))
+                   AS se2,
+                 SUM(CAST(floor(2e0 * abs(y - p) / (abs(y) + abs(p)) * 1e6
+                                + 0.5) AS BIGINT)) AS ssm,
+                 SUM(CAST(floor(abs(y - ynv) * 1e6 + 0.5) AS BIGINT)) AS snv,
+                 COUNT(ynv) AS nnv
+          FROM l2 GROUP BY 1)
+        SELECT event_type, n,
+               floor(({_fa_mae}) * 1e6 + 0.5) / 1e6 AS mae,
+               floor(sqrt(CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+                     * 1e6 + 0.5) / 1e6 AS rmse,
+               floor(CAST(ssm AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e2
+                     * 1e6 + 0.5) / 1e6 AS smape,
+               floor(({_fa_mae})
+                     / (CAST(snv AS DOUBLE) / CAST(nnv AS DOUBLE) / 1e6)
+                     * 1e6 + 0.5) / 1e6 AS mase
+        FROM a
     """
 
     # shard_assign_16: global (n_chars, doc_id) row-number + the same

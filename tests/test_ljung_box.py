@@ -112,3 +112,47 @@ def test_ar2_yule_walker_matches_numpy(spark):
         # AR(1) source with coef 0.6: phi1 near 0.6, phi2 near 0
         assert 0.4 < row["phi1"] < 0.8
         assert abs(row["phi2"]) < 0.2
+
+
+def test_forecast_accuracy_matches_numpy(spark):
+    from tstoolbox_spark.operators.stats import forecast_accuracy
+
+    pdf = _frame(seed=41, n=300)
+    rng = np.random.default_rng(42)
+    pdf["pred"] = pdf["value"] + rng.normal(0, 2, len(pdf)).round(4)
+    out = (
+        forecast_accuracy(spark.createDataFrame(pdf), "value", "pred",
+                          key_cols=["key"], season_length=24)
+        .toPandas().set_index("key")
+    )
+    for k, g in pdf.groupby("key"):
+        g = g.sort_values("ts")
+        y, p = g["value"].to_numpy(), g["pred"].to_numpy()
+        e = y - p
+        mae = np.abs(e).mean()
+        rmse = np.sqrt((e * e).mean())
+        smape = 100 * (2 * np.abs(e) / (np.abs(y) + np.abs(p))).mean()
+        naive = np.abs(y[24:] - y[:-24]).mean()
+        row = out.loc[k]
+        np.testing.assert_allclose(
+            [row["mae"], row["rmse"], row["smape"], row["mase"]],
+            [mae, rmse, smape, mae / naive], rtol=1e-5, atol=1e-6,
+        )
+        assert row["n"] == 300
+
+
+def test_forecast_accuracy_validates_and_short(spark):
+    import pytest as _pytest
+
+    from tstoolbox_spark.operators.stats import forecast_accuracy
+
+    pdf = _frame(seed=43, n=10)
+    pdf["pred"] = pdf["value"]
+    df = spark.createDataFrame(pdf)
+    with _pytest.raises(ValueError):
+        forecast_accuracy(df, "value", "pred", season_length=0)
+    # m > n: every naive lag is null -> mase is null, others fine
+    out = forecast_accuracy(df, "value", "pred", key_cols=["key"],
+                            season_length=50).toPandas()
+    assert out["mase"].isna().all()
+    assert (out["mae"] == 0).all()

@@ -1167,3 +1167,68 @@ def ar2_yule_walker(
         c0 * (F.lit(1.0) - F.col("phi1") * r1 - F.col("phi2") * r2)
     ).alias("sigma2")
     return out.select(*keys, "rho1", "rho2", "phi1", "phi2", sigma2)
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    season_length: int = 1,
+) -> DataFrame:
+    """Forecast-accuracy battery per key (Hyndman & Koehler 2006,
+    textbook): MAE, RMSE, sMAPE (the 0–200 form), and MASE — the MAE
+    scaled by the in-sample seasonal-naive error
+    mean|y_t − y_{t−m}| over the SAME frame (m = ``season_length``;
+    m=1 is the random-walk naive).
+
+    One window sort (the naive lag) + one aggregate pass; every term
+    rides integer-quantized partials (floor(v·1e6 + 0.5) longs), so
+    the result is association-free and a SQL oracle reproduces it
+    bit-for-bit. Output: keys + (n, mae, rmse, smape, mase).
+    """
+    m = int(season_length)
+    if m < 1:
+        raise ValueError(f"season_length must be >= 1, got {m}")
+    keys = list(key_cols)
+    y = F.col(actual_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    base = df.filter(y.isNotNull() & p.isNotNull()).select(
+        *keys, ts_col, y.alias("__y"), p.alias("__p")
+    )
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+         ).orderBy(ts_col)
+    base = base.withColumn("__ynaive", F.lag("__y", m).over(w))
+
+    def _q6(v):
+        return F.floor(v * F.lit(1e6) + F.lit(0.5))
+
+    e = F.col("__y") - F.col("__p")
+    ae = F.abs(e)
+    smape_term = F.lit(2.0) * ae / (F.abs(F.col("__y")) + F.abs(F.col("__p")))
+    naive_ae = F.abs(F.col("__y") - F.col("__ynaive"))
+    gb = base.groupBy(*keys) if keys else base.groupBy()
+    agg = gb.agg(
+        F.count("__y").alias("n"),
+        F.sum(_q6(ae)).alias("__sae"),
+        F.sum(_q6(e * e)).alias("__se2"),
+        F.sum(_q6(smape_term)).alias("__ssm"),
+        F.sum(_q6(naive_ae)).alias("__snv"),
+        F.count("__ynaive").alias("__nnv"),
+    )
+    nd = F.col("n").cast("double")
+    mae = F.col("__sae").cast("double") / nd / F.lit(1e6)
+    rmse = F.sqrt(F.col("__se2").cast("double") / nd / F.lit(1e6))
+    smape = F.col("__ssm").cast("double") / nd / F.lit(1e6) * F.lit(1e2)
+    naive_mae = (
+        F.col("__snv").cast("double") / F.col("__nnv").cast("double")
+        / F.lit(1e6)
+    )
+    return agg.select(
+        *keys, "n",
+        mae.alias("mae"),
+        rmse.alias("rmse"),
+        smape.alias("smape"),
+        (mae / naive_mae).alias("mase"),
+    )
