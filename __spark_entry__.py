@@ -542,7 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The round driver checks the FIRST 50 entries in insertion order
     # (confirmed in VERDICT r1/r2). Window placement is coverage
     # routing, NOT the correctness gate — scripts/check_correctness.py
-    # runs all 95 queries against DuckDB locally and gates every
+    # runs all 139 queries against DuckDB locally and gates every
     # commit (ADVICE r2); queries outside the driver window are
     # exactly the long-stable rows green in CORRECTNESS_r01/r02.
     # Round-3 priority: (a) queries that have never had a driver value
