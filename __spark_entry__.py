@@ -570,7 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_level_trend", "holt_winters_24h", "holt_forecast_24h",
         "mixture_sample_weighted", "shard_assign_16",
         "holt_winters_forecast_36h", "ljung_box_10", "ar2_yule_walker",
-        "forecast_accuracy_holt",
+        "forecast_accuracy_holt", "holt_winters_mul_24h",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
@@ -4256,6 +4256,33 @@ def _queries_round3c() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["holt_winters_24h"] = q_hw
 
+    def q_hw_mul(s, d):
+        """Multiplicative Holt-Winters (α=0.3 β=0.1 γ=0.2, m=24h) over
+        the strictly-positive hourly means — the ratio form of
+        holt_winters_24h; same list-carrying oracle with x/s and x/l
+        in place of the differences."""
+        from tstoolbox_spark.operators.scan import holt_winters
+
+        def _r6(c):
+            return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = holt_winters(
+            hourly, 0.3, 0.1, 0.2, 24, value_col="value_mean", ts_col="ts",
+            key_cols=["event_type"], multiplicative=True,
+        )
+        return out.select(
+            "event_type", "ts",
+            _r6("level").alias("level"),
+            _r6("trend").alias("trend"),
+            _r6("seasonal").alias("seasonal"),
+            _r6("fitted").alias("fitted"),
+        )
+
+    q["holt_winters_mul_24h"] = q_hw_mul
+
     def q_holt_fc(s, d):
         """24-hour-ahead Holt forecast per event_type
         (operators/scan.py:holt_forecast): smoothing pass → final
@@ -5042,6 +5069,55 @@ def _oracles_round3c() -> dict[str, str]:
                  {_hw_s} AS snew,
                  r.l + r.b + r.sq[1] AS f,
                  list_append(r.sq[2:24], {_hw_s}) AS sq
+          FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        SELECT event_type, ts,
+               floor(l * 1e6 + 0.5) / 1e6 AS level,
+               floor(b * 1e6 + 0.5) / 1e6 AS trend,
+               floor(snew * 1e6 + 0.5) / 1e6 AS seasonal,
+               floor(f * 1e6 + 0.5) / 1e6 AS fitted
+        FROM r WHERE rn >= 1
+    """
+
+    # holt_winters_mul_24h: the multiplicative form — identical CTE
+    # skeleton, ratios in place of differences (seeds s_j = x_j / l0).
+    _hwm_l = "3e-1 * (h.x / r.sq[1]) + (1e0 - 3e-1) * (r.l + r.b)"
+    _hwm_s = f"2e-1 * (h.x / ({_hwm_l})) + (1e0 - 2e-1) * r.sq[1]"
+    o["holt_winters_mul_24h"] = f"""
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        seed1 AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN rn <= 24
+                          THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                      AS DOUBLE) / 24 / 1e6 AS l0,
+                 (CAST(SUM(CASE WHEN rn > 24 AND rn <= 48
+                           THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                       AS DOUBLE) / 24 / 1e6
+                  - CAST(SUM(CASE WHEN rn <= 24
+                             THEN CAST(floor(x * 1e6 + 0.5) AS HUGEINT) END)
+                         AS DOUBLE) / 24 / 1e6) / 24 AS b0,
+                 list(x ORDER BY rn) FILTER (rn <= 24) AS xs,
+                 max(rn) AS n
+          FROM h GROUP BY 1 HAVING max(rn) >= 48),
+        seed AS (
+          SELECT event_type, l0, b0, n,
+                 list_transform(xs, v -> v / l0) AS s0
+          FROM seed1),
+        r AS (
+          SELECT event_type, TIMESTAMP '1900-01-01' AS ts, 0 AS rn,
+                 l0 AS l, b0 AS b, 0e0 AS snew, 0e0 AS f, s0 AS sq
+          FROM seed
+          UNION ALL
+          SELECT h.event_type, h.ts, h.rn,
+                 {_hwm_l} AS l,
+                 1e-1 * (({_hwm_l}) - r.l) + (1e0 - 1e-1) * r.b AS b,
+                 {_hwm_s} AS snew,
+                 (r.l + r.b) * r.sq[1] AS f,
+                 list_append(r.sq[2:24], {_hwm_s}) AS sq
           FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         SELECT event_type, ts,
                floor(l * 1e6 + 0.5) / 1e6 AS level,

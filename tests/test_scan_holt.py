@@ -225,3 +225,43 @@ def test_holt_winters_forecast_with_seasonal_wrap(spark):
         ts = pd.to_datetime(g["ts"])
         assert ts.iloc[0] == t0 + dt.timedelta(hours=n)
         assert (ts.diff().iloc[1:] == pd.Timedelta(hours=1)).all()
+
+
+def test_holt_winters_multiplicative_matches_numpy(spark):
+    rng = np.random.default_rng(17)
+    t0 = dt.datetime(2022, 1, 1)
+    n, m = 180, 24
+    rows = []
+    for k in ("a", "b"):
+        season = 1.0 + 0.3 * np.sin(2 * np.pi * np.arange(n) / m)
+        vals = (30 + 0.2 * np.arange(n)) * season + rng.normal(0, 0.3, n)
+        rows += [(k, t0 + dt.timedelta(hours=i), float(round(vals[i], 3)))
+                 for i in range(n)]
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    out = (
+        holt_winters(spark.createDataFrame(pdf), 0.3, 0.1, 0.2, m,
+                     key_cols=["key"], multiplicative=True)
+        .toPandas().sort_values(["key", "ts"]).reset_index(drop=True)
+    )
+    for k, g in out.groupby("key"):
+        y = pdf[pdf["key"] == k].sort_values("ts")["value"].to_list()
+        y6 = np.floor(np.asarray(y) * 1e6 + 0.5).astype(np.int64)
+        l = float(int(y6[:m].sum())) / m / 1e6
+        b = (float(int(y6[m:2 * m].sum())) / m / 1e6 - l) / m
+        s = [y[j] / l for j in range(m)]
+        lvl, trd, sea, fit = [], [], [], []
+        for t in range(n):
+            s_old = s[0]
+            fit.append((l + b) * s_old)
+            l_new = 0.3 * (y[t] / s_old) + 0.7 * (l + b)
+            b = 0.1 * (l_new - l) + 0.9 * b
+            s_new = 0.2 * (y[t] / l_new) + 0.8 * s_old
+            l = l_new
+            s = s[1:] + [s_new]
+            lvl.append(l); trd.append(b); sea.append(s_new)
+        np.testing.assert_allclose(g["level"], lvl, rtol=1e-12)
+        np.testing.assert_allclose(g["trend"], trd, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(g["seasonal"], sea, rtol=1e-10)
+        np.testing.assert_allclose(g["fitted"], fit, rtol=1e-12)
+        # multiplicative seasonal factors hover around 1
+        assert 0.5 < g["seasonal"].mean() < 1.5

@@ -269,14 +269,23 @@ def holt_winters(
     value_col: str = "value",
     ts_col: str = "ts",
     key_cols: Sequence[str] = (),
+    multiplicative: bool = False,
 ) -> DataFrame:
-    """Holt-Winters ADDITIVE seasonal smoothing per key (textbook form,
-    FPP §8.3 — public); m = ``season_length``:
+    """Holt-Winters seasonal smoothing per key (textbook form, FPP
+    §8.3 — public); m = ``season_length``. Additive (default):
 
         fitted_t = l + b + s_old            (one-step-ahead forecast)
         l_t = α·(y_t - s_old) + (1-α)·(l + b)
         b_t = β·(l_t - l) + (1-β)·b
         s_t = γ·(y_t - l_t) + (1-γ)·s_old   (replaces the queue head)
+
+    ``multiplicative=True`` switches to the multiplicative seasonal
+    form (requires strictly positive data; seeds s_j = x_j / l_0):
+
+        fitted_t = (l + b)·s_old
+        l_t = α·(y_t / s_old) + (1-α)·(l + b)
+        b_t = β·(l_t - l) + (1-β)·b
+        s_t = γ·(y_t / l_t) + (1-γ)·s_old
 
     Seeding convention (documented, deterministic): with x_t the
     ordered series, l_0 = mean(x_1..x_m), b_0 = (mean(x_{m+1}..x_{2m})
@@ -330,15 +339,21 @@ def holt_winters(
         y6 = np.floor(y * 1e6 + 0.5).astype(np.int64)
         l = float(int(y6[:m].sum())) / m / 1e6
         b = (float(int(y6[m : 2 * m].sum())) / m / 1e6 - l) / m
-        s = [y[j] - l for j in range(m)]
+        s = [(y[j] / l if multiplicative else y[j] - l) for j in range(m)]
         lvl = np.empty(n); trd = np.empty(n); sea = np.empty(n); fit = np.empty(n)
         for t in range(n):
             s_old = s[0]
-            fit[t] = l + b + s_old
             yt = float(y[t])
-            l_new = alpha * (yt - s_old) + one_a * (l + b)
-            b = beta * (l_new - l) + one_b * b
-            s_new = gamma * (yt - l_new) + one_g * s_old
+            if multiplicative:
+                fit[t] = (l + b) * s_old
+                l_new = alpha * (yt / s_old) + one_a * (l + b)
+                b = beta * (l_new - l) + one_b * b
+                s_new = gamma * (yt / l_new) + one_g * s_old
+            else:
+                fit[t] = l + b + s_old
+                l_new = alpha * (yt - s_old) + one_a * (l + b)
+                b = beta * (l_new - l) + one_b * b
+                s_new = gamma * (yt - l_new) + one_g * s_old
             l = l_new
             s = s[1:] + [s_new]
             lvl[t], trd[t], sea[t] = l, b, s_new
