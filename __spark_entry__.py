@@ -538,11 +538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_verb_queries_round3())
     q.update(_pipeline_queries_round3b())
     q.update(_queries_round3c())
+    q.update(_queries_round3d())
 
     # The round driver checks the FIRST 50 entries in insertion order
     # (confirmed in VERDICT r1/r2). Window placement is coverage
     # routing, NOT the correctness gate — scripts/check_correctness.py
-    # runs all 139 queries against DuckDB locally and gates every
+    # runs all 144 queries against DuckDB locally and gates every
     # commit (ADVICE r2); queries outside the driver window are
     # exactly the long-stable rows green in CORRECTNESS_r01/r02.
     # Round-3 priority: (a) queries that have never had a driver value
@@ -1447,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_verb_oracles_round3())
     o.update(_pipeline_oracles_round3b())
     o.update(_oracles_round3c())
+    o.update(_oracles_round3d())
     return o
 
 
@@ -5410,4 +5412,198 @@ def _oracles_round3c() -> dict[str, str]:
                          ELSE 15 - (i % 16) END AS INT) AS shard
         FROM r
     """
+    return o
+
+
+# --------------------------------------------------------------------------
+# round 3d: distribution-drift + stationarity diagnostics
+# (operators/drift.py) — added after the r3 driver window was frozen;
+# front-load these four into the r4 window.
+# --------------------------------------------------------------------------
+
+
+def _queries_round3d() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def _r6(c):
+        return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def q_psi(s, d):
+        """PSI of the value distribution, first vs second half of the
+        month (drift.psi_buckets: 10 equal-width buckets on [0,500);
+        counts are exact longs, terms 6-dp-quantized)."""
+        from tstoolbox_spark.operators.drift import psi_buckets
+
+        ev = _events(s, d)
+        ref = ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        cur = ev.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        out = psi_buckets(ref, cur, "value", 0.0, 500.0, 10)
+        return out.select(
+            "bucket", "cnt_ref", "cnt_cur", _r6("psi_term").alias("psi_term")
+        )
+
+    q["psi_value_halves"] = q_psi
+
+    def q_ks(s, d):
+        """Two-sample KS D between click and view value distributions
+        (drift.ks_2sample — distributed ECDF via prefix sums, argmax
+        via max(struct); no single-task sort)."""
+        from tstoolbox_spark.operators.drift import ks_2sample
+
+        ev = _events(s, d)
+        a = ev.where(F.col("event_type") == "click")
+        b = ev.where(F.col("event_type") == "view")
+        return ks_2sample(a, b, "value")
+
+    q["ks_click_view"] = q_ks
+
+    def q_chi2(s, d):
+        """Chi-square homogeneity of the event_type mix, first vs
+        second half of the month (drift.chi2_homogeneity)."""
+        from tstoolbox_spark.operators.drift import chi2_homogeneity
+
+        ev = _events(s, d)
+        ref = ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        cur = ev.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        return chi2_homogeneity(ref, cur, "event_type")
+
+    q["chi2_event_mix"] = q_chi2
+
+    def q_adf(s, d):
+        """Dickey-Fuller unit-root t-stat per event_type over hourly
+        means (drift.adf_test — six decimal-exact sums, closed-form
+        OLS; companion diagnostic to ljung_box_10)."""
+        from tstoolbox_spark.operators.drift import adf_test
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        return adf_test(hourly, "value_mean", key_cols=["event_type"])
+
+    q["adf_value_hourly"] = q_adf
+
+    return q
+
+
+def _oracles_round3d() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    # psi_value_halves: identical bucket arithmetic + eps-floored
+    # proportions + the same 6-dp floor quantization of each term.
+    o["psi_value_halves"] = """
+        WITH ref AS (SELECT value FROM events
+                     WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+             cur AS (SELECT value FROM events
+                     WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+             rc AS (SELECT LEAST(GREATEST(CAST(floor((value - 0e0) / 50e0) AS BIGINT), 0), 9) AS bucket,
+                           count(*) AS c
+                    FROM ref GROUP BY 1),
+             cc AS (SELECT LEAST(GREATEST(CAST(floor((value - 0e0) / 50e0) AS BIGINT), 0), 9) AS bucket,
+                           count(*) AS c
+                    FROM cur GROUP BY 1),
+             spine AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+             j AS (SELECT s.bucket,
+                          COALESCE(rc.c, 0) AS cnt_ref,
+                          COALESCE(cc.c, 0) AS cnt_cur
+                   FROM spine s
+                   LEFT JOIN rc ON rc.bucket = s.bucket
+                   LEFT JOIN cc ON cc.bucket = s.bucket),
+             t AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ref) AS tr,
+                          (SELECT CAST(count(*) AS DOUBLE) FROM cur) AS tc)
+        SELECT bucket, cnt_ref, cnt_cur,
+               floor((GREATEST(CAST(cnt_cur AS DOUBLE) / tc, 1e-6)
+                      - GREATEST(CAST(cnt_ref AS DOUBLE) / tr, 1e-6))
+                     * ln(GREATEST(CAST(cnt_cur AS DOUBLE) / tc, 1e-6)
+                          / GREATEST(CAST(cnt_ref AS DOUBLE) / tr, 1e-6))
+                     * 1e6 + 0.5) / 1e6 AS psi_term
+        FROM j, t
+    """
+
+    # ks_click_view: pooled distinct values, inclusive cumulative
+    # counts, 12-dp-quantized |F_a - F_b|, first-value tie-break.
+    o["ks_click_view"] = """
+        WITH a AS (SELECT value FROM events
+                   WHERE event_type = 'click' AND value IS NOT NULL),
+             b AS (SELECT value FROM events
+                   WHERE event_type = 'view' AND value IS NOT NULL),
+             u AS (SELECT value, 1 AS r, 0 AS c FROM a
+                   UNION ALL SELECT value, 0, 1 FROM b),
+             g AS (SELECT value, SUM(r) AS ca, SUM(c) AS cb FROM u GROUP BY 1),
+             cum AS (SELECT value,
+                            SUM(ca) OVER (ORDER BY value) AS fa,
+                            SUM(cb) OVER (ORDER BY value) AS fb
+                     FROM g),
+             t AS (SELECT (SELECT count(*) FROM a) AS na,
+                          (SELECT count(*) FROM b) AS nb),
+             d AS (SELECT value,
+                          floor(abs(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE)
+                                  - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE))
+                                * 1e12 + 0.5) / 1e12 AS ds
+                   FROM cum, t)
+        SELECT ds AS d_stat, value AS at_value,
+               (SELECT na FROM t) AS n_ref, (SELECT nb FROM t) AS n_cur
+        FROM d ORDER BY ds DESC, value ASC LIMIT 1
+    """
+
+    # chi2_event_mix: identical expected-count expression order and
+    # the same 1e-9 term quantization before the association-free sum.
+    o["chi2_event_mix"] = """
+        WITH u AS (SELECT event_type,
+                          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r,
+                          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS c
+                   FROM events WHERE event_type IS NOT NULL),
+             g AS (SELECT event_type, SUM(r) AS orr, SUM(c) AS occ FROM u GROUP BY 1),
+             t AS (SELECT SUM(orr) AS nr, SUM(occ) AS nc, count(*) AS k FROM g),
+             cells AS (
+               SELECT floor(((o_r - e_r) * (o_r - e_r) / e_r
+                             + (o_c - e_c) * (o_c - e_c) / e_c) * 1e9 + 0.5) AS qt
+               FROM (SELECT CAST(orr AS DOUBLE) AS o_r,
+                            CAST(occ AS DOUBLE) AS o_c,
+                            CAST(orr + occ AS DOUBLE) * CAST(nr AS DOUBLE)
+                              / CAST(nr + nc AS DOUBLE) AS e_r,
+                            CAST(orr + occ AS DOUBLE) * CAST(nc AS DOUBLE)
+                              / CAST(nr + nc AS DOUBLE) AS e_c
+                     FROM g, t))
+        SELECT CAST(SUM(qt) AS DOUBLE) / 1e9 AS chi2,
+               CAST((SELECT k FROM t) - 1 AS INT) AS dof,
+               CAST((SELECT nr FROM t) AS BIGINT) AS n_ref,
+               CAST((SELECT nc FROM t) AS BIGINT) AS n_cur
+        FROM cells
+    """
+
+    # adf_value_hourly: the agg_hourly mean feeding six
+    # DECIMAL(38,10)-exact sums and the identically-ordered
+    # closed-form OLS t-stat, 6-dp floor quantized.
+    o["adf_value_hourly"] = """
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS ts,
+                          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                            / COUNT(value) AS x
+                   FROM events GROUP BY 1, 2),
+             l AS (SELECT event_type, x,
+                          lag(x) OVER (PARTITION BY event_type ORDER BY ts) AS z
+                   FROM h),
+             p AS (SELECT event_type, z, x - z AS y FROM l WHERE z IS NOT NULL),
+             a AS (SELECT event_type, count(*) AS n,
+                          CAST(SUM(CAST(z AS DECIMAL(38,10))) AS DOUBLE) AS sz,
+                          CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                          CAST(SUM(CAST(z * y AS DECIMAL(38,10))) AS DOUBLE) AS szy,
+                          CAST(SUM(CAST(z * z AS DECIMAL(38,10))) AS DOUBLE) AS szz,
+                          CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+                   FROM p GROUP BY 1),
+             c AS (SELECT event_type, n,
+                          szy - sz * sy / CAST(n AS DOUBLE) AS szy_c,
+                          szz - sz * sz / CAST(n AS DOUBLE) AS szz_c,
+                          syy - sy * sy / CAST(n AS DOUBLE) AS syy_c
+                   FROM a),
+             f AS (SELECT event_type, n, szy_c / szz_c AS beta,
+                          szy_c, szz_c, syy_c
+                   FROM c)
+        SELECT event_type, n,
+               floor(beta * 1e6 + 0.5) / 1e6 AS beta,
+               floor(beta / sqrt(((syy_c - beta * szy_c)
+                                  / (CAST(n AS DOUBLE) - 2e0)) / szz_c)
+                     * 1e6 + 0.5) / 1e6 AS t_stat
+        FROM f
+    """
+
     return o

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "holt_winters_24h",
     "ljung_box_10",
     "shard_assign_16",
+    "psi_value_halves",
+    "ks_click_view",
+    "adf_value_hourly",
 ]
 
 

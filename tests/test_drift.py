@@ -1,0 +1,175 @@
+"""Drift / stationarity diagnostics (operators/drift.py) vs
+hand-rolled numpy references — PSI, two-sample KS, chi-square
+homogeneity, Dickey-Fuller t-stat."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tstoolbox_spark.operators.drift import (
+    adf_test,
+    chi2_homogeneity,
+    ks_2sample,
+    psi,
+    psi_buckets,
+)
+
+from .conftest import hourly, to_sdf
+
+
+def _np_psi(a, b, lo, hi, nb, eps=1e-6):
+    w = (hi - lo) / nb
+    ba = np.clip(np.floor((np.asarray(a) - lo) / w), 0, nb - 1).astype(int)
+    bb = np.clip(np.floor((np.asarray(b) - lo) / w), 0, nb - 1).astype(int)
+    pa = np.maximum(np.bincount(ba, minlength=nb) / len(a), eps)
+    pb = np.maximum(np.bincount(bb, minlength=nb) / len(b), eps)
+    return float(np.sum((pb - pa) * np.log(pb / pa)))
+
+
+def _np_ks(a, b):
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    vs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), vs, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), vs, side="right") / len(b)
+    d = np.abs(fa - fb)
+    i = int(np.argmax(d))  # first max = smallest value attaining D
+    return float(d[i]), float(vs[i])
+
+
+def _np_chi2(a_cats, b_cats):
+    cats = sorted(set(a_cats) | set(b_cats))
+    oa = np.array([a_cats.count(c) for c in cats], float)
+    ob = np.array([b_cats.count(c) for c in cats], float)
+    na, nb = oa.sum(), ob.sum()
+    rowtot = oa + ob
+    ea = rowtot * na / (na + nb)
+    eb = rowtot * nb / (na + nb)
+    return float((((oa - ea) ** 2) / ea + ((ob - eb) ** 2) / eb).sum()), len(cats) - 1
+
+
+def _np_adf(x):
+    x = np.asarray(x, float)
+    z = x[:-1]
+    y = np.diff(x)
+    n = len(y)
+    X = np.column_stack([np.ones(n), z])
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ coef
+    sigma2 = (resid @ resid) / (n - 2)
+    szz = ((z - z.mean()) ** 2).sum()
+    se = np.sqrt(sigma2 / szz)
+    return float(coef[1]), float(coef[1] / se), n
+
+
+def _vals_frame(vals):
+    return pd.DataFrame({"ts": hourly(len(vals)), "value": [float(v) for v in vals]})
+
+
+def test_psi_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    a = rng.uniform(0, 100, 400)
+    b = rng.uniform(20, 100, 300)  # shifted → nonzero psi
+    ra = to_sdf(spark, _vals_frame(a))
+    rb = to_sdf(spark, _vals_frame(b))
+    got = psi(ra, rb, "value", 0.0, 100.0, 10).collect()[0]
+    want = _np_psi(a, b, 0.0, 100.0, 10)
+    assert got["n_ref"] == 400 and got["n_cur"] == 300
+    assert got["psi"] == pytest.approx(want, rel=1e-9)
+    # identical distributions → psi ~ 0
+    same = psi(ra, ra, "value", 0.0, 100.0, 10).collect()[0]
+    assert abs(same["psi"]) < 1e-9
+
+
+def test_psi_buckets_detail_and_empty_buckets(spark):
+    a = [5.0, 15.0, 25.0]  # buckets 0,1,2
+    b = [5.0, 5.0, 95.0]  # buckets 0,0,9
+    ra, rb = to_sdf(spark, _vals_frame(a)), to_sdf(spark, _vals_frame(b))
+    rows = psi_buckets(ra, rb, "value", 0.0, 100.0, 10).orderBy("bucket").collect()
+    assert [r["bucket"] for r in rows] == list(range(10))  # full spine
+    assert rows[0]["cnt_ref"] == 1 and rows[0]["cnt_cur"] == 2
+    assert rows[9]["cnt_ref"] == 0 and rows[9]["cnt_cur"] == 1
+    # empty-in-ref bucket uses the eps floor, finite term
+    assert np.isfinite(rows[9]["psi_term"]) and rows[9]["psi_term"] > 0
+
+
+def test_ks_2sample_matches_numpy(spark):
+    rng = np.random.RandomState(11)
+    a = np.round(rng.normal(50, 10, 500), 2)
+    b = np.round(rng.normal(55, 12, 400), 2)  # ties guaranteed by rounding
+    got = ks_2sample(
+        to_sdf(spark, _vals_frame(a)), to_sdf(spark, _vals_frame(b)), "value"
+    ).collect()[0]
+    want_d, want_at = _np_ks(a, b)
+    assert got["n_ref"] == 500 and got["n_cur"] == 400
+    assert got["d_stat"] == pytest.approx(want_d, abs=1e-11)
+    assert got["at_value"] == pytest.approx(want_at)
+    # identical samples → D = 0
+    same = ks_2sample(
+        to_sdf(spark, _vals_frame(a)), to_sdf(spark, _vals_frame(a)), "value"
+    ).collect()[0]
+    assert same["d_stat"] == 0.0
+
+
+def test_ks_keyed(spark):
+    rng = np.random.RandomState(3)
+    pa = _vals_frame(rng.uniform(0, 1, 200))
+    pb = _vals_frame(rng.uniform(0.3, 1.3, 200))
+    pa["k"], pb["k"] = "x", "x"
+    pa2, pb2 = pa.copy(), pa.copy()
+    pa2["k"], pb2["k"] = "y", "y"  # key y: identical → D=0
+    ra = to_sdf(spark, pd.concat([pa, pa2], ignore_index=True))
+    rb = to_sdf(spark, pd.concat([pb, pb2], ignore_index=True))
+    rows = {r["k"]: r for r in ks_2sample(ra, rb, "value", ["k"]).collect()}
+    want_d, _ = _np_ks(pa["value"], pb["value"])
+    assert rows["x"]["d_stat"] == pytest.approx(want_d, abs=1e-11)
+    assert rows["y"]["d_stat"] == 0.0
+
+
+def test_chi2_matches_numpy(spark):
+    a = ["click"] * 50 + ["view"] * 30 + ["error"] * 20
+    b = ["click"] * 30 + ["view"] * 45 + ["error"] * 25
+    t0 = dt.datetime(2024, 1, 1)
+    fa = pd.DataFrame({"ts": hourly(len(a)), "cat": a})
+    fb = pd.DataFrame({"ts": hourly(len(b)), "cat": b})
+    got = chi2_homogeneity(to_sdf(spark, fa), to_sdf(spark, fb), "cat").collect()[0]
+    want, dof = _np_chi2(a, b)
+    assert got["dof"] == dof
+    assert got["n_ref"] == 100 and got["n_cur"] == 100
+    assert got["chi2"] == pytest.approx(want, abs=1e-8)
+
+
+def test_adf_matches_numpy_ols(spark):
+    rng = np.random.RandomState(5)
+    # stationary AR(1): strongly negative t expected
+    x = [0.0]
+    for _ in range(299):
+        x.append(0.5 * x[-1] + rng.normal())
+    got = adf_test(to_sdf(spark, _vals_frame(x)), "value").collect()[0]
+    beta, t, n = _np_adf(x)
+    assert got["n"] == n
+    assert got["beta"] == pytest.approx(beta, abs=2e-6)
+    assert got["t_stat"] == pytest.approx(t, abs=2e-6)
+    assert got["t_stat"] < -5  # clearly rejects the unit root
+
+    # random walk: t near 0 territory (fails to reject)
+    rw = np.cumsum(rng.normal(size=300))
+    got2 = adf_test(to_sdf(spark, _vals_frame(rw)), "value").collect()[0]
+    _, t2, _ = _np_adf(rw)
+    assert got2["t_stat"] == pytest.approx(t2, abs=2e-6)
+
+
+def test_adf_keyed(spark):
+    rng = np.random.RandomState(9)
+    f1 = _vals_frame(rng.normal(size=120))
+    f2 = _vals_frame(np.cumsum(rng.normal(size=120)))
+    f1["k"], f2["k"] = "stat", "walk"
+    df = to_sdf(spark, pd.concat([f1, f2], ignore_index=True))
+    rows = {r["k"]: r for r in adf_test(df, "value", key_cols=["k"]).collect()}
+    b1, t1, _ = _np_adf(f1["value"])
+    b2, t2, _ = _np_adf(f2["value"])
+    assert rows["stat"]["t_stat"] == pytest.approx(t1, abs=2e-6)
+    assert rows["walk"]["t_stat"] == pytest.approx(t2, abs=2e-6)

@@ -340,3 +340,41 @@ def test_holt_forecast_horizon_join_is_broadcast(spark):
                                ts_col="ts", key_cols=["event_type"])
     plan = _plan(fc)
     assert "BroadcastHashJoin" in plan
+
+
+def test_drift_family_plan_shapes(spark):
+    """Drift diagnostics: psi/chi2 are single map-side-combinable
+    aggregation passes over the union (no SinglePartition exchange on
+    the raw rows); keyed ks_2sample never collapses to a one-task
+    global sort (the ECDF rides range-partitioned prefix sums, the
+    totals ride a broadcast join); adf's six decimal sums combine
+    map-side."""
+    from tstoolbox_spark.operators.drift import (
+        adf_test,
+        chi2_homogeneity,
+        ks_2sample,
+        psi,
+    )
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    ref = ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+
+    plan = _plan(psi(ref, cur, "value", 0.0, 500.0, 10, key_cols=["event_type"]))
+    assert "partial_sum" in plan
+    assert "Exchange SinglePartition" not in plan
+
+    plan = _plan(chi2_homogeneity(ref, cur, "event_type", key_cols=["user_id"]))
+    assert "partial_sum" in plan
+    assert "Exchange SinglePartition" not in plan
+
+    plan = _plan(ks_2sample(ref, cur, "value", key_cols=["event_type"]))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # totals + prefix offsets
+
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.avg("value").alias("v"))
+    plan = _plan(adf_test(hourly, "v", key_cols=["event_type"]))
+    assert "partial_sum" in plan
+    assert "Exchange SinglePartition" not in plan

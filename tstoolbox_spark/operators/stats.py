@@ -879,6 +879,74 @@ def rank_components(
     return out
 
 
+def distributed_prefix_sums(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    key_cols: Sequence[str] = (),
+    order_cols: Sequence[str] = (),
+    out_cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sums of several columns over rows ordered by
+    ``order_cols`` within each key — the distributed cumsum twin of
+    :func:`distributed_rank` (range partition for a global order,
+    per-partition window sums in parallel, per-partition totals
+    collected at metadata scale and broadcast back as offsets). All
+    columns advance over the SAME global order in ONE range shuffle +
+    ONE metadata collect (``ks_2sample`` needs both samples' ECDF
+    counters aligned). The input must not have duplicate
+    ``(key, order)`` tuples if a deterministic result is required."""
+    from pyspark.sql.types import FractionalType
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    vcols = list(value_cols)
+    outs = list(out_cols) if out_cols else [f"{c}_prefix" for c in vcols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in [*keys, *order]])
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    sums = with_pid.groupBy(*keys, "__pid").agg(
+        *[F.sum(F.col(c)).alias(f"__s{i}") for i, c in enumerate(vcols)]
+    ).collect()
+    by_key: dict[tuple, list[tuple[int, list]]] = {}
+    for r in sums:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(
+            (r["__pid"], [r[f"__s{i}"] for i in range(len(vcols))])
+        )
+    # float/decimal value columns accumulate in Python floats with a
+    # DOUBLE offset; integral columns keep exact long arithmetic
+    # (int(s or 0) on a double sum would silently truncate fractions).
+    frac = [isinstance(df.schema[c].dataType, FractionalType) for c in vcols]
+    rows = []
+    for key, lst in by_key.items():
+        acc = [0.0 if f else 0 for f in frac]
+        for pid, ss in sorted(lst):
+            rows.append((*key, pid, *acc))
+            acc = [
+                a + (float(s or 0.0) if f else int(s or 0))
+                for a, s, f in zip(acc, ss, frac)
+            ]
+    spark = df.sparkSession
+    off_schema = ", ".join(
+        [f"{k} {df.schema[k].dataType.simpleString()}" for k in keys]
+        + ["__pid int"]
+        + [f"__off{i} {'double' if f else 'long'}" for i, f in enumerate(frac)]
+    )
+    offsets = spark.createDataFrame(rows, off_schema)
+    local = (
+        Window.partitionBy(*keys, "__pid")
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = with_pid.join(F.broadcast(offsets), [*keys, "__pid"])
+    for i, (c, oc) in enumerate(zip(vcols, outs)):
+        out = out.withColumn(
+            oc,
+            F.col(f"__off{i}") + F.coalesce(F.sum(F.col(c)).over(local), F.lit(0)),
+        )
+    return out.drop("__pid", *[f"__off{i}" for i in range(len(vcols))])
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     value_col: str,
@@ -887,54 +955,10 @@ def distributed_prefix_sum(
     out_col: str = "prefix_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """EXCLUSIVE running sum of ``value_col`` over rows ordered by
-    ``order_cols`` within each key — the distributed cumsum twin of
-    :func:`distributed_rank` (range partition for a global order,
-    per-partition window sums in parallel, per-partition totals
-    collected at metadata scale and broadcast back as offsets). The
-    input must not have duplicate ``(key, order)`` tuples if a
-    deterministic result is required."""
-    from pyspark.sql.types import FractionalType
-
-    keys = list(key_cols)
-    order = list(order_cols)
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *[F.col(c) for c in [*keys, *order]])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
-    sums = with_pid.groupBy(*keys, "__pid").agg(
-        F.sum(F.col(value_col)).alias("__s")
-    ).collect()
-    by_key: dict[tuple, list[tuple[int, float]]] = {}
-    for r in sums:
-        by_key.setdefault(tuple(r[k] for k in keys), []).append((r["__pid"], r["__s"]))
-    # float/decimal value columns accumulate in Python floats with a
-    # DOUBLE offset; integral columns keep exact long arithmetic
-    # (int(s or 0) on a double sum would silently truncate fractions).
-    fractional = isinstance(df.schema[value_col].dataType, FractionalType)
-    rows = []
-    for key, lst in by_key.items():
-        acc = 0.0 if fractional else 0
-        for pid, s in sorted(lst):
-            rows.append((*key, pid, acc))
-            acc += (float(s or 0.0) if fractional else int(s or 0))
-    spark = df.sparkSession
-    off_schema = ", ".join(
-        [f"{k} {df.schema[k].dataType.simpleString()}" for k in keys]
-        + ["__pid int", f"__offset {'double' if fractional else 'long'}"]
-    )
-    offsets = spark.createDataFrame(rows, off_schema)
-    local = (
-        Window.partitionBy(*keys, "__pid")
-        .orderBy(*[F.col(c) for c in order])
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        with_pid.join(F.broadcast(offsets), [*keys, "__pid"])
-        .withColumn(
-            out_col,
-            F.col("__offset") + F.coalesce(F.sum(F.col(value_col)).over(local), F.lit(0)),
-        )
-        .drop("__pid", "__offset")
+    """Single-column wrapper around :func:`distributed_prefix_sums`
+    (kept as the public API used by ``chunk_pack_tokens``)."""
+    return distributed_prefix_sums(
+        df, [value_col], key_cols, order_cols, [out_col], num_partitions
     )
 
 
