@@ -5482,6 +5482,26 @@ def _queries_round3d() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["adf_value_hourly"] = q_adf
 
+    def q_granger(s, d):
+        """Lag-1 Granger causality: do click hourly means help predict
+        view hourly means beyond view's own history?
+        (stats.granger_causality — ten decimal-exact sums, closed-form
+        nested OLS, companion to ccf_click_view)."""
+        from tstoolbox_spark.operators.stats import granger_causality
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        a = hourly.where(F.col("event_type") == "click").select(
+            "ts", F.col("value_mean").alias("x")
+        )
+        b = hourly.where(F.col("event_type") == "view").select(
+            "ts", F.col("value_mean").alias("y")
+        )
+        return granger_causality(a.join(b, "ts"), "x", "y")
+
+    q["granger_click_view"] = q_granger
+
     return q
 
 
@@ -5603,6 +5623,58 @@ def _oracles_round3d() -> dict[str, str]:
                floor(beta / sqrt(((syy_c - beta * szy_c)
                                   / (CAST(n AS DOUBLE) - 2e0)) / szz_c)
                      * 1e6 + 0.5) / 1e6 AS t_stat
+        FROM f
+    """
+
+    # granger_click_view: identical hourly means, identically-ordered
+    # centered sums, Cramer 2x2 solve and nested-RSS F, 6-dp floored.
+    o["granger_click_view"] = """
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS ts,
+                          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                            / COUNT(value) AS m
+                   FROM events GROUP BY 1, 2),
+             j AS (SELECT a.ts, a.m AS x, b.m AS y
+                   FROM h a JOIN h b ON a.ts = b.ts
+                   WHERE a.event_type = 'click' AND b.event_type = 'view'),
+             l AS (SELECT y AS w,
+                          lag(y) OVER (ORDER BY ts) AS u,
+                          lag(x) OVER (ORDER BY ts) AS v
+                   FROM j),
+             p AS (SELECT w, u, v FROM l
+                   WHERE u IS NOT NULL AND v IS NOT NULL),
+             s AS (SELECT count(*) AS n,
+                          CAST(SUM(CAST(u AS DECIMAL(38,10))) AS DOUBLE) AS su,
+                          CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) AS sv,
+                          CAST(SUM(CAST(w AS DECIMAL(38,10))) AS DOUBLE) AS sw,
+                          CAST(SUM(CAST(u * u AS DECIMAL(38,10))) AS DOUBLE) AS suu0,
+                          CAST(SUM(CAST(v * v AS DECIMAL(38,10))) AS DOUBLE) AS svv0,
+                          CAST(SUM(CAST(u * v AS DECIMAL(38,10))) AS DOUBLE) AS suv0,
+                          CAST(SUM(CAST(u * w AS DECIMAL(38,10))) AS DOUBLE) AS suw0,
+                          CAST(SUM(CAST(v * w AS DECIMAL(38,10))) AS DOUBLE) AS svw0,
+                          CAST(SUM(CAST(w * w AS DECIMAL(38,10))) AS DOUBLE) AS sww0
+                   FROM p),
+             c AS (SELECT n,
+                          suu0 - su * su / CAST(n AS DOUBLE) AS suu,
+                          svv0 - sv * sv / CAST(n AS DOUBLE) AS svv,
+                          suv0 - su * sv / CAST(n AS DOUBLE) AS suv,
+                          suw0 - su * sw / CAST(n AS DOUBLE) AS suw,
+                          svw0 - sv * sw / CAST(n AS DOUBLE) AS svw,
+                          sww0 - sw * sw / CAST(n AS DOUBLE) AS sww
+                   FROM s),
+             k AS (SELECT n, suw, svw, sww,
+                          sww - suw * suw / suu AS rss_r,
+                          (svv * suw - suv * svw)
+                            / (suu * svv - suv * suv) AS b,
+                          (suu * svw - suv * suw)
+                            / (suu * svv - suv * suv) AS cx
+                   FROM c),
+             f AS (SELECT n, cx,
+                          rss_r, sww - b * suw - cx * svw AS rss_u
+                   FROM k)
+        SELECT n,
+               floor(cx * 1e6 + 0.5) / 1e6 AS coef_x,
+               floor((rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE) - 3e0))
+                     * 1e6 + 0.5) / 1e6 AS f_stat
         FROM f
     """
 

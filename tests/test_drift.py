@@ -173,3 +173,67 @@ def test_adf_keyed(spark):
     b2, t2, _ = _np_adf(f2["value"])
     assert rows["stat"]["t_stat"] == pytest.approx(t1, abs=2e-6)
     assert rows["walk"]["t_stat"] == pytest.approx(t2, abs=2e-6)
+
+
+def _np_granger(x, y):
+    w = np.asarray(y, float)[1:]
+    u = np.asarray(y, float)[:-1]
+    v = np.asarray(x, float)[:-1]
+    n = len(w)
+    Xr = np.column_stack([np.ones(n), u])
+    Xu = np.column_stack([np.ones(n), u, v])
+    br, *_ = np.linalg.lstsq(Xr, w, rcond=None)
+    bu, *_ = np.linalg.lstsq(Xu, w, rcond=None)
+    rss_r = float(((w - Xr @ br) ** 2).sum())
+    rss_u = float(((w - Xu @ bu) ** 2).sum())
+    return float(bu[2]), rss_r, rss_u, (rss_r - rss_u) / (rss_u / (n - 3)), n
+
+
+def test_granger_matches_numpy_and_detects_causality(spark):
+    from tstoolbox_spark.operators.stats import granger_causality
+
+    rng = np.random.RandomState(21)
+    # y driven by lagged x → x Granger-causes y
+    x = rng.normal(size=240)
+    y = np.zeros(240)
+    for t in range(1, 240):
+        y[t] = 0.3 * y[t - 1] + 0.8 * x[t - 1] + 0.2 * rng.normal()
+    pdf = _vals_frame(y).rename(columns={"value": "y"})
+    pdf["x"] = x
+    got = granger_causality(to_sdf(spark, pdf), "x", "y").collect()[0]
+    coef, _, _, f, n = _np_granger(x, y)
+    assert got["n"] == n
+    assert got["coef_x"] == pytest.approx(coef, abs=2e-6)
+    assert got["f_stat"] == pytest.approx(f, rel=1e-4)
+    assert got["f_stat"] > 50  # strong causality detected
+
+    # independent series → parity with numpy, small F
+    y2 = rng.normal(size=240)
+    pdf2 = _vals_frame(y2).rename(columns={"value": "y"})
+    pdf2["x"] = rng.normal(size=240)
+    got2 = granger_causality(to_sdf(spark, pdf2), "x", "y").collect()[0]
+    _, _, _, f2, _ = _np_granger(pdf2["x"], y2)
+    assert got2["f_stat"] == pytest.approx(f2, rel=1e-3, abs=1e-4)
+
+
+def test_granger_keyed(spark):
+    from tstoolbox_spark.operators.stats import granger_causality
+
+    rng = np.random.RandomState(2)
+    frames = {}
+    for k in ("a", "b"):
+        x = rng.normal(size=150)
+        y = np.zeros(150)
+        gain = 0.9 if k == "a" else 0.0
+        for t in range(1, 150):
+            y[t] = 0.2 * y[t - 1] + gain * x[t - 1] + 0.5 * rng.normal()
+        f = _vals_frame(y).rename(columns={"value": "y"})
+        f["x"], f["k"] = x, k
+        frames[k] = f
+    df = to_sdf(spark, pd.concat(frames.values(), ignore_index=True))
+    from tstoolbox_spark.operators.stats import granger_causality as gc
+    rows = {r["k"]: r for r in gc(df, "x", "y", key_cols=["k"]).collect()}
+    for k, f in frames.items():
+        _, _, _, want_f, _ = _np_granger(f["x"], f["y"])
+        assert rows[k]["f_stat"] == pytest.approx(want_f, rel=1e-3, abs=1e-4)
+    assert rows["a"]["f_stat"] > 100 and rows["b"]["f_stat"] < 10

@@ -1148,6 +1148,70 @@ def ljung_box(
     return out.select(*keys, "lag", "rho", "q_stat")
 
 
+def granger_causality(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Lag-1 Granger-causality F-test per key: does x help predict y
+    beyond y's own history? (Granger 1969, textbook nested-OLS form)
+
+        restricted:    y_t = a + b·y_{t-1}            (RSS_r)
+        unrestricted:  y_t = a + b·y_{t-1} + c·x_{t-1} (RSS_u)
+        F = (RSS_r − RSS_u) / (RSS_u / (n − 3))
+
+    Emits (keys, n, coef_x, f_stat) where coef_x is the unrestricted
+    x_{t-1} weight. Everything is ONE window sort (the two lags) +
+    ONE aggregate of ten decimal(38,10)-exact sums; both OLS fits are
+    closed-form 1- and 2-regressor normal equations on the aggregated
+    row (Cramer's rule for the 2×2 system), so the statistic is an
+    association-free pure function of the input — same determinism
+    contract as :func:`ljung_box` / ``drift.adf_test``. Companion to
+    :func:`cross_correlation` (which reports association, not
+    incremental predictive power)."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col) if keys else (
+        Window.partitionBy(F.lit(1)).orderBy(ts_col)
+    )
+    u = F.lag(F.col(y_col)).over(w)   # y_{t-1}
+    v = F.lag(F.col(x_col)).over(w)   # x_{t-1}
+    pre = df.select(
+        *keys,
+        F.col(y_col).alias("__w"),
+        u.alias("__u"),
+        v.alias("__v"),
+    ).where(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+    dec = "decimal(38,10)"
+    wc, uc, vc = F.col("__w"), F.col("__u"), F.col("__v")
+
+    def _s(e, name):
+        return F.sum(e.cast(dec)).cast("double").alias(name)
+
+    agg = pre.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        _s(uc, "__su"), _s(vc, "__sv"), _s(wc, "__sw"),
+        _s(uc * uc, "__suu"), _s(vc * vc, "__svv"), _s(uc * vc, "__suv"),
+        _s(uc * wc, "__suw"), _s(vc * wc, "__svw"), _s(wc * wc, "__sww"),
+    )
+    n = F.col("n").cast("double")
+    suu = F.col("__suu") - F.col("__su") * F.col("__su") / n
+    svv = F.col("__svv") - F.col("__sv") * F.col("__sv") / n
+    suv = F.col("__suv") - F.col("__su") * F.col("__sv") / n
+    suw = F.col("__suw") - F.col("__su") * F.col("__sw") / n
+    svw = F.col("__svw") - F.col("__sv") * F.col("__sw") / n
+    sww = F.col("__sww") - F.col("__sw") * F.col("__sw") / n
+    rss_r = sww - suw * suw / suu
+    det = suu * svv - suv * suv
+    b = (svv * suw - suv * svw) / det
+    c = (suu * svw - suv * suw) / det
+    rss_u = sww - b * suw - c * svw
+    f_stat = (rss_r - rss_u) / (rss_u / (n - F.lit(3.0)))
+    q6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(*keys, "n", q6(c).alias("coef_x"), q6(f_stat).alias("f_stat"))
+
+
 def ar2_yule_walker(
     df: DataFrame,
     value_col: str,
