@@ -5417,8 +5417,9 @@ def _oracles_round3c() -> dict[str, str]:
 
 # --------------------------------------------------------------------------
 # round 3d: distribution-drift + stationarity diagnostics
-# (operators/drift.py) — added after the r3 driver window was frozen;
-# front-load these four into the r4 window.
+# (operators/drift.py + stats.granger_causality/mann_kendall) — added
+# after the r3 driver window was frozen; front-load this family into
+# the r4 window.
 # --------------------------------------------------------------------------
 
 
@@ -5501,6 +5502,22 @@ def _queries_round3d() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return granger_causality(a.join(b, "ts"), "x", "y")
 
     q["granger_click_view"] = q_granger
+
+    def q_mk(s, d):
+        """Mann-Kendall monotonic-trend Z per event_type over hourly
+        means (drift.mann_kendall — exact S via time/value double
+        bucketing: pandas within buckets, grid prefix sums across;
+        no O(n²) pair join on the Spark side)."""
+        from tstoolbox_spark.operators.drift import mann_kendall
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        return mann_kendall(
+            hourly, "value_mean", key_cols=["event_type"], n_buckets=8
+        )
+
+    q["mann_kendall_hourly"] = q_mk
 
     return q
 
@@ -5676,6 +5693,41 @@ def _oracles_round3d() -> dict[str, str]:
                floor((rss_r - rss_u) / (rss_u / (CAST(n AS DOUBLE) - 3e0))
                      * 1e6 + 0.5) / 1e6 AS f_stat
         FROM f
+    """
+
+    # mann_kendall_hourly: the oracle pays the O(n²) pair join the
+    # Spark side avoids (fine at sf0.01: ~680 hourly rows per key).
+    # Identical hourly means, integer S and tie sums, identical
+    # variance/Z arithmetic, 6-dp floored.
+    o["mann_kendall_hourly"] = """
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS ts,
+                          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                            / COUNT(value) AS m
+                   FROM events GROUP BY 1, 2),
+             p AS (SELECT a.event_type AS k,
+                          CAST(sign(b.m - a.m) AS BIGINT) AS sg
+                   FROM h a JOIN h b
+                     ON a.event_type = b.event_type AND a.ts < b.ts),
+             s AS (SELECT k, CAST(SUM(sg) AS BIGINT) AS s_stat
+                   FROM p GROUP BY 1),
+             t AS (SELECT event_type AS k, COUNT(*) AS tg
+                   FROM h GROUP BY event_type, m),
+             tt AS (SELECT k, CAST(SUM(tg) AS BIGINT) AS n,
+                           CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS DOUBLE)
+                             AS ties
+                    FROM t GROUP BY 1),
+             v AS (SELECT tt.k, tt.n, s.s_stat,
+                          (CAST(tt.n AS DOUBLE) * (CAST(tt.n AS DOUBLE) - 1e0)
+                           * (2e0 * CAST(tt.n AS DOUBLE) + 5e0) - tt.ties)
+                            / 18e0 AS var_s
+                   FROM tt JOIN s ON s.k = tt.k)
+        SELECT k AS event_type, n, s_stat,
+               floor(var_s * 1e6 + 0.5) / 1e6 AS var_s,
+               floor(CASE WHEN s_stat = 0 OR var_s <= 0 THEN 0e0
+                          ELSE (CAST(s_stat AS DOUBLE)
+                                - sign(CAST(s_stat AS DOUBLE)))
+                               / sqrt(var_s) END * 1e6 + 0.5) / 1e6 AS z_stat
+        FROM v
     """
 
     return o

@@ -237,3 +237,79 @@ def test_granger_keyed(spark):
         _, _, _, want_f, _ = _np_granger(f["x"], f["y"])
         assert rows[k]["f_stat"] == pytest.approx(want_f, rel=1e-3, abs=1e-4)
     assert rows["a"]["f_stat"] > 100 and rows["b"]["f_stat"] < 10
+
+
+def _np_mk(t, v):
+    t = np.asarray(t)
+    v = np.asarray(v, float)
+    n = len(v)
+    s = 0
+    for i in range(n):
+        for j in range(n):
+            if t[i] < t[j]:
+                s += int(np.sign(v[j] - v[i]))
+    _, counts = np.unique(v, return_counts=True)
+    ties = float((counts * (counts - 1) * (2 * counts + 5)).sum())
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    z = 0.0 if s == 0 or var <= 0 else (s - np.sign(s)) / np.sqrt(var)
+    return s, var, float(z), n
+
+
+def test_mann_kendall_matches_numpy_with_ties(spark):
+    from tstoolbox_spark.operators.drift import mann_kendall
+
+    rng = np.random.RandomState(11)
+    # rounded to 1 dp → plenty of value ties exercising the correction
+    v = np.round(rng.normal(size=300) + np.linspace(0, 2, 300), 1)
+    got = mann_kendall(
+        to_sdf(spark, _vals_frame(v)), "value", n_buckets=7
+    ).collect()[0]
+    s, var, z, n = _np_mk(range(300), v)
+    assert got["n"] == n and got["s_stat"] == s
+    assert got["var_s"] == pytest.approx(var, rel=1e-9)
+    assert got["z_stat"] == pytest.approx(z, abs=2e-6)
+    assert got["z_stat"] > 1.96  # upward trend detected
+
+
+def test_mann_kendall_bucket_invariance_and_keys(spark):
+    from tstoolbox_spark.operators.drift import mann_kendall
+
+    rng = np.random.RandomState(3)
+    frames = []
+    for k, drift in (("up", 0.02), ("flat", 0.0)):
+        f = _vals_frame(rng.normal(size=200) + drift * np.arange(200))
+        f["k"] = k
+        frames.append(f)
+    df = to_sdf(spark, pd.concat(frames, ignore_index=True))
+    r1 = {r["k"]: r for r in mann_kendall(df, "value", key_cols=["k"], n_buckets=1).collect()}
+    r9 = {r["k"]: r for r in mann_kendall(df, "value", key_cols=["k"], n_buckets=9).collect()}
+    for k, f in zip(("up", "flat"), frames):
+        s, var, z, n = _np_mk(range(200), f["value"])
+        for res in (r1, r9):
+            assert res[k]["s_stat"] == s and res[k]["n"] == n
+            assert res[k]["z_stat"] == pytest.approx(z, abs=2e-6)
+    # "flat" is pure noise: its |z| happens to land at 2.58 for this
+    # seed — the point is the ordering, not a significance cutoff
+    assert r9["up"]["z_stat"] > 5.0 > abs(r9["flat"]["z_stat"])
+
+
+def test_mann_kendall_duplicate_timestamps_excluded(spark):
+    from tstoolbox_spark.operators.drift import mann_kendall
+
+    ts = hourly(6)
+    # two observations share each timestamp → those pairs excluded
+    pdf = pd.DataFrame(
+        {"ts": list(ts[:3]) * 2, "value": [1.0, 2.0, 3.0, 4.0, 0.5, 2.5]}
+    )
+    got = mann_kendall(to_sdf(spark, pdf), "value", n_buckets=4).collect()[0]
+    t = [0, 1, 2, 0, 1, 2]
+    s, _, _, _ = _np_mk(t, pdf["value"])
+    assert got["s_stat"] == s
+
+
+def test_mann_kendall_bucket_guard(spark):
+    from tstoolbox_spark.operators.drift import mann_kendall
+
+    df = to_sdf(spark, _vals_frame(np.arange(50.0)))
+    with pytest.raises(Exception, match="raise n_buckets"):
+        mann_kendall(df, "value", n_buckets=1, max_bucket_rows=10).collect()

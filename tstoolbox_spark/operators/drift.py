@@ -19,6 +19,12 @@ vs the last one?" as a first-class, shuffle-bounded operator family:
   final argmax is a ``max(struct)`` aggregate with map-side partials.
 - ``chi2_homogeneity`` — chi-square test that two snapshots share one
   categorical mix (event types, languages, sources). Pure counts.
+- ``mann_kendall`` — the Mann-Kendall monotonic-trend test (Hirsch
+  et al. 1982 hydrology form), exact S without the O(n²) pair join:
+  time/value double bucketing splits pairs into three disjoint
+  classes, each counted exactly (pandas within buckets, complete-grid
+  window prefix sums across). Pairs with `stats.theil_sen`
+  (magnitude) as the significance side of the trend verb.
 - ``adf_test`` — Dickey-Fuller regression Δx_t = α + β·x_{t-1} + ε in
   closed form from six decimal-exact sums (same association-free
   aggregate shape as ``linear_trend``); t = β̂/se(β̂) is the classic
@@ -280,6 +286,264 @@ def chi2_homogeneity(
         F.max("__nr").alias("n_ref"),
         F.max("__nc").alias("n_cur"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    n_buckets: int | None = None,
+    max_bucket_rows: int = 20_000,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per key (Mann 1945 /
+    Kendall 1975, the Hirsch et al. 1982 hydrology form — the
+    reference's Theil-Sen slope (`stats.theil_sen`) reports the trend
+    MAGNITUDE; this is the matching nonparametric SIGNIFICANCE test):
+
+        S = Σ_{t_i < t_j} sign(x_j − x_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+        Z = (S − sign(S)) / sqrt(Var(S))        (continuity-corrected)
+
+    Emits (keys, n, s_stat, var_s, z_stat).
+
+    Scale shape — exact S WITHOUT the O(n²) pair join `theil_sen`
+    needs. Rows bucket twice: by time range (pure function of ts, so
+    equal timestamps share a bucket and cross-bucket pairs are
+    strictly time-ordered) and by value quantile (pinned
+    percentile_approx bounds, the `stats.distributed_rank` idiom —
+    equal values share a bucket, so cross-bucket value order is
+    strict). Every pair then falls in exactly ONE of three classes:
+
+    * SAME time-bucket — counted exactly per (key, tb) group in a
+      grouped-map pandas stage (chunked numpy sign matrix over the
+      raw (ts, value) rows, integer result);
+    * CROSS time-bucket, SAME value-bucket — rows first aggregate to
+      (tb, value, count), then a pandas stage per (key, vb) counts
+      Σ c₁c₂·sign(v₂−v₁) over tb₁<tb₂ pairs exactly;
+    * CROSS time-bucket, CROSS value-bucket — the pair's sign is
+      fully determined by bucket order, so it reduces to the
+      (tb × vb) count grid (completed with a zero-filled spine so
+      absent cells still count) and two partitioned window
+      prefix-sums: earlier-time per vb, then smaller/larger-vb per
+      tb. No self-join, no single-task sort anywhere.
+
+    Every intermediate is an integer count, so the statistic is a
+    pure function of the input (house determinism contract).
+    Duplicate timestamps: pairs sharing a timestamp are excluded from
+    S (they are not time-ordered); Var(S) applies the standard
+    value-ties correction (the classical test assumes distinct
+    sampling times)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    keys = list(key_cols)
+    gkeys = keys or ["__g"]
+    nb = int(n_buckets or spark.sparkContext.defaultParallelism * 4)
+    pts = df.select(
+        *keys,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    if not keys:
+        pts = pts.withColumn("__g", F.lit(1))
+    # per-key time range + value-quantile bounds → both bucket ids as
+    # pure arithmetic functions of (ts, value) (metadata-scale
+    # collect, pinned as literals — stats.distributed_rank's idiom,
+    # so every downstream job derives identical bucket ids)
+    qs = [i / nb for i in range(1, nb)]
+    rng = pts.groupBy(*gkeys).agg(
+        F.min("__t").alias("__mn"),
+        F.max("__t").alias("__mx"),
+        F.percentile_approx("__v", qs, 1_000).alias("__qb"),
+    ).collect()
+    k_schema = ", ".join(
+        [f"{k} {pts.schema[k].dataType.simpleString()}" for k in gkeys]
+        + ["__mn long", "__w double", "__vbs array<double>"]
+    )
+    bounds = spark.createDataFrame(
+        [
+            (*[r[k] for k in gkeys], r["__mn"],
+             max(float(r["__mx"] - r["__mn"]), 1.0) / nb,
+             [float(b) for b in (r["__qb"] or [])])
+            for r in rng
+        ],
+        k_schema,
+    )
+    bucketed = (
+        pts.join(F.broadcast(bounds), gkeys)
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor((F.col("__t") - F.col("__mn")) / F.col("__w")),
+                F.lit(nb - 1),
+            ).cast("long"),
+        )
+        # value bucket = #bounds <= v: equal values always share a
+        # bucket and bucket order is strict value order
+        .withColumn(
+            "__vb",
+            F.size(
+                F.filter(F.col("__vbs"), lambda b: b <= F.col("__v"))
+            ).cast("long"),
+        )
+        .drop("__mn", "__w", "__vbs")
+    )
+
+    # ---- within-bucket S: exact chunked sign count per group --------
+    out_schema = ", ".join(
+        [f"{k} {pts.schema[k].dataType.simpleString()}" for k in gkeys]
+        + ["__b long", "__s long"]
+    )
+
+    def _local_s(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > max_bucket_rows:
+            raise ValueError(
+                f"mann_kendall: a (key, time-bucket) group has {m} rows "
+                f"(> {max_bucket_rows}); raise n_buckets (got {nb}) so "
+                "within-bucket pair counting stays bounded"
+            )
+        t = pdf["__t"].to_numpy(np.int64)
+        v = pdf["__v"].to_numpy(np.float64)
+        s = 0
+        for lo in range(0, m, 2048):
+            hi = min(lo + 2048, m)
+            later = t[None, :] > t[lo:hi, None]
+            s += int((np.sign(v[None, :] - v[lo:hi, None]) * later).sum())
+        head = {k: [pdf[k].iloc[0]] for k in gkeys}
+        head["__b"] = [pdf["__b"].iloc[0]]
+        head["__s"] = [s]
+        return pd.DataFrame(head)
+
+    local = (
+        bucketed.groupBy(*gkeys, "__b")
+        .applyInPandas(_local_s, out_schema)
+        .groupBy(*gkeys)
+        .agg(F.sum("__s").alias("__s_local"))
+    )
+
+    # ---- cross time-bucket, SAME value-bucket: exact pandas over the
+    # (tb, value) count rows of each (key, vb) group ------------------
+    cv = bucketed.groupBy(*gkeys, "__vb", "__b", "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    sv_schema = ", ".join(
+        [f"{k} {pts.schema[k].dataType.simpleString()}" for k in gkeys]
+        + ["__vb long", "__s long"]
+    )
+
+    def _same_vb_s(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > max_bucket_rows:
+            raise ValueError(
+                f"mann_kendall: a (key, value-bucket) group has {m} "
+                f"distinct (time-bucket, value) rows (> {max_bucket_rows}); "
+                f"raise n_buckets (got {nb})"
+            )
+        b = pdf["__b"].to_numpy(np.int64)
+        v = pdf["__v"].to_numpy(np.float64)
+        c = pdf["__c"].to_numpy(np.int64)
+        s = 0
+        for lo in range(0, m, 2048):
+            hi = min(lo + 2048, m)
+            later = b[None, :] > b[lo:hi, None]
+            sgn = np.sign(v[None, :] - v[lo:hi, None])
+            s += int((c[lo:hi, None] * c[None, :] * sgn * later).sum())
+        head = {k: [pdf[k].iloc[0]] for k in gkeys}
+        head["__vb"] = [pdf["__vb"].iloc[0]]
+        head["__s"] = [s]
+        return pd.DataFrame(head)
+
+    same_vb = (
+        cv.groupBy(*gkeys, "__vb")
+        .applyInPandas(_same_vb_s, sv_schema)
+        .groupBy(*gkeys)
+        .agg(F.sum("__s").alias("__s_same_vb"))
+    )
+
+    # ---- cross time-bucket, CROSS value-bucket: bucket order fully
+    # determines the sign, so this reduces to the (tb × vb) count grid
+    # completed with a zero-filled spine (absent cells still separate
+    # the prefix sums) and two partitioned window prefix-sums --------
+    cells = bucketed.groupBy(*gkeys, "__b", "__vb").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    spine = (
+        pts.select(*gkeys)
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(nb)
+                .select(F.col("id").alias("__b"))
+                .crossJoin(spark.range(nb).select(F.col("id").alias("__vb")))
+            )
+        )
+    )
+    grid = spine.join(cells, [*gkeys, "__b", "__vb"], "left").fillna(0, ["__c"])
+    w_tb = (
+        Window.partitionBy(*gkeys, "__vb")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "__earlier", F.coalesce(F.sum("__c").over(w_tb), F.lit(0))
+    )
+    w_lt = (
+        Window.partitionBy(*gkeys, "__b")
+        .orderBy("__vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_gt = (
+        Window.partitionBy(*gkeys, "__b")
+        .orderBy("__vb")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    grid = grid.withColumn(
+        "__lt", F.coalesce(F.sum("__earlier").over(w_lt), F.lit(0))
+    ).withColumn("__gt", F.coalesce(F.sum("__earlier").over(w_gt), F.lit(0)))
+    cross_vb = grid.groupBy(*gkeys).agg(
+        F.sum(F.col("__c") * (F.col("__lt") - F.col("__gt"))).alias(
+            "__s_cross_vb"
+        )
+    )
+
+    # ---- ties + n → Var(S), Z ----------------------------------------
+    tie = (
+        bucketed.groupBy(*gkeys, "__v")
+        .agg(F.count(F.lit(1)).alias("__tg"))
+        .groupBy(*gkeys)
+        .agg(
+            F.sum("__tg").alias("n"),
+            F.sum(
+                F.col("__tg") * (F.col("__tg") - 1) * (2 * F.col("__tg") + 5)
+            ).alias("__ties"),
+        )
+    )
+    s = (
+        F.col("__s_local") + F.col("__s_same_vb") + F.col("__s_cross_vb")
+    ).cast("long")
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("__ties").cast("double")
+    ) / F.lit(18.0)
+    z = F.when(
+        (s == 0) | (var_s <= 0), F.lit(0.0)
+    ).otherwise((s - F.signum(s.cast("double"))) / F.sqrt(var_s))
+    out = (
+        local.join(same_vb, gkeys)
+        .join(cross_vb, gkeys)
+        .join(tie, gkeys)
+        .select(
+            *keys,
+            "n",
+            s.alias("s_stat"),
+            _q6(var_s).alias("var_s"),
+            _q6(z).alias("z_stat"),
+        )
+    )
+    return out
 
 
 def adf_test(
