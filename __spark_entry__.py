@@ -5519,6 +5519,25 @@ def _queries_round3d() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mann_kendall_hourly"] = q_mk
 
+    def q_eg(s, d):
+        """Engle-Granger cointegration: do click and view hourly means
+        share a stationary linear combination? (drift.engle_granger —
+        exact-sum OLS stage + no-constant DF on the residuals)."""
+        from tstoolbox_spark.operators.drift import engle_granger
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        a = hourly.where(F.col("event_type") == "click").select(
+            "ts", F.col("value_mean").alias("x")
+        )
+        b = hourly.where(F.col("event_type") == "view").select(
+            "ts", F.col("value_mean").alias("y")
+        )
+        return engle_granger(a.join(b, "ts"), "x", "y")
+
+    q["engle_granger_click_view"] = q_eg
+
     return q
 
 
@@ -5728,6 +5747,57 @@ def _oracles_round3d() -> dict[str, str]:
                                 - sign(CAST(s_stat AS DOUBLE)))
                                / sqrt(var_s) END * 1e6 + 0.5) / 1e6 AS z_stat
         FROM v
+    """
+
+    # engle_granger_click_view: identical hourly means and join, the
+    # same five decimal-exact OLS sums, raw-slope residuals, one lag,
+    # no-constant DF from three decimal-exact sums, 6-dp floored.
+    o["engle_granger_click_view"] = """
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS ts,
+                          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                            / COUNT(value) AS m
+                   FROM events GROUP BY 1, 2),
+             j AS (SELECT a.ts, a.m AS x, b.m AS y
+                   FROM h a JOIN h b ON a.ts = b.ts
+                   WHERE a.event_type = 'click' AND b.event_type = 'view'),
+             s AS (SELECT count(*) AS n,
+                          CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                          CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                          CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+                          CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+                   FROM j),
+             f AS (SELECT n,
+                          (CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n AS DOUBLE) * sxx - sx * sx) AS b,
+                          sy, sx
+                   FROM s),
+             f2 AS (SELECT n, b, (sy - b * sx) / CAST(n AS DOUBLE) AS a
+                    FROM f),
+             e AS (SELECT j.ts, j.y - f2.a - f2.b * j.x AS e,
+                          f2.n, f2.b, f2.a
+                   FROM j, f2),
+             l AS (SELECT n, b, a, e AS cur,
+                          lag(e) OVER (ORDER BY ts) AS prv
+                   FROM e),
+             p AS (SELECT n, b, a, prv AS z, cur - prv AS dy FROM l
+                   WHERE prv IS NOT NULL),
+             s2 AS (SELECT any_value(n) AS n, any_value(b) AS b,
+                           any_value(a) AS a,
+                           count(*) AS m,
+                           CAST(SUM(CAST(z * dy AS DECIMAL(38,10))) AS DOUBLE) AS szy,
+                           CAST(SUM(CAST(z * z AS DECIMAL(38,10))) AS DOUBLE) AS szz,
+                           CAST(SUM(CAST(dy * dy AS DECIMAL(38,10))) AS DOUBLE) AS syy
+                    FROM p),
+             k AS (SELECT n, b, a, szz, szy / szz AS beta,
+                          (syy - (szy / szz) * szy)
+                            / (CAST(m AS DOUBLE) - 1e0) AS sigma2
+                   FROM s2)
+        SELECT n,
+               floor(b * 1e6 + 0.5) / 1e6 AS slope,
+               floor(a * 1e6 + 0.5) / 1e6 AS intercept,
+               floor(beta * 1e6 + 0.5) / 1e6 AS adf_beta,
+               floor(beta / sqrt(sigma2 / szz) * 1e6 + 0.5) / 1e6 AS adf_t
+        FROM k
     """
 
     return o

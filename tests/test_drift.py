@@ -313,3 +313,66 @@ def test_mann_kendall_bucket_guard(spark):
     df = to_sdf(spark, _vals_frame(np.arange(50.0)))
     with pytest.raises(Exception, match="raise n_buckets"):
         mann_kendall(df, "value", n_buckets=1, max_bucket_rows=10).collect()
+
+
+def _np_eg(x, y):
+    x, y = np.asarray(x, float), np.asarray(y, float)
+    n = len(x)
+    b = ((x * y).sum() * n - x.sum() * y.sum()) / (
+        (x * x).sum() * n - x.sum() ** 2
+    )
+    a = (y.sum() - b * x.sum()) / n
+    e = y - a - b * x
+    z, d = e[:-1], np.diff(e)
+    beta = (z * d).sum() / (z * z).sum()
+    rss = (d * d).sum() - beta * (z * d).sum()
+    se = np.sqrt(rss / (len(z) - 1) / (z * z).sum())
+    return b, a, beta, float(beta / se)
+
+
+def test_engle_granger_cointegrated_pair(spark):
+    from tstoolbox_spark.operators.drift import engle_granger
+
+    rng = np.random.RandomState(5)
+    x = np.cumsum(rng.normal(size=400))  # random walk
+    y = 2.0 * x + 1.0 + rng.normal(scale=0.5, size=400)  # cointegrated
+    pdf = _vals_frame(y).rename(columns={"value": "y"})
+    pdf["x"] = x
+    got = engle_granger(to_sdf(spark, pdf), "x", "y").collect()[0]
+    b, a, beta, t = _np_eg(x, y)
+    assert got["n"] == 400
+    assert got["slope"] == pytest.approx(b, abs=2e-6)
+    assert got["intercept"] == pytest.approx(a, abs=2e-6)
+    assert got["adf_t"] == pytest.approx(t, abs=2e-5)
+    assert got["adf_t"] < -3.34  # rejects no-cointegration at 5%
+
+    # independent random walks → fails to reject
+    y2 = np.cumsum(rng.normal(size=400))
+    pdf2 = _vals_frame(y2).rename(columns={"value": "y"})
+    pdf2["x"] = np.cumsum(rng.normal(size=400))
+    got2 = engle_granger(to_sdf(spark, pdf2), "x", "y").collect()[0]
+    _, _, _, t2 = _np_eg(pdf2["x"], y2)
+    assert got2["adf_t"] == pytest.approx(t2, abs=2e-5)
+    assert got2["adf_t"] > -3.34
+
+
+def test_engle_granger_keyed(spark):
+    from tstoolbox_spark.operators.drift import engle_granger
+
+    rng = np.random.RandomState(9)
+    frames = []
+    for k, noise in (("tight", 0.2), ("loose", 5.0)):
+        x = np.cumsum(rng.normal(size=250))
+        y = 0.5 * x - 2.0 + rng.normal(scale=noise, size=250)
+        f = _vals_frame(y).rename(columns={"value": "y"})
+        f["x"], f["k"] = x, k
+        frames.append((k, f))
+    df = to_sdf(spark, pd.concat([f for _, f in frames], ignore_index=True))
+    rows = {
+        r["k"]: r
+        for r in engle_granger(df, "x", "y", key_cols=["k"]).collect()
+    }
+    for k, f in frames:
+        b, a, beta, t = _np_eg(f["x"], f["y"])
+        assert rows[k]["slope"] == pytest.approx(b, abs=2e-6)
+        assert rows[k]["adf_t"] == pytest.approx(t, abs=2e-5)

@@ -551,11 +551,16 @@ def adf_test(
     value_col: str,
     ts_col: str = "ts",
     key_cols: Sequence[str] = (),
+    constant: bool = True,
 ) -> DataFrame:
     """Dickey-Fuller unit-root t-statistic per key (lag-0 DF form,
-    constant included): regress Δx_t on x_{t-1},
+    constant included by default): regress Δx_t on x_{t-1},
 
         Δx_t = α + β·x_{t-1} + ε_t,    t_DF = β̂ / se(β̂)
+
+    ``constant=False`` drops α (the 'n' regression of the DF family) —
+    the form Engle-Granger's second stage applies to mean-zero
+    cointegration residuals.
 
     β̂ < 0 with a large-magnitude t (vs the DF critical values, e.g.
     −2.86 at 5% for the constant form) rejects the unit root — i.e.
@@ -591,12 +596,17 @@ def adf_test(
         F.sum((yc * yc).cast(_DEC)).cast("double").alias("__syy"),
     )
     n = F.col("n").cast("double")
-    szz_c = F.col("__szz") - F.col("__sz") * F.col("__sz") / n
-    szy_c = F.col("__szy") - F.col("__sz") * F.col("__sy") / n
-    syy_c = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    if constant:
+        szz_c = F.col("__szz") - F.col("__sz") * F.col("__sz") / n
+        szy_c = F.col("__szy") - F.col("__sz") * F.col("__sy") / n
+        syy_c = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+        dof = n - F.lit(2.0)
+    else:
+        szz_c, szy_c, syy_c = F.col("__szz"), F.col("__szy"), F.col("__syy")
+        dof = n - F.lit(1.0)
     beta = szy_c / szz_c
     rss = syy_c - beta * szy_c
-    sigma2 = rss / (n - F.lit(2.0))
+    sigma2 = rss / dof
     t_stat = beta / F.sqrt(sigma2 / szz_c)
     return agg.select(
         *keys,
@@ -604,3 +614,89 @@ def adf_test(
         _q6(beta).alias("beta"),
         _q6(t_stat).alias("t_stat"),
     )
+
+
+def engle_granger(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Engle-Granger two-step cointegration test per key (Engle &
+    Granger 1987): do two non-stationary series share a stationary
+    linear combination?
+
+        stage 1:  y_t = a + b·x_t + e_t      (OLS, closed form)
+        stage 2:  Δe_t = β·e_{t-1} + ε_t     (no-constant DF on e)
+
+    A strongly negative stage-2 t (vs the Engle-Granger critical
+    values, e.g. −3.34 at 5% for one regressor) rejects "no
+    cointegration". Emits (keys, n, slope, intercept, adf_beta,
+    adf_t) — slope/intercept are the cointegrating vector.
+
+    Scale shape: stage 1 is ONE aggregate of five decimal-exact sums
+    (linear_trend's shape) broadcast back as a one-row-per-key join;
+    the residual projection is a pure column expression; stage 2 is
+    :func:`adf_test` (one lag window + one aggregate). Every sum is
+    decimal(38,10)-exact, so the statistic is a pure function of the
+    input (house determinism contract); pairs with
+    :func:`~.stats.granger_causality` (predictive direction) and
+    :func:`adf_test` (single-series stationarity)."""
+    keys = list(key_cols)
+    gkeys = keys or ["__g"]
+    pts = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    if not keys:
+        pts = pts.withColumn("__g", F.lit(1))
+    xc, yc = F.col("__x"), F.col("__y")
+    ols = pts.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xc.cast(_DEC)).cast("double").alias("__sx"),
+        F.sum(yc.cast(_DEC)).cast("double").alias("__sy"),
+        F.sum((xc * yc).cast(_DEC)).cast("double").alias("__sxy"),
+        F.sum((xc * xc).cast(_DEC)).cast("double").alias("__sxx"),
+    )
+    nn = F.col("__n").cast("double")
+    slope = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    fit = ols.select(
+        *gkeys,
+        F.col("__n").alias("n"),
+        slope.alias("slope"),
+        ((F.col("__sy") - slope * F.col("__sx")) / nn).alias("intercept"),
+    )
+    resid = pts.join(F.broadcast(fit), gkeys).select(
+        *gkeys,
+        "n",
+        "slope",
+        "intercept",
+        F.col("__ts").alias("ts"),
+        (yc - F.col("intercept") - F.col("slope") * xc).alias("__e"),
+    )
+    stage2 = adf_test(
+        resid, "__e", ts_col="ts", key_cols=[*gkeys], constant=False
+    ).select(
+        *gkeys,
+        F.col("beta").alias("adf_beta"),
+        F.col("t_stat").alias("adf_t"),
+    )
+    out = (
+        resid.select(*gkeys, "n", "slope", "intercept")
+        .distinct()
+        .join(stage2, gkeys)
+        .select(
+            *keys,
+            "n",
+            _q6(F.col("slope")).alias("slope"),
+            _q6(F.col("intercept")).alias("intercept"),
+            "adf_beta",
+            "adf_t",
+        )
+    )
+    return out
