@@ -5538,6 +5538,27 @@ def _queries_round3d() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["engle_granger_click_view"] = q_eg
 
+    def q_lomb(s, d):
+        """Lomb-Scargle periodogram at 5 trial periods per event_type
+        over RAW (irregular) event times — the spectral verb that works
+        where fft_filter's regular grid can't (signal.lomb_scargle).
+        ROUND(5) absorbs libm/summation-order FP differences (same
+        convention as fft_lowpass / gaussian_kde)."""
+        from tstoolbox_spark.operators.signal import lomb_scargle
+
+        ev = _events(s, d).select("event_type", "ts", "value")
+        out = lomb_scargle(
+            ev,
+            "value",
+            [21600.0, 43200.0, 86400.0, 172800.0, 604800.0],
+            key_cols=["event_type"],
+        )
+        return out.select(
+            "event_type", "period_s", "n", F.round("power", 5).alias("power")
+        )
+
+    q["lomb_scargle_periods"] = q_lomb
+
     return q
 
 
@@ -5798,6 +5819,55 @@ def _oracles_round3d() -> dict[str, str]:
                floor(beta * 1e6 + 0.5) / 1e6 AS adf_beta,
                floor(beta / sqrt(sigma2 / szz) * 1e6 + 0.5) / 1e6 AS adf_t
         FROM k
+    """
+
+    # lomb_scargle_periods: the identical Scargle-1982 τ-rotated form
+    # — epoch_us/1e6 matches unix_micros/1e6, per-key min-centered
+    # times, the same nine trig sums and rotation arithmetic; ROUND(5)
+    # absorbs libm cos/sin and summation-order differences.
+    o["lomb_scargle_periods"] = """
+        WITH per(period_s) AS (VALUES (21600.0), (43200.0), (86400.0),
+                                      (172800.0), (604800.0)),
+             e AS (SELECT event_type,
+                          CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t,
+                          CAST(value AS DOUBLE) AS x
+                   FROM events WHERE value IS NOT NULL),
+             t0 AS (SELECT event_type, MIN(t) AS t0 FROM e GROUP BY 1),
+             g AS (SELECT e.event_type, per.period_s,
+                          2e0 * pi() / per.period_s * (e.t - t0.t0) AS arg,
+                          e.x
+                   FROM e JOIN t0 USING (event_type) CROSS JOIN per),
+             a AS (SELECT event_type, period_s, COUNT(*) AS n,
+                          SUM(x) AS sx, SUM(x * x) AS sxx,
+                          SUM(x * cos(arg)) AS sxc, SUM(x * sin(arg)) AS sxs,
+                          SUM(cos(arg) * cos(arg)) AS scc,
+                          SUM(sin(arg) * sin(arg)) AS sss,
+                          SUM(sin(arg) * cos(arg)) AS ssc,
+                          SUM(cos(arg)) AS sc, SUM(sin(arg)) AS ss
+                   FROM g GROUP BY 1, 2),
+             b AS (SELECT event_type, period_s, n,
+                          sx / n AS xbar,
+                          sxc - (sx / n) * sc AS yc,
+                          sxs - (sx / n) * ss AS ys,
+                          0.5 * atan2(2e0 * ssc, scc - sss) AS theta,
+                          sxx, scc, sss, ssc, sx
+                   FROM a),
+             c AS (SELECT event_type, period_s, n,
+                          cos(theta) * yc + sin(theta) * ys AS a_num,
+                          cos(theta) * ys - sin(theta) * yc AS b_num,
+                          cos(theta) * cos(theta) * scc
+                            + sin(theta) * sin(theta) * sss
+                            + 2e0 * cos(theta) * sin(theta) * ssc AS ccd,
+                          sin(theta) * sin(theta) * scc
+                            + cos(theta) * cos(theta) * sss
+                            - 2e0 * cos(theta) * sin(theta) * ssc AS ssd,
+                          (sxx - n * xbar * xbar)
+                            / (CAST(n AS DOUBLE) - 1e0) AS var
+                   FROM b)
+        SELECT event_type, period_s, n,
+               ROUND(0.5 * (a_num * a_num / ccd + b_num * b_num / ssd)
+                     / var, 5) AS power
+        FROM c
     """
 
     return o

@@ -252,3 +252,61 @@ def test_butterworth_reverse_second_stage(spark):
     # symmetric around the center (transients confined to the edges)
     mid = out[20:-20]
     assert np.allclose(mid, mid[::-1], atol=1e-3)
+
+
+def _np_lomb(t, x, periods):
+    t = np.asarray(t, float) - np.min(t)
+    x = np.asarray(x, float)
+    y = x - x.mean()
+    var = x.var(ddof=1)
+    out = []
+    for p in periods:
+        w = 2 * np.pi / p
+        theta = 0.5 * np.arctan2(np.sum(np.sin(2 * w * t)), np.sum(np.cos(2 * w * t)))
+        ct, st = np.cos(w * t - theta), np.sin(w * t - theta)
+        out.append(
+            0.5 * ((y @ ct) ** 2 / (ct @ ct) + (y @ st) ** 2 / (st @ st)) / var
+        )
+    return np.array(out)
+
+
+def test_lomb_scargle_finds_period_on_irregular_samples(spark):
+    from tstoolbox_spark.operators.signal import lomb_scargle
+
+    rng = np.random.RandomState(17)
+    # irregular sampling: random times over 30 days, 24 h sine + noise
+    t = np.sort(rng.uniform(0, 30 * 86400, 500))
+    x = 3.0 * np.sin(2 * np.pi * t / 86400.0) + rng.normal(size=500)
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(t, unit="s"), "value": x}
+    )
+    periods = [6 * 3600.0, 12 * 3600.0, 86400.0, 2 * 86400.0, 7 * 86400.0]
+    got = (
+        lomb_scargle(to_sdf(spark, pdf), "value", periods)
+        .orderBy("period_s")
+        .toPandas()
+    )
+    want = _np_lomb(t, x, sorted(periods))
+    assert np.allclose(got["power"].to_numpy(), want, rtol=1e-6)
+    # the 24 h trial period dominates by an order of magnitude
+    p = dict(zip(got["period_s"], got["power"]))
+    assert p[86400.0] > 10 * max(v for k, v in p.items() if k != 86400.0)
+
+
+def test_lomb_scargle_keyed(spark):
+    from tstoolbox_spark.operators.signal import lomb_scargle
+
+    rng = np.random.RandomState(2)
+    frames = []
+    for k, period in (("daily", 86400.0), ("weekly", 7 * 86400.0)):
+        t = np.sort(rng.uniform(0, 60 * 86400, 400))
+        x = 2.0 * np.sin(2 * np.pi * t / period) + rng.normal(size=400)
+        f = pd.DataFrame({"ts": pd.to_datetime(t, unit="s"), "value": x})
+        f["k"] = k
+        frames.append((k, period, f))
+    df = to_sdf(spark, pd.concat([f for *_, f in frames], ignore_index=True))
+    periods = [86400.0, 7 * 86400.0]
+    got = lomb_scargle(df, "value", periods, key_cols=["k"]).collect()
+    by = {(r["k"], r["period_s"]): r["power"] for r in got}
+    assert by[("daily", 86400.0)] > 5 * by[("daily", 7 * 86400.0)]
+    assert by[("weekly", 7 * 86400.0)] > 5 * by[("weekly", 86400.0)]

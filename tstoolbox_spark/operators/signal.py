@@ -338,3 +338,96 @@ def gaussian_kde(
 
     grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__g"))
     return grouped.applyInPandas(_kde, schema=schema)
+
+
+def lomb_scargle(
+    df: DataFrame,
+    value_col: str,
+    periods_seconds: Sequence[float],
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Lomb-Scargle periodogram per key at explicit trial periods
+    (Scargle 1982, the classical τ-rotated form) — spectral power for
+    IRREGULARLY sampled series, where :func:`fft_filter` (which needs
+    a regular grid) cannot go. Emits (keys, period_s, power) with
+    power normalized by the sample variance (Horne & Baliunas 1986),
+    so ~1 is noise level and the dominant cycle peaks far above it.
+
+    Scale shape: ONE pass — the trial-frequency table (a handful of
+    literals) broadcast-cross-joins the input, the nine trig partial
+    sums aggregate map-side per (key, ω), and the τ rotation, centered
+    numerators, and power are pure column arithmetic on the ≤|keys|×F
+    aggregated rows. No window, no self-join; communication is
+    F × partitions partial rows. Timestamps are centered on the
+    per-key minimum (pinned metadata literals) so ωt stays small and
+    the trig arguments are well-conditioned at any epoch."""
+    spark = df.sparkSession
+    keys = list(key_cols)
+    gkeys = keys or ["__g"]
+    pts = df.select(
+        *keys,
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)).alias(
+            "__t"
+        ),
+        F.col(value_col).cast("double").alias("__x"),
+    ).where(F.col("__x").isNotNull())
+    if not keys:
+        pts = pts.withColumn("__g", F.lit(1))
+    t0 = pts.groupBy(*gkeys).agg(F.min("__t").alias("__t0")).collect()
+    t0_schema = ", ".join(
+        [f"{k} {pts.schema[k].dataType.simpleString()}" for k in gkeys]
+        + ["__t0 double"]
+    )
+    t0_df = spark.createDataFrame(
+        [(*[r[k] for k in gkeys], float(r["__t0"])) for r in t0], t0_schema
+    )
+    import math
+
+    freqs = spark.createDataFrame(
+        [(float(p), 2.0 * math.pi / float(p)) for p in periods_seconds],
+        "period_s double, __w double",
+    )
+    e = (
+        pts.join(F.broadcast(t0_df), gkeys)
+        .crossJoin(F.broadcast(freqs))
+        .withColumn("__arg", F.col("__w") * (F.col("__t") - F.col("__t0")))
+        .withColumn("__c", F.cos("__arg"))
+        .withColumn("__s", F.sin("__arg"))
+    )
+    xc, cc, sc = F.col("__x"), F.col("__c"), F.col("__s")
+    agg = e.groupBy(*gkeys, "period_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("__sx"),
+        F.sum(xc * xc).alias("__sxx"),
+        F.sum(xc * cc).alias("__sxc"),
+        F.sum(xc * sc).alias("__sxs"),
+        F.sum(cc * cc).alias("__scc"),
+        F.sum(sc * sc).alias("__sss"),
+        F.sum(sc * cc).alias("__ssc"),
+        F.sum(cc).alias("__sc"),
+        F.sum(sc).alias("__ss"),
+    )
+    n = F.col("n").cast("double")
+    xbar = F.col("__sx") / n
+    yc = F.col("__sxc") - xbar * F.col("__sc")
+    ys = F.col("__sxs") - xbar * F.col("__ss")
+    theta = F.lit(0.5) * F.atan2(
+        F.lit(2.0) * F.col("__ssc"), F.col("__scc") - F.col("__sss")
+    )
+    ct, st = F.cos(theta), F.sin(theta)
+    a_num = ct * yc + st * ys
+    b_num = ct * ys - st * yc
+    ccd = ct * ct * F.col("__scc") + st * st * F.col("__sss") + F.lit(
+        2.0
+    ) * ct * st * F.col("__ssc")
+    ssd = st * st * F.col("__scc") + ct * ct * F.col("__sss") - F.lit(
+        2.0
+    ) * ct * st * F.col("__ssc")
+    var = (F.col("__sxx") - n * xbar * xbar) / (n - F.lit(1.0))
+    power = (
+        F.lit(0.5)
+        * (a_num * a_num / ccd + b_num * b_num / ssd)
+        / var
+    )
+    return agg.select(*keys, "period_s", "n", power.alias("power"))
