@@ -5559,6 +5559,29 @@ def _queries_round3d() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lomb_scargle_periods"] = q_lomb
 
+    def q_kalman(s, d):
+        """Local-level Kalman filter (q=0.5, r=4) per event_type over
+        hourly means (scan.kalman_level — grouped-map sequential per
+        key, the holt/dtw convention; oracle = the identical recursion
+        as a recursive CTE, bit-equal arithmetic, ROUND(6))."""
+        from tstoolbox_spark.operators.scan import kalman_level
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = kalman_level(
+            hourly, q=0.5, r=4.0, value_col="value_mean",
+            key_cols=["event_type"],
+        )
+        return out.select(
+            "event_type", "ts",
+            F.round("level", 6).alias("level"),
+            F.round("p_var", 6).alias("p_var"),
+            F.round("gain", 6).alias("gain"),
+        )
+
+    q["kalman_level_hourly"] = q_kalman
+
     return q
 
 
@@ -5868,6 +5891,32 @@ def _oracles_round3d() -> dict[str, str]:
                ROUND(0.5 * (a_num * a_num / ccd + b_num * b_num / ssd)
                      / var, 5) AS power
         FROM c
+    """
+
+    # kalman_level_hourly: the identical predict/update recursion
+    # stepped per key by a recursive CTE (the ewm_mean_span12
+    # skeleton); q=0.5, r=4 as 5e-1/4e0 DOUBLE literals, diffuse init
+    # (m=x, p=r, gain=1), the same IEEE expression order, ROUND(6).
+    o["kalman_level_hourly"] = """
+        WITH RECURSIVE h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                   / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, ts, rn, x AS m, 4e0 AS p, 1e0 AS k
+          FROM h WHERE rn = 1
+          UNION ALL
+          SELECT h.event_type, h.ts, h.rn,
+                 r.m + ((r.p + 5e-1) / ((r.p + 5e-1) + 4e0)) * (h.x - r.m),
+                 (1e0 - (r.p + 5e-1) / ((r.p + 5e-1) + 4e0)) * (r.p + 5e-1),
+                 (r.p + 5e-1) / ((r.p + 5e-1) + 4e0)
+          FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        SELECT event_type, ts, ROUND(m, 6) AS level, ROUND(p, 6) AS p_var,
+               ROUND(k, 6) AS gain
+        FROM r
     """
 
     return o

@@ -265,3 +265,52 @@ def test_holt_winters_multiplicative_matches_numpy(spark):
         np.testing.assert_allclose(g["fitted"], fit, rtol=1e-12)
         # multiplicative seasonal factors hover around 1
         assert 0.5 < g["seasonal"].mean() < 1.5
+
+
+def _kalman_numpy(y, q, r):
+    m, p = float(y[0]), r
+    lvl, pv, kn = [m], [p], [1.0]
+    for t in range(1, len(y)):
+        p_pred = p + q
+        k = p_pred / (p_pred + r)
+        m = m + k * (float(y[t]) - m)
+        p = (1.0 - k) * p_pred
+        lvl.append(m); pv.append(p); kn.append(k)
+    return np.array(lvl), np.array(pv), np.array(kn)
+
+
+def test_kalman_level_matches_numpy_and_tracks(spark):
+    from tstoolbox_spark.operators.scan import kalman_level
+
+    pdf = _series(seed=8, n=400, keys=("a",)).drop(columns=["key"])
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        kalman_level(sdf, q=0.5, r=4.0)
+        .orderBy("ts")
+        .toPandas()
+    )
+    lvl, pv, kn = _kalman_numpy(pdf["value"].to_numpy(), 0.5, 4.0)
+    assert np.allclose(out["level"], lvl, rtol=0, atol=0)  # bit-equal
+    assert np.allclose(out["p_var"], pv, rtol=0, atol=0)
+    assert np.allclose(out["gain"], kn, rtol=0, atol=0)
+    # gain converges to the closed-form steady state
+    p_inf = (0.5 + np.sqrt(0.25 + 4 * 0.5 * 4.0)) / 2
+    k_inf = p_inf / (p_inf + 4.0)
+    assert abs(out["gain"].iloc[-1] - k_inf) < 1e-12
+    # the filtered level tracks the random walk: residual variance of
+    # (level - value) well below raw noise scale
+    assert np.std(out["level"].to_numpy() - pdf["value"].to_numpy()) < 4.0
+
+
+def test_kalman_level_keyed_and_validates(spark):
+    from tstoolbox_spark.operators.scan import kalman_level
+
+    pdf = _series(seed=2, n=150)
+    sdf = spark.createDataFrame(pdf)
+    rows = kalman_level(sdf, q=1.0, r=2.0, key_cols=["key"]).toPandas()
+    for k, g in pdf.groupby("key"):
+        got = rows[rows["key"] == k].sort_values("ts")
+        lvl, _, _ = _kalman_numpy(g.sort_values("ts")["value"].to_numpy(), 1.0, 2.0)
+        assert np.allclose(got["level"].to_numpy(), lvl, rtol=0, atol=0)
+    with pytest.raises(ValueError, match="need q > 0"):
+        kalman_level(sdf, q=0.0, r=1.0)

@@ -425,3 +425,70 @@ def holt_winters_forecast(
             + F.col("__s")
         ).alias("yhat"),
     )
+
+
+def kalman_level(
+    df: DataFrame,
+    q: float,
+    r: float,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kalman filter for the local-level model per key (random-walk
+    state + observation noise; Harvey 1989 §3.2 / Durbin & Koopman
+    §2.2 — public textbook form):
+
+        predict:  m⁻ = m_{t-1},  P⁻ = P_{t-1} + q
+        update:   K = P⁻ / (P⁻ + r)
+                  m_t = m⁻ + K·(y_t − m⁻),  P_t = (1 − K)·P⁻
+
+    Diffuse init: m_1 = y_1, P_1 = r (the P⁻→∞ limit of the update).
+    Output: keys + (ts, value, level, p_var, gain) where ``level`` is
+    the filtered mean E[μ_t | y_1..y_t].
+
+    Scale/determinism shape (the holt/dtw convention): keys
+    parallelize via grouped-map pandas; within-key is honestly
+    sequential, mirrored 1:1 by a DuckDB recursive-CTE oracle. Note
+    the gain schedule is DATA-INDEPENDENT — K_t converges
+    geometrically to the steady state K∞ = P∞/(P∞ + r) with
+    P∞ = (q + √(q² + 4qr))/2 (the positive root of the scalar
+    Riccati fixed point P = (1−K)(P+q)), after which the filter IS
+    an EWM with α = K∞ (``ewm_window``'s 100-TB scan path)
+    — so the steady-state limit of this verb already has a fully
+    distributed twin; this exact path adds the transient gains and
+    the per-row posterior variance."""
+    if q <= 0 or r <= 0:
+        raise ValueError(f"need q > 0 and r > 0, got q={q}, r={r}")
+    keys = list(key_cols)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(*keys, ts_col, F.col(value_col).cast("double").alias(value_col))
+    out_schema = ", ".join(
+        [f"{c} {base.schema[c].dataType.simpleString()}" for c in keys]
+        + [f"{ts_col} {base.schema[ts_col].dataType.simpleString()}",
+           f"{value_col} double", "level double", "p_var double",
+           "gain double"]
+    )
+    qf, rf = float(q), float(r)
+
+    def _kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(ts_col)
+        y = g[value_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        lvl = np.empty(n); pv = np.empty(n); kn = np.empty(n)
+        m, p = float(y[0]), rf
+        lvl[0], pv[0], kn[0] = m, p, 1.0
+        for t in range(1, n):
+            # shape mirrored 1:1 by the recursive-CTE oracle
+            p_pred = p + qf
+            k = p_pred / (p_pred + rf)
+            m = m + k * (float(y[t]) - m)
+            p = (1.0 - k) * p_pred
+            lvl[t], pv[t], kn[t] = m, p, k
+        res = g[[*keys, ts_col, value_col]].copy()
+        res["level"], res["p_var"], res["gain"] = lvl, pv, kn
+        return res
+
+    grouped = base.groupBy(*keys) if keys else base.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(_kalman, schema=out_schema)
