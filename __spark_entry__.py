@@ -5582,6 +5582,23 @@ def _queries_round3d() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kalman_level_hourly"] = q_kalman
 
+    def q_pack_bins(s, d):
+        """No-split bin packing (NFD per md5 hash shard, capacity 2048
+        chars) over documents — the whole-doc complement of
+        chunk_pack_64 (textops.packing.pack_bins)."""
+        from tstoolbox_spark.textops.packing import pack_bins
+
+        docs = _docs(s, d).select("doc_id", "n_chars")
+        out = pack_bins(
+            docs, capacity=2048, size_col="n_chars", n_shards=8
+        )
+        return out.select(
+            "doc_id", "n_chars", "shard", "bin",
+            F.col("oversize").cast("int").alias("oversize"),
+        )
+
+    q["pack_bins_2048"] = q_pack_bins
+
     return q
 
 
@@ -5916,6 +5933,35 @@ def _oracles_round3d() -> dict[str, str]:
           FROM h JOIN r ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         SELECT event_type, ts, ROUND(m, 6) AS level, ROUND(p, 6) AS p_var,
                ROUND(k, 6) AS gain
+        FROM r
+    """
+
+    # pack_bins_2048: identical md5 shards, identical NFD walk — rows
+    # ordered (n_chars DESC, doc_id) per shard, the reset-running-sum
+    # stepped by a recursive CTE (integer state, exact).
+    o["pack_bins_2048"] = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, n_chars,
+                 CAST({_md5int_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+                   AS shard,
+                 row_number() OVER (
+                   PARTITION BY CAST({_md5int_sql("CAST(doc_id AS VARCHAR)")}
+                                     % 8 AS INT)
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars, shard, rn,
+                 CAST(0 AS BIGINT) AS bin, n_chars AS fill
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.n_chars, d.shard, d.rn,
+                 CASE WHEN r.fill + d.n_chars > 2048
+                      THEN r.bin + 1 ELSE r.bin END,
+                 CASE WHEN r.fill + d.n_chars > 2048
+                      THEN d.n_chars ELSE r.fill + d.n_chars END
+          FROM d JOIN r ON d.shard = r.shard AND d.rn = r.rn + 1)
+        SELECT doc_id, n_chars, shard, bin,
+               CAST(n_chars > 2048 AS INT) AS oversize
         FROM r
     """
 

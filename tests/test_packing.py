@@ -114,3 +114,53 @@ def test_shard_assign_validates(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "n_tok": [5]}))
     with pytest.raises(ValueError):
         shard_assign(df, 0)
+
+
+def _nfd_reference(pdf, cap):
+    """Same NFD rule in plain pandas, per shard."""
+    out = {}
+    for shard, g in pdf.groupby("shard"):
+        g = g.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        b, fill, first = 0, 0, True
+        for _, row in g.iterrows():
+            sz = int(row["n_tok"])
+            if not first and fill + sz > cap:
+                b, fill = b + 1, 0
+            first = False
+            fill += sz
+            out[row["doc_id"]] = (shard, b)
+    return out
+
+
+def test_pack_bins_invariants_and_reference_parity(spark):
+    from tstoolbox_spark.textops.packing import pack_bins
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), int(rng.randint(10, 400))) for i in range(300)]
+    # a couple of oversize docs
+    rows += [(1000, 900), (1001, 2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = pack_bins(df, capacity=512, n_shards=4).toPandas()
+    assert len(got) == len(rows)  # every doc assigned exactly once
+    assert set(got["doc_id"]) == {r[0] for r in rows}
+    # bin totals respect capacity except single-doc oversize bins
+    for (shard, b), g in got.groupby(["shard", "bin"]):
+        tot = g["n_tok"].sum()
+        if tot > 512:
+            assert len(g) == 1 and bool(g["oversize"].iloc[0])
+    assert got["oversize"].sum() == 2
+    # parity with the plain-pandas NFD reference on identical shards
+    want = _nfd_reference(got[["doc_id", "n_tok", "shard"]], 512)
+    for _, row in got.iterrows():
+        assert want[row["doc_id"]] == (row["shard"], row["bin"])
+
+
+def test_pack_bins_partitioning_independent(spark):
+    from tstoolbox_spark.textops.packing import pack_bins
+
+    rows = [(int(i), int((i * 37) % 300 + 20)) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    df2 = df1.repartition(13)
+    a = pack_bins(df1, 256, n_shards=4).orderBy("doc_id").toPandas()
+    b = pack_bins(df2, 256, n_shards=4).orderBy("doc_id").toPandas()
+    assert (a[["doc_id", "shard", "bin"]].values == b[["doc_id", "shard", "bin"]].values).all()

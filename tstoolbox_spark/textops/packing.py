@@ -132,3 +132,71 @@ def shard_assign(
     pos = i % F.lit(n_shards)
     serp = F.when(block % 2 == 0, pos).otherwise(F.lit(n_shards - 1) - pos)
     return ranked.withColumn(out_col, serp.cast("int")).drop("__r")
+
+
+def pack_bins(
+    df: DataFrame,
+    capacity: int,
+    size_col: str = "n_tok",
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+    shard_col: str = "shard",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Whole-document training-example packing: assign docs to bins of
+    at most ``capacity`` total size WITHOUT splitting any document —
+    the no-truncation complement of :func:`chunk_pack_tokens` (which
+    concatenates and slices). The packing rule is next-fit decreasing
+    (NFD): within a shard, walk docs by (size desc, id) and open a new
+    bin whenever the current doc no longer fits; decreasing order
+    keeps per-bin waste ≤ the smallest doc seen so far (classic
+    bin-packing bound, Johnson 1973 — public).
+
+    Scale shape: bins never cross shards. Docs hash-shard by
+    ``md5int(id) % n_shards`` (content-addressed — deterministic,
+    partitioning-independent, subset-stable like
+    ``sampling.hash_sample``), each shard packs independently in one
+    grouped-map pandas pass (integer-only state → exact), and shards
+    parallelize. Bin ids are (shard, local bin) pairs. Oversize docs
+    (size > capacity) get a bin of their own and ``oversize=true`` —
+    flag, don't drop (the caller decides truncate-vs-skip).
+
+    Output: input columns + (shard int, bin long, oversize boolean).
+    No reference twin (training-data extension, tokens axis)."""
+    import pandas as pd
+
+    from .dedup import md5int
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    spark = df.sparkSession
+    ns = int(n_shards or spark.sparkContext.defaultParallelism)
+    sharded = df.withColumn(
+        shard_col,
+        (md5int(F.col(id_col).cast("string")) % F.lit(ns)).cast("int"),
+    )
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in sharded.schema.fields]
+        + [f"{bin_col} long", "oversize boolean"]
+    )
+    cap = int(capacity)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, fills, b, fill = [], [], 0, 0
+        first = True
+        for sz in g[size_col].astype("int64"):
+            if not first and fill + sz > cap:
+                b += 1
+                fill = 0
+            first = False
+            fill += int(sz)
+            bins.append(b)
+            fills.append(fill)
+        g[bin_col] = pd.Series(bins, dtype="int64")
+        g["oversize"] = g[size_col].astype("int64") > cap
+        return g
+
+    return sharded.groupBy(shard_col).applyInPandas(_pack, out_schema)
