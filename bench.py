@@ -74,6 +74,13 @@ BENCH_QUERIES = [
     "psi_value_halves",
     "ks_click_view",
     "adf_value_hourly",
+    # causal / spectral / state-space family + no-split packing
+    "granger_click_view",
+    "mann_kendall_hourly",
+    "engle_granger_click_view",
+    "lomb_scargle_periods",
+    "kalman_level_hourly",
+    "pack_bins_2048",
 ]
 
 
