@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_pipeline_queries_round3b())
     q.update(_queries_round3c())
     q.update(_queries_round3d())
+    q.update(_queries_round3e())
 
     # The round driver checks the FIRST 50 entries in insertion order
     # (confirmed in VERDICT r1/r2). Window placement is coverage
@@ -1449,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_pipeline_oracles_round3b())
     o.update(_oracles_round3c())
     o.update(_oracles_round3d())
+    o.update(_oracles_round3e())
     return o
 
 
@@ -5963,6 +5965,91 @@ def _oracles_round3d() -> dict[str, str]:
         SELECT doc_id, n_chars, shard, bin,
                CAST(n_chars > 2048 AS INT) AS oversize
         FROM r
+    """
+
+    return o
+
+
+# --------------------------------------------------------------------------
+# round 3e: tokenizer training (BPE), vocabulary remap, DSIR importance
+# weights — the "tokens payload" extension family
+
+
+def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def q_bpe(s, d):
+        """Distributed BPE merge learning (Sennrich, Haddow & Birch
+        2016), 3 rounds over md5-hashed word tokens: each round is one
+        map-side-combined adjacent-pair groupBy, a 1-row collect, and a
+        narrow JVM merge apply (textops/bpe.py — O(n) transform path
+        for a!=b, Catalyst fold for the sequential a==b case). Rounds
+        2-3's pair counts are statistics of rounds 1-2's MERGED arrays,
+        so matching them proves the merge application corpus-wide, not
+        just the histogram."""
+        from tstoolbox_spark.textops.bpe import learn_bpe
+        from tstoolbox_spark.textops.dedup import md5int, words
+
+        docs = _docs(s, d).select(
+            F.transform(
+                words(F.col("text")),
+                lambda w: (md5int(w) % 50000).cast("int"),
+            ).alias("tokens")
+        )
+        merges, _ = learn_bpe(docs, 3, new_id_start=50000)
+        return s.createDataFrame(
+            [(m["rnd"], m["a"], m["b"], m["new_id"], m["pair_count"]) for m in merges],
+            "rnd INT, a INT, b INT, new_id INT, pair_count BIGINT",
+        )
+
+    q["bpe_learn_3"] = q_bpe
+
+    return q
+
+
+def _oracles_round3e() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    # bpe_learn_3: token streams encoded as ',t1,,t2,,t3,' strings so
+    # DuckDB's left-to-right non-overlapping replace() implements the
+    # exact BPE merge semantics ([a,a,a] merges the FIRST pair only);
+    # each round re-derives pair counts from the merged string, so the
+    # chain checks application + histogram + tie-break end-to-end.
+    _tok = f"list_transform({_WORDS}, w -> CAST({_md5int_sql('w')} % 50000 AS VARCHAR))"
+
+    def _round(k: int, prev: str) -> str:
+        new_id = 50000 + k - 1
+        return f"""
+        p{k} AS (
+          SELECT tk[i + 1] AS a, tk[i + 2] AS b, COUNT(*) AS cnt
+          FROM (SELECT string_split(trim(s, ','), ',,') AS tk FROM {prev}) t
+          CROSS JOIN LATERAL (SELECT unnest(range(len(tk) - 1)) AS i) g
+          GROUP BY 1, 2),
+        m{k} AS (
+          SELECT a, b, cnt FROM p{k}
+          ORDER BY cnt DESC, CAST(a AS BIGINT), CAST(b AS BIGINT) LIMIT 1),
+        s{k} AS (
+          SELECT replace(s,
+                         ',' || (SELECT a FROM m{k}) || ',,'
+                             || (SELECT b FROM m{k}) || ',',
+                         ',{new_id},') AS s
+          FROM {prev})"""
+
+    o["bpe_learn_3"] = f"""
+        WITH s0 AS (
+          SELECT ',' || array_to_string({_tok}, ',,') || ',' AS s
+          FROM documents
+          WHERE len({_WORDS}) > 0),
+        {_round(1, 's0')},
+        {_round(2, 's1')},
+        {_round(3, 's2')}
+        SELECT CAST(r.rnd AS INT) AS rnd, CAST(r.a AS INT) AS a,
+               CAST(r.b AS INT) AS b, CAST(r.new_id AS INT) AS new_id,
+               CAST(r.cnt AS BIGINT) AS pair_count
+        FROM (
+          SELECT 1 AS rnd, a, b, 50000 AS new_id, cnt FROM m1
+          UNION ALL SELECT 2, a, b, 50001, cnt FROM m2
+          UNION ALL SELECT 3, a, b, 50002, cnt FROM m3) r
     """
 
     return o

@@ -1,0 +1,90 @@
+"""BPE merge learning (textops/bpe.py) vs a pure-Python reference
+implementation of Sennrich et al. 2016 semantics (left-to-right
+non-overlapping greedy merge, ties by count DESC then pair ASC)."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.types as T
+
+from tstoolbox_spark.textops.bpe import apply_merge, learn_bpe, pair_counts
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def py_apply_merge(seq, a, b, new_id):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(new_id)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def py_learn(corpus, n_merges, new_id_start):
+    corpus = [list(s) for s in corpus]
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts = {}
+        for s in corpus:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        new_id = new_id_start + rnd - 1
+        merges.append((rnd, a, b, new_id, cnt))
+        corpus = [py_apply_merge(s, a, b, new_id) for s in corpus]
+    return merges, corpus
+
+
+def test_apply_merge_overlap_and_edges(spark):
+    rows = [
+        ("d1", [7, 7, 7]),
+        ("d2", [7, 7, 7, 7]),
+        ("d3", [7]),
+        ("d4", []),
+        ("d5", [1, 7, 7, 2, 7, 7, 7]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["doc_id"]: r["tokens"] for r in apply_merge(df, 7, 7, 99).collect()}
+    for doc_id, seq in rows:
+        assert got[doc_id] == py_apply_merge(seq, 7, 7, 99), doc_id
+
+
+def test_apply_merge_distinct_pair(spark):
+    rows = [("d%d" % i, [random.Random(i).randint(0, 4) for _ in range(30)]) for i in range(20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["doc_id"]: r["tokens"] for r in apply_merge(df, 1, 2, 99).collect()}
+    for doc_id, seq in rows:
+        assert got[doc_id] == py_apply_merge(seq, 1, 2, 99), doc_id
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    rng = random.Random(42)
+    corpus = [[rng.randint(0, 7) for _ in range(rng.randint(0, 40))] for _ in range(60)]
+    rows = [("d%03d" % i, s) for i, s in enumerate(corpus)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    merges, out = learn_bpe(df, 5, new_id_start=100)
+    exp_merges, exp_corpus = py_learn(corpus, 5, 100)
+    assert [(m["rnd"], m["a"], m["b"], m["new_id"], m["pair_count"]) for m in merges] == exp_merges
+    got = {r["doc_id"]: r["tokens"] for r in out.collect()}
+    for (doc_id, _), exp in zip(rows, exp_corpus):
+        assert got[doc_id] == exp, doc_id
+    out.unpersist()
+
+
+def test_pair_counts_empty_and_short(spark):
+    df = spark.createDataFrame([("a", []), ("b", [5])], SCHEMA)
+    assert pair_counts(df).count() == 0

@@ -1,0 +1,172 @@
+"""Distributed byte-pair-encoding (BPE) merge learning over token arrays.
+
+Public methodology: Sennrich, Haddow & Birch 2016 ("Neural Machine
+Translation of Rare Words with Subword Units") — iteratively replace the
+most frequent adjacent token pair with a fresh token id.  This is the
+inner loop of training a subword tokenizer, and at 100 TB it is the one
+tokenizer stage that genuinely needs the cluster: the pair histogram is
+a full-corpus aggregate.
+
+Spark-first shape (per merge round):
+
+* **pair counts** — explode adjacent pairs, one map-side-combined
+  ``groupBy(a, b).count()``; the only shuffle of the round, and the
+  combiner reduces it to (distinct pairs × partitions) rows.
+* **top-1 selection** — a 1-row collect (metadata scale; ties broken by
+  count DESC, a ASC, b ASC so the result is partitioning-independent).
+* **merge apply** — a narrow whole-stage-codegen pass, no shuffle:
+
+  - ``a != b``: matches can never overlap (a match at *i* and *i+1*
+    would force ``b == a``), so the apply is a pure O(n)
+    ``transform``+``filter`` over the token array.
+  - ``a == b``: left-to-right non-overlap is genuinely sequential
+    (``[a,a,a]`` merges the FIRST pair only), so the apply is a
+    Catalyst ``aggregate`` fold carrying (out, pending) state.  Still
+    JVM-side; O(n²) array-append per row, which is fine for document
+    tokens and rare (same-token merges are the exception).
+
+Rounds chain narrow plans; ``learn_bpe`` persists each round's frame
+and unpersists the previous one so lineage stays one round deep (at
+petabyte scale you would localCheckpoint every few rounds instead).
+
+Reference scope note: the reference engine (the-real-werd/tstoolbox)
+has no tokenizer-training verb — this is part of the training-data
+pipeline extension family (like packing/dedup/contamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def adjacent_pairs(tokens: Column) -> Column:
+    """array<struct<a,b>> of adjacent token pairs (empty for len<2)."""
+    return F.transform(
+        F.slice(tokens, F.lit(1), F.greatest(F.size(tokens) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("a"), F.element_at(tokens, i + 2).alias("b")
+        ),
+    )
+
+
+def pair_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Adjacent-pair frequency table: (a, b, cnt).
+
+    One explode + one groupBy with map-side partial aggregation —
+    the canonical BPE statistics pass.
+    """
+    pairs = F.explode(adjacent_pairs(F.col(tokens_col))).alias("p")
+    return (
+        df.select(pairs)
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def apply_merge(
+    df: DataFrame, a: int, b: int, new_id: int, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Replace left-to-right non-overlapping occurrences of the
+    adjacent pair (a, b) with new_id inside ``tokens_col``.
+
+    Narrow (no shuffle); stays inside whole-stage codegen.
+    """
+    t = F.col(tokens_col)
+    n = F.size(t)
+    la, lb, ln = F.lit(int(a)), F.lit(int(b)), F.lit(int(new_id)).cast("int")
+    if a != b:
+        # non-overlapping by construction → vectorized O(n) path
+        idx = F.sequence(F.lit(0), n - 1)
+
+        def start(i: Column) -> Column:
+            return (F.element_at(t, i + 1) == la) & (
+                (i + 1 < n) & (F.element_at(t, i + 2) == lb)
+            )
+
+        mapped = F.transform(
+            idx,
+            lambda i: F.when(start(i), ln)
+            .when((i > 0) & start(i - 1), F.lit(None).cast("int"))
+            .otherwise(F.element_at(t, i + 1)),
+        )
+        merged = F.filter(mapped, lambda x: x.isNotNull())
+        out = F.when(n < 2, t).otherwise(merged)
+    else:
+        # a == b: sequential left-to-right semantics ([a,a,a] → [new,a])
+        # via a Catalyst fold with (out, pending) state — still JVM-side.
+        def step(acc: Column, x: Column) -> Column:
+            hit = acc["prev"].isNotNull() & (acc["prev"] == la) & (x == lb)
+            return F.when(
+                hit,
+                F.struct(
+                    F.concat(acc["out"], F.array(ln)).alias("out"),
+                    F.lit(None).cast("int").alias("prev"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+                    )
+                    .otherwise(acc["out"])
+                    .alias("out"),
+                    x.alias("prev"),
+                )
+            )
+
+        zero = F.struct(
+            F.array().cast("array<int>").alias("out"),
+            F.lit(None).cast("int").alias("prev"),
+        )
+        out = F.aggregate(
+            t,
+            zero,
+            step,
+            lambda acc: F.when(
+                acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+            ).otherwise(acc["out"]),
+        )
+    return df.withColumn(tokens_col, out)
+
+
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int,
+    tokens_col: str = "tokens",
+    new_id_start: int = 50000,
+) -> tuple[list[dict], DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus.
+
+    Returns (merges, merged_df) where merges is a list of
+    {rnd, a, b, new_id, pair_count} dicts (1-based rounds) and
+    merged_df carries the token arrays after all merges.
+
+    Each round costs one shuffle (the pair histogram) and a 1-row
+    collect; the merge apply is narrow.  Stops early if no pair
+    occurs at least twice.
+    """
+    cur = df.persist()
+    merges: list[dict] = []
+    try:
+        for rnd in range(1, n_merges + 1):
+            top = (
+                pair_counts(cur, tokens_col)
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < 2:
+                break
+            a, b, cnt = int(top[0]["a"]), int(top[0]["b"]), int(top[0]["cnt"])
+            new_id = new_id_start + rnd - 1
+            merges.append(
+                {"rnd": rnd, "a": a, "b": b, "new_id": new_id, "pair_count": cnt}
+            )
+            nxt = apply_merge(cur, a, b, new_id, tokens_col).persist()
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        pass
+    return merges, cur
