@@ -6004,6 +6004,55 @@ def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_learn_3"] = q_bpe
 
+    def q_vocab_remap(s, d):
+        """Vocabulary truncation (textops/bpe.py vocab_remap): top-16
+        tokens by frequency kept, the rest remapped to UNK=50000 via a
+        broadcast membership join + ordered per-doc re-collect. The
+        checksum is position-weighted (Σ (i+1)·t_i mod 1e9+7) so it
+        proves the remapped token ORDER, and n_oov proves the
+        membership split."""
+        from tstoolbox_spark.textops.bpe import vocab_remap
+        from tstoolbox_spark.textops.dedup import md5int, words
+
+        docs = _docs(s, d).select(
+            "doc_id",
+            F.transform(
+                words(F.col("text")),
+                lambda w: (md5int(w) % 50000).cast("int"),
+            ).alias("tokens"),
+        )
+        out = vocab_remap(docs, 16, unk_id=50000)
+        checksum = F.aggregate(
+            F.col("tokens"),
+            F.struct(
+                F.lit(0).cast("long").alias("i"), F.lit(0).cast("long").alias("s")
+            ),
+            lambda acc, x: F.struct(
+                (acc["i"] + 1).alias("i"),
+                (acc["s"] + (acc["i"] + 1) * x).alias("s"),
+            ),
+            lambda acc: acc["s"] % 1000000007,
+        )
+        return out.select("doc_id", "n_tok", "n_oov", checksum.alias("checksum"))
+
+    q["vocab_remap_16"] = q_vocab_remap
+
+    def q_dsir(s, d):
+        """DSIR importance log-weights (Xie et al. 2023) for resampling
+        the corpus toward a target slice (sources src0-src2): hashed
+        unigram bucket histograms (256 buckets, metadata scale,
+        broadcast) scored against per-doc bucket counts. Terms are
+        floor-quantized to 1e-6 before the per-doc sum, so logw_q6 is
+        an association-free BIGINT (textops/sampling.py
+        dsir_logweights)."""
+        from tstoolbox_spark.textops.sampling import dsir_logweights
+
+        docs = _docs(s, d)
+        target = docs.where(F.col("source").isin("src0", "src1", "src2"))
+        return dsir_logweights(docs, target, n_buckets=256)
+
+    q["dsir_weights"] = q_dsir
+
     return q
 
 
@@ -6050,6 +6099,70 @@ def _oracles_round3e() -> dict[str, str]:
           SELECT 1 AS rnd, a, b, 50000 AS new_id, cnt FROM m1
           UNION ALL SELECT 2, a, b, 50001, cnt FROM m2
           UNION ALL SELECT 3, a, b, 50002, cnt FROM m3) r
+    """
+
+    # vocab_remap_16: same frequency/tie ordering for the vocabulary,
+    # same UNK substitution, same position-weighted checksum (all
+    # integer arithmetic — sums stay far below the modulus, so the
+    # one-shot mod here equals Spark's fold).
+    o["vocab_remap_16"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform({_WORDS},
+                                w -> CAST({_md5int_sql('w')} % 50000 AS BIGINT))
+                   AS tk
+          FROM documents),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tk[i + 1] AS tok, COUNT(*) AS cnt
+            FROM toks
+            CROSS JOIN LATERAL (SELECT unnest(range(len(tk))) AS i) g
+            GROUP BY 1)
+          ORDER BY cnt DESC, tok ASC LIMIT 16),
+        ex AS (
+          SELECT doc_id, i,
+                 CASE WHEN tk[i + 1] IN (SELECT tok FROM vocab)
+                      THEN tk[i + 1] ELSE 50000 END AS m,
+                 CASE WHEN tk[i + 1] IN (SELECT tok FROM vocab)
+                      THEN 0 ELSE 1 END AS oov
+          FROM toks
+          CROSS JOIN LATERAL (SELECT unnest(range(len(tk))) AS i) g)
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tok,
+               CAST(SUM(oov) AS INT) AS n_oov,
+               CAST(SUM(m * (i + 1)) % 1000000007 AS BIGINT) AS checksum
+        FROM ex GROUP BY doc_id
+    """
+
+    # dsir_weights: identical smoothing, identical double division and
+    # ln(), identical 1e-6 floor quantization per term — the summed
+    # BIGINT is association-free on both engines.
+    _b = f"{_md5int_sql('w')} % 256"
+    o["dsir_weights"] = f"""
+        WITH tgt AS (
+          SELECT {_b} AS b, COUNT(*) AS cnt
+          FROM (SELECT unnest({_WORDS}) AS w FROM documents
+                WHERE source IN ('src0', 'src1', 'src2'))
+          GROUP BY 1),
+        raw AS (
+          SELECT {_b} AS b, COUNT(*) AS cnt
+          FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+          GROUP BY 1),
+        ratio AS (
+          SELECT r.b,
+                 ln(CAST(COALESCE(t.cnt, 0) + 1 AS DOUBLE)
+                    / CAST((SELECT SUM(cnt) FROM tgt) + 256 AS DOUBLE))
+               - ln(CAST(r.cnt + 1 AS DOUBLE)
+                    / CAST((SELECT SUM(cnt) FROM raw) + 256 AS DOUBLE)) AS lr
+          FROM raw r LEFT JOIN tgt t USING (b)),
+        db AS (
+          SELECT doc_id, {_b} AS b, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)
+          GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS INT) AS n_words,
+               CAST(SUM(CAST(floor(c * lr * 1e6) AS BIGINT)) AS BIGINT)
+                 AS logw_q6
+        FROM db JOIN ratio USING (b)
+        GROUP BY doc_id
     """
 
     return o

@@ -88,3 +88,42 @@ def test_learn_bpe_matches_python_reference(spark):
 def test_pair_counts_empty_and_short(spark):
     df = spark.createDataFrame([("a", []), ("b", [5])], SCHEMA)
     assert pair_counts(df).count() == 0
+
+
+def test_vocab_remap_order_oov_and_empty(spark):
+    from tstoolbox_spark.textops.bpe import vocab_remap
+
+    rows = [
+        ("d1", [1, 2, 3, 1, 1, 2]),   # 1 x3, 2 x2, 3 x1
+        ("d2", [3, 3]),               # ties: 3 now x3 total
+        ("d3", []),
+        ("d4", [9]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # corpus counts: 1→3, 3→3, 2→2, 9→1; V=2 keeps {1, 3} (tie → id asc)
+    out = {r["doc_id"]: r for r in vocab_remap(df, 2, unk_id=0).collect()}
+    assert out["d1"]["tokens"] == [1, 0, 3, 1, 1, 0]
+    assert out["d1"]["n_oov"] == 2 and out["d1"]["n_tok"] == 6
+    assert out["d2"]["tokens"] == [3, 3] and out["d2"]["n_oov"] == 0
+    assert out["d3"]["tokens"] == [] and out["d3"]["n_tok"] == 0
+    assert out["d4"]["tokens"] == [0] and out["d4"]["n_oov"] == 1
+
+
+def test_dsir_logweights_prefers_target_like_docs(spark):
+    import pyspark.sql.types as T
+
+    from tstoolbox_spark.textops.sampling import dsir_logweights
+
+    sch = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    raw = spark.createDataFrame(
+        [("t%d" % i, "alpha beta gamma") for i in range(5)]
+        + [("r%d" % i, "delta epsilon zeta") for i in range(5)],
+        sch,
+    )
+    target = raw.where("doc_id like 't%'")
+    w = {r["doc_id"]: r["logw_q6"] for r in dsir_logweights(raw, target, n_buckets=64).collect()}
+    # target-like docs must outscore non-target docs, and each group is uniform
+    assert min(w[k] for k in w if k.startswith("t")) > max(w[k] for k in w if k.startswith("r"))
+    assert len({w[k] for k in w if k.startswith("t")}) == 1

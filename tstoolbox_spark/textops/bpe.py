@@ -170,3 +170,74 @@ def learn_bpe(
     finally:
         pass
     return merges, cur
+
+
+def token_vocab(
+    df: DataFrame, vocab_size: int, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Top-``vocab_size`` token ids by corpus frequency (ties broken by
+    token id ASC).  One map-side-combined groupBy + a distributed
+    takeOrdered — never a single-task global sort."""
+    return (
+        df.select(F.explode(tokens_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(vocab_size)
+    )
+
+
+def vocab_remap(
+    df: DataFrame,
+    vocab_size: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    unk_id: int = 0,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Remap every token outside the top-``vocab_size`` vocabulary to
+    ``unk_id`` — the vocabulary-truncation stage of tokenizer training.
+
+    Shape: posexplode → broadcast anti-membership against the (tiny)
+    vocab frame → ordered re-collect per document.  The vocab side is
+    ``vocab_size`` rows (metadata scale, explicitly broadcast); the
+    corpus pays one explode + one groupBy(doc) shuffle, with each token
+    moving exactly once.  Returns (id_col, tokens, n_tok, n_oov).
+
+    Docs whose token array is empty survive with an empty array (the
+    explode side uses posexplode_outer).
+    """
+    v = vocab if vocab is not None else token_vocab(df, vocab_size, tokens_col)
+    v = v.select(F.col("tok").alias("__vtok"), F.lit(True).alias("__inv"))
+    ex = df.select(
+        id_col, F.posexplode_outer(tokens_col).alias("__pos", "__tok")
+    )
+    joined = ex.join(
+        F.broadcast(v), ex["__tok"] == F.col("__vtok"), "left"
+    ).select(
+        id_col,
+        "__pos",
+        F.when(F.col("__pos").isNull(), F.lit(None).cast("int"))
+        .when(F.col("__inv").isNotNull(), F.col("__tok"))
+        .otherwise(F.lit(int(unk_id)).cast("int"))
+        .alias("__mapped"),
+        (F.col("__pos").isNotNull() & F.col("__inv").isNull()).cast("int").alias("__oov"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__pos").isNotNull(),
+                            F.struct(F.col("__pos"), F.col("__mapped")),
+                        )
+                    )
+                ),
+                lambda s: s["__mapped"],
+            ).alias(tokens_col),
+            F.sum("__oov").cast("int").alias("n_oov"),
+        )
+        .withColumn("n_tok", F.size(tokens_col).cast("int"))
+    )

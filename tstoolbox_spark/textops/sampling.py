@@ -137,3 +137,79 @@ def mixture_sample(
     return stratified_sample(
         df, rates, strata_col, id_col, default_fraction=0.0, salt=salt
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each raw
+    document by how much more likely its hashed-unigram features are
+    under a TARGET corpus than under the RAW corpus,
+
+        log w(x) = Σ_b c_b(x) · ( ln p̂_target(b) − ln p̂_raw(b) ),
+
+    with add-1-smoothed bucket probabilities over ``n_buckets`` hashed
+    word buckets.  High-weight documents are the ones to up-sample
+    (pair with ``hash_sample``/``mixture_sample`` for the resample
+    step).
+
+    Scale shape: two map-side-combined bucket histograms (target and
+    raw — n_buckets rows each, metadata scale), broadcast-joined onto
+    per-document bucket counts; one explode + one groupBy(doc) shuffle
+    over the corpus.  Every document bucket exists in the raw
+    histogram by construction, so no smoothing fallback join is
+    needed on the doc side.
+
+    Hash-stability: each per-bucket term is floor-quantized to 1e-6
+    BEFORE the per-document sum, so the output ``logw_q6`` (the weight
+    in millionths) is a BIGINT — association-order-free and
+    bit-reproducible across engines.  Divide by 1e6 for the float
+    weight.
+    """
+    feat = lambda c: (md5int(c) % n_buckets).cast("int")  # noqa: E731
+    from .dedup import words
+
+    def bucket_counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.explode(words(F.col(text_col))).alias("w"))
+            .select(feat(F.col("w")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    tgt = bucket_counts(target)
+    raw = bucket_counts(df)
+    t_total = tgt.agg(F.sum("cnt")).collect()[0][0] or 0
+    r_total = raw.agg(F.sum("cnt")).collect()[0][0] or 0
+    ratio = (
+        raw.alias("r")
+        .join(tgt.alias("t"), "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("t.cnt"), F.lit(0)) + 1).cast("double")
+                      / F.lit(float(t_total + n_buckets)))
+                - F.log((F.col("r.cnt") + 1).cast("double")
+                        / F.lit(float(r_total + n_buckets)))
+            ).alias("lr"),
+        )
+    )
+    doc_buckets = (
+        df.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
+        .select(id_col, feat(F.col("w")).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        doc_buckets.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("int").alias("n_words"),
+            F.sum(F.floor(F.col("c") * F.col("lr") * 1e6)).cast("long").alias("logw_q6"),
+        )
+    )
