@@ -6053,11 +6053,48 @@ def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = q_dsir
 
+    def q_pacf(s, d):
+        """Partial autocorrelation at lags 1-3 per event_type
+        (stats.pacf — Durbin-Levinson/Cramer closed forms over the
+        same association-free quantized ACF sums as ljung_box/ar2)."""
+        from tstoolbox_spark.operators.stats import pacf
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = pacf(hourly, "value_mean", max_lag=3, key_cols=["event_type"])
+        return out.select(
+            "event_type",
+            "lag",
+            (F.floor(F.col("pacf") * 1e6 + F.lit(0.5)) / 1e6).alias("pacf"),
+        )
+
+    q["pacf_3"] = q_pacf
+
+    def q_sax(s, d):
+        """SAX words (Lin et al. 2003) per event_type per day over the
+        hourly rollup: 8 PAA segments, 4-letter alphabet
+        (signal.sax_daily). No window sort — four map-side-combinable
+        groupBys; z-scores and PAA means ride quantized integer sums so
+        the symbolic words are engine-exact."""
+        from tstoolbox_spark.operators.signal import sax_daily
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        out = sax_daily(
+            hourly, "value_mean", key_cols=["event_type"], segments=8, alphabet=4
+        )
+        return out.select("event_type", "day", "sax_word", "n_points")
+
+    q["sax_daily_8"] = q_sax
+
     return q
 
 
 def _oracles_round3e() -> dict[str, str]:
     o: dict[str, str] = {}
+    DECS = "DECIMAL(28,2)"  # exact event-value sums (same as 3b/3c/3d)
 
     # bpe_learn_3: token streams encoded as ',t1,,t2,,t3,' strings so
     # DuckDB's left-to-right non-overlapping replace() implements the
@@ -6163,6 +6200,111 @@ def _oracles_round3e() -> dict[str, str]:
                  AS logw_q6
         FROM db JOIN ratio USING (b)
         GROUP BY doc_id
+    """
+
+    # pacf_3: the ar2_yule_walker quantized centered sums extended to
+    # lag 3; φ11/φ22 as in Yule-Walker, φ33 by Cramer's rule on the
+    # 3×3 Toeplitz system (verified ≡ Durbin-Levinson).
+    o["pacf_3"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('hour', ts)) AS rn
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e6 AS mu,
+                 COUNT(*) AS n
+          FROM h GROUP BY 1),
+        d AS (
+          SELECT h.event_type, rn, x - mu AS dv
+          FROM h JOIN st USING (event_type)),
+        l AS (
+          SELECT event_type, dv,
+                 lag(dv, 1) OVER (PARTITION BY event_type ORDER BY rn) AS l1,
+                 lag(dv, 2) OVER (PARTITION BY event_type ORDER BY rn) AS l2,
+                 lag(dv, 3) OVER (PARTITION BY event_type ORDER BY rn) AS l3
+          FROM d),
+        a AS (
+          SELECT event_type,
+                 SUM(CAST(floor(dv * dv * 1e6 + 0.5) AS BIGINT)) AS den,
+                 SUM(CAST(floor(dv * l1 * 1e6 + 0.5) AS BIGINT)) AS n1,
+                 SUM(CAST(floor(dv * l2 * 1e6 + 0.5) AS BIGINT)) AS n2,
+                 SUM(CAST(floor(dv * l3 * 1e6 + 0.5) AS BIGINT)) AS n3
+          FROM l GROUP BY 1),
+        r AS (
+          SELECT event_type,
+                 CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+                 CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+                 CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+          FROM a),
+        p AS (
+          SELECT event_type, 1 AS lag, r1 AS pacf FROM r
+          UNION ALL
+          SELECT event_type, 2,
+                 (r2 - r1 * r1) / (1e0 - r1 * r1) FROM r
+          UNION ALL
+          SELECT event_type, 3,
+                 (1e0 * (r3 - r2 * r1)
+                  - r1 * (r1 * r3 - r2 * r2)
+                  + r1 * (r1 * r1 - r2))
+                 / (1e0 * (1e0 - r1 * r1)
+                    - r1 * (r1 - r1 * r2)
+                    + r2 * (r1 * r1 - r2)) FROM r)
+        SELECT event_type, CAST(lag AS INT) AS lag,
+               floor(pacf * 1e6 + 0.5) / 1e6 AS pacf
+        FROM p
+    """
+
+    # sax_daily_8: identical quantized moments, identical z/PAA
+    # quantization, breakpoints inlined as the exact literals the
+    # Spark plan uses (signal.sax_breakpoints — Acklam ppf).
+    from tstoolbox_spark.operators.signal import sax_breakpoints
+
+    _bps = sax_breakpoints(4)
+    _idx = " + ".join(f"CAST(paa > {bp!r} AS INT)" for bp in _bps)
+    o["sax_daily_8"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e6 AS mu,
+                 COUNT(*) AS n
+          FROM h GROUP BY 1),
+        d AS (
+          SELECT h.event_type, ts, x - mu AS dv, n
+          FROM h JOIN st USING (event_type)),
+        v AS (
+          SELECT event_type,
+                 SUM(CAST(floor(dv * dv * 1e6 + 0.5) AS BIGINT)) AS den
+          FROM d GROUP BY 1),
+        z AS (
+          SELECT d.event_type, ts,
+                 CASE WHEN den > 0
+                      THEN dv / sqrt(CAST(den AS DOUBLE) / 1e6 / n)
+                      ELSE 0e0 END AS zz
+          FROM d JOIN v USING (event_type)),
+        paa AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(floor(CAST(extract(hour FROM ts) * 8 AS INT) / 24.0)
+                      AS INT) AS seg,
+                 CAST(SUM(CAST(floor(zz * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1e6 AS paa,
+                 COUNT(*) AS pts
+          FROM z GROUP BY 1, 2, 3),
+        sym AS (
+          SELECT event_type, day, seg, pts,
+                 substr('abcd', 1 + {_idx}, 1) AS s
+          FROM paa)
+        SELECT event_type, day,
+               string_agg(s, '' ORDER BY seg) AS sax_word,
+               CAST(SUM(pts) AS INT) AS n_points
+        FROM sym GROUP BY 1, 2
     """
 
     return o

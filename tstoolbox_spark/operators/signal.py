@@ -431,3 +431,138 @@ def lomb_scargle(
         / var
     )
     return agg.select(*keys, "period_s", "n", power.alias("power"))
+
+
+# -- SAX symbolic aggregate approximation ----------------------------------
+
+#: Acklam 2003 rational-approximation coefficients for the inverse
+#: normal CDF (same public algorithm as stats.norm_ppf, here as plain
+#: Python floats so breakpoints become exact literals in the plan).
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+          1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+          6.680131188771972e+01, -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+          -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+          3.754408661907416e+00)
+
+
+def _acklam_ppf(p: float) -> float:
+    import math
+
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        num = ((((_ACK_C[0] * q + _ACK_C[1]) * q + _ACK_C[2]) * q + _ACK_C[3]) * q + _ACK_C[4]) * q + _ACK_C[5]
+        den = (((_ACK_D[0] * q + _ACK_D[1]) * q + _ACK_D[2]) * q + _ACK_D[3]) * q + 1
+        return num / den
+    if p > phigh:
+        return -_acklam_ppf(1 - p)
+    q = p - 0.5
+    r = q * q
+    num = (((((_ACK_A[0] * r + _ACK_A[1]) * r + _ACK_A[2]) * r + _ACK_A[3]) * r + _ACK_A[4]) * r + _ACK_A[5]) * q
+    den = ((((_ACK_B[0] * r + _ACK_B[1]) * r + _ACK_B[2]) * r + _ACK_B[3]) * r + _ACK_B[4]) * r + 1
+    return num / den
+
+
+def sax_breakpoints(alphabet: int) -> list[float]:
+    """N(0,1) equiprobable breakpoints for a SAX alphabet (Lin, Keogh,
+    Lonardi & Chiu 2003)."""
+    if not 2 <= alphabet <= 10:
+        raise ValueError(f"alphabet must be in 2..10, got {alphabet}")
+    return [_acklam_ppf(i / alphabet) for i in range(1, alphabet)]
+
+
+def sax_daily(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    segments: int = 8,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX words (Lin et al. 2003) per key and day: z-normalize the
+    whole series per key, PAA the day's points into ``segments``
+    hour-range segments, bin each PAA mean against the N(0,1)
+    equiprobable breakpoints, concatenate symbols into the day's word.
+
+    Used at scale for motif/novelty mining and as a compact symbolic
+    index over tiered rollups. Plan shape: one groupBy for the per-key
+    moments, one broadcast join back, one groupBy (key, day, segment)
+    for PAA, one groupBy (key, day) for the word — all map-side
+    combinable; no window sort at all.
+
+    Determinism shape: the per-key mean rides integer-quantized sums
+    (the ljung_box pattern), z-scores are quantized to 1e-6 before the
+    segment sum, and the breakpoints are exact literals — the word is
+    a pure function of the input on any engine. A constant series
+    (zero variance) z-maps to 0.
+    """
+    keys = list(key_cols)
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(*keys, ts_col, x.alias("__x"))
+    gb = base.groupBy(*keys) if keys else base.groupBy()
+    mu_stats = gb.agg(
+        (
+            F.sum(F.floor(F.col("__x") * F.lit(1e6) + F.lit(0.5))).cast("double")
+            / F.count("__x") / F.lit(1e6)
+        ).alias("__mu"),
+        F.count("__x").alias("__n"),
+    )
+    d = (
+        base.join(F.broadcast(mu_stats), on=keys) if keys
+        else base.crossJoin(F.broadcast(mu_stats))
+    ).withColumn("__d", F.col("__x") - F.col("__mu"))
+    gb2 = d.groupBy(*keys) if keys else d.groupBy()
+    var_stats = gb2.agg(
+        F.sum(F.floor(F.col("__d") * F.col("__d") * F.lit(1e6) + F.lit(0.5))).alias("__den")
+    )
+    z = (
+        d.join(F.broadcast(var_stats), on=keys) if keys
+        else d.crossJoin(F.broadcast(var_stats))
+    ).withColumn(
+        "__z",
+        F.when(
+            F.col("__den") > 0,
+            F.col("__d")
+            / F.sqrt(F.col("__den").cast("double") / F.lit(1e6) / F.col("__n")),
+        ).otherwise(F.lit(0.0)),
+    )
+    seg = (F.hour(ts_col) * segments).cast("int") / F.lit(24)
+    paa = (
+        z.withColumn("__day", F.date_trunc("day", F.col(ts_col)))
+        .withColumn("__seg", F.floor(seg).cast("int"))
+        .groupBy(*keys, "__day", "__seg")
+        .agg(
+            (
+                F.sum(F.floor(F.col("__z") * F.lit(1e6) + F.lit(0.5))).cast("double")
+                / F.count("__z") / F.lit(1e6)
+            ).alias("__paa"),
+            F.count("__z").alias("__pts"),
+        )
+    )
+    bps = sax_breakpoints(alphabet)
+    idx = sum(
+        [(F.col("__paa") > F.lit(bp)).cast("int") for bp in bps],
+        F.lit(0),
+    )
+    letters = "abcdefghij"[:alphabet]
+    sym = F.element_at(F.array(*[F.lit(ch) for ch in letters]), idx + 1)
+    words = (
+        paa.withColumn("__sym", sym)
+        .groupBy(*keys, "__day")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__seg"), F.col("__sym")))
+                    ),
+                    lambda s: s["__sym"],
+                ),
+            ).alias("sax_word"),
+            F.sum("__pts").cast("int").alias("n_points"),
+        )
+    )
+    return words.withColumnRenamed("__day", "day")

@@ -1320,3 +1320,64 @@ def forecast_accuracy(
         smape.alias("smape"),
         (mae / naive_mae).alias("mase"),
     )
+
+
+def pacf(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int = 3,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Partial autocorrelation at lags 1..max_lag (≤3) per key, via the
+    Yule-Walker closed forms (Durbin-Levinson unrolled for fixed k —
+    Box & Jenkins 1970, the standard companion plot to ACF for AR-order
+    selection; reference analog: tstoolbox/functions/correlation.py
+    ships ACF only):
+
+        φ11 = ρ1
+        φ22 = (ρ2 − ρ1²) / (1 − ρ1²)
+        φ33 = det(M3) / det(T3)   (Cramer on the 3×3 Toeplitz system)
+
+    Higher orders need a driver-side Toeplitz solve at keys×p² metadata
+    scale — out of scope, matching :func:`ar2_yule_walker`.
+
+    Output: keys + (lag, pacf), one row per lag. Determinism shape:
+    the same integer-quantized centered sums as :func:`ljung_box`
+    (one window sort + one aggregate pass), so the ρ_k — and therefore
+    every pacf value — are exact functions of the input on any engine.
+    """
+    if not 1 <= max_lag <= 3:
+        raise ValueError(f"max_lag must be in 1..3, got {max_lag}")
+    keys = list(key_cols)
+    agg = _centered_lag_sums(df, value_col, max_lag, ts_col, keys)
+    den = F.col("__den").cast("double")
+    rhos = [
+        (F.col(f"__num{k}").cast("double") / den).alias(f"__r{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    base = agg.select(*keys, *rhos)
+    r = [None] + [F.col(f"__r{k}") for k in range(1, max_lag + 1)]
+    vals: list[Column] = [r[1]]
+    if max_lag >= 2:
+        vals.append((r[2] - r[1] * r[1]) / (F.lit(1.0) - r[1] * r[1]))
+    if max_lag >= 3:
+        det_t = (
+            F.lit(1.0) * (F.lit(1.0) - r[1] * r[1])
+            - r[1] * (r[1] - r[1] * r[2])
+            + r[2] * (r[1] * r[1] - r[2])
+        )
+        det_m = (
+            F.lit(1.0) * (r[3] - r[2] * r[1])
+            - r[1] * (r[1] * r[3] - r[2] * r[2])
+            + r[1] * (r[1] * r[1] - r[2])
+        )
+        vals.append(det_m / det_t)
+    lagged = F.array(
+        *[
+            F.struct(F.lit(k + 1).alias("lag"), v.cast("double").alias("pacf"))
+            for k, v in enumerate(vals)
+        ]
+    )
+    ex = base.select(*keys, F.explode(lagged).alias("__e"))
+    return ex.select(*keys, F.col("__e.lag").alias("lag"), F.col("__e.pacf").alias("pacf"))
