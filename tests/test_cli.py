@@ -142,3 +142,17 @@ def test_cli_aggregate_output_verbs_print_without_ts(spark, csv_path):
         spark, "theil_sen", {"input_ts": csv_path, "value_col": "flow"}
     )
     assert "slope" in write_iso_csv(ts_out).splitlines()[0]
+
+
+def test_cli_tstopickle_sink(spark, csv_path, tmp_path):
+    import pandas as pd
+
+    out_path = tmp_path / "ts.pkl"
+    out = run_verb(
+        spark,
+        "tstopickle",
+        {"input_ts": csv_path, "filename": str(out_path)},
+    )
+    assert out.count() == 0  # sink verb: nothing on stdout
+    back = pd.read_pickle(out_path)
+    assert len(back) == 48 and "flow" in back.columns

@@ -82,6 +82,10 @@ def _verb_registry() -> dict[str, callable]:
         "holt_winters_forecast": scan.holt_winters_forecast,
         "ljung_box": stats.ljung_box,
         "ar2": stats.ar2_yule_walker,
+        # sink verb (ref functions/tstopickle.py): common pipeline
+        # runs first, then the frame is pickled; stdout stays empty
+        # (header-only) like the reference.
+        "tstopickle": _dispatch_tstopickle,
         # common-pipeline-only verbs: the shared flags do all the work
         "pick": lambda df: df,
         "date_slice": lambda df: df,
@@ -90,6 +94,13 @@ def _verb_registry() -> dict[str, callable]:
         "dropna": lambda df: df,
         "asbestfreq": lambda df: df,
     }
+
+
+def _dispatch_tstopickle(df: DataFrame, filename: str, ts_col: str = "ts"):
+    from .sources import write_pickle
+
+    write_pickle(df, str(filename), ts_col=ts_col)
+    return df.limit(0)
 
 
 def _equation_op(df: DataFrame, expr: str, **kw):
