@@ -6089,6 +6089,17 @@ def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sax_daily_8"] = q_sax
 
+    def q_kn(s, d):
+        """Interpolated Kneser-Ney bigram score per document
+        (quality.kn_bigram_logprob — the principled-smoothing
+        perplexity-filter signal, d=0.75). Each ln term is
+        floor-quantized to 1e-6 before the per-doc mean."""
+        from tstoolbox_spark.textops.quality import kn_bigram_logprob
+
+        return kn_bigram_logprob(_docs(s, d))
+
+    q["kn_bigram_logprob"] = q_kn
+
     return q
 
 
@@ -6305,6 +6316,44 @@ def _oracles_round3e() -> dict[str, str]:
                string_agg(s, '' ORDER BY seg) AS sax_word,
                CAST(SUM(pts) AS INT) AS n_points
         FROM sym GROUP BY 1, 2
+    """
+
+    # kn_bigram_logprob: identical KN arithmetic (same parenthesization
+    # → identical doubles), identical 1e-6 floor quantization per term.
+    o["kn_bigram_logprob"] = f"""
+        WITH ex AS (
+          SELECT doc_id AS doc, w[i + 1] AS w1, w[i + 2] AS w2
+          FROM (SELECT doc_id, {_WORDS} AS w FROM documents) t
+          CROSS JOIN LATERAL (SELECT unnest(range(len(w) - 1)) AS i) g
+          WHERE len(w) >= 2),
+        big AS (
+          SELECT w1, w2, COUNT(*) AS c12 FROM ex GROUP BY 1, 2),
+        ctx AS (
+          SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM big GROUP BY 1),
+        n1b AS (
+          SELECT w2, COUNT(*) AS n1b FROM big GROUP BY 1),
+        dd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM big),
+        scored AS (
+          SELECT ex.doc,
+                 CAST(floor(ln(
+                   (c12 - 0.75) / c1
+                   + ((0.75 * n1f) / c1) * (n1b.n1b / dd.d)
+                 ) * 1e6 + 0.5) AS BIGINT) AS lp_q6
+          FROM ex
+          JOIN big USING (w1, w2)
+          JOIN ctx USING (w1)
+          JOIN n1b USING (w2)
+          CROSS JOIN dd),
+        agg AS (
+          SELECT doc,
+                 round(CAST(SUM(lp_q6) AS DOUBLE) / COUNT(*) / 1e6, 6)
+                   AS mean_kn_logprob,
+                 COUNT(*) AS n_bigrams
+          FROM scored GROUP BY doc)
+        SELECT d0.doc_id, agg.mean_kn_logprob,
+               COALESCE(agg.n_bigrams, 0) AS n_bigrams
+        FROM (SELECT doc_id FROM documents) d0
+        LEFT JOIN agg ON agg.doc = d0.doc_id
     """
 
     return o

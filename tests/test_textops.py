@@ -453,3 +453,58 @@ def test_text_normalize_semantics(spark):
             .orderBy("doc_id").toPandas())
     assert out2["t2"].tolist() == ["Hello World\tfoo bar".replace("\t", " "),
                                    "already clean"]
+
+
+def test_kn_bigram_logprob_matches_reference(spark):
+    import math
+
+    import pyspark.sql.types as T
+
+    from tstoolbox_spark.textops.quality import kn_bigram_logprob
+
+    docs = [("d1", "a b a b c"), ("d2", "b c"), ("d3", "a"), ("d4", "c a b")]
+    sch = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in kn_bigram_logprob(spark.createDataFrame(docs, sch)).collect()
+    }
+
+    # python reference (interpolated KN, d=0.75)
+    grams = []
+    for _, t in docs:
+        w = t.split()
+        grams += list(zip(w, w[1:]))
+    from collections import Counter
+
+    big = Counter(grams)
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (u, v), c in big.items():
+        c1[u] += c
+        n1f[u] += 1
+        n1b[v] += 1
+    D = len(big)
+
+    def p(u, v):
+        return (big[(u, v)] - 0.75) / c1[u] + (0.75 * n1f[u] / c1[u]) * (n1b[v] / D)
+
+    # KN invariant: probabilities sum to 1 over the vocabulary per context
+    vocab = set(c1) | set(n1b)
+    for u in c1:
+        assert sum(p(u, v) if (u, v) in big else (0.75 * n1f[u] / c1[u]) * (n1b[v] / D)
+                   for v in vocab) == pytest.approx(1.0, abs=1e-12)
+
+    for doc_id, t in docs:
+        w = t.split()
+        gs = list(zip(w, w[1:]))
+        if not gs:
+            assert out[doc_id]["n_bigrams"] == 0
+            assert out[doc_id]["mean_kn_logprob"] is None
+        else:
+            q6 = [math.floor(math.log(p(u, v)) * 1e6 + 0.5) for u, v in gs]
+            exp = round(sum(q6) / len(q6) / 1e6, 6)
+            assert out[doc_id]["mean_kn_logprob"] == pytest.approx(exp, abs=2e-6)
+            assert out[doc_id]["n_bigrams"] == len(gs)

@@ -450,3 +450,79 @@ def token_entropy(
         "n_tok",
         (F.floor(h * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("entropy_bits"),
     )
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document (Kneser & Ney
+    1995; Chen & Goodman 1998) — the classic "perplexity filter"
+    signal (CCNet-style) with principled smoothing, next to the add-k
+    :func:`bigram_logprob`:
+
+        P(v|u) = (c(u,v) − d)/c(u·) + d·N1+(u,·)/c(u·) · P_cont(v)
+        P_cont(v) = N1+(·,v) / |{distinct bigrams}|
+
+    Score = mean ln P over the doc's bigram instances, each term
+    floor-quantized to 1e-6 before the per-doc sum (association-free,
+    engine-exact). Docs with < 2 words get n_bigrams = 0, null score.
+
+    Shape: one explode builds the bigram stream; the model is three
+    vocab-scale aggregates (bigram counts, left-context count +
+    follower-type count, predecessor-type count) equi-joined back —
+    all map-side combinable, linear in corpus tokens; AQE decides
+    broadcast vs shuffle join by model size. Scoring the corpus with
+    its own model means every bigram is in-model (no backoff-miss
+    branch); scoring a HELD-OUT corpus against this model would add a
+    left join with the bare continuation term as the miss branch.
+    """
+    d = float(discount)
+    w = words(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("g")
+    ).select("doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    n1b = big.groupBy("w2").agg(F.count("*").alias("n1b"))
+    n_bigram_types = big.count()
+    p = (
+        (F.col("c12") - F.lit(d)) / F.col("c1")
+        + (F.lit(d) * F.col("n1f") / F.col("c1"))
+        * (F.col("n1b") / F.lit(float(n_bigram_types)))
+    )
+    scored = (
+        ex.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(n1b, "w2")
+        .select("doc", F.floor(F.log(p) * F.lit(1e6) + F.lit(0.5)).alias("lp_q6"))
+    )
+    agg = scored.groupBy("doc").agg(
+        F.round(
+            F.sum("lp_q6").cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("mean_kn_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "mean_kn_logprob",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
+    )
