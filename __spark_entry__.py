@@ -6100,6 +6100,39 @@ def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kn_bigram_logprob"] = q_kn
 
+    def q_sliding(s, d):
+        """Overlapping sliding-window chunks (RAG prep,
+        packing.sliding_chunks): 32-token windows every 8 tokens —
+        a pure narrow explode, no shuffle. Position-weighted checksum
+        proves chunk content + order."""
+        from tstoolbox_spark.textops.dedup import md5int, words
+        from tstoolbox_spark.textops.packing import sliding_chunks
+
+        docs = _docs(s, d).select(
+            "doc_id",
+            F.transform(
+                words(F.col("text")),
+                lambda w: (md5int(w) % 50000).cast("int"),
+            ).alias("tokens"),
+        )
+        out = sliding_chunks(docs, 32, 8)
+        checksum = F.aggregate(
+            F.col("tokens"),
+            F.struct(
+                F.lit(0).cast("long").alias("i"), F.lit(0).cast("long").alias("s")
+            ),
+            lambda acc, x: F.struct(
+                (acc["i"] + 1).alias("i"),
+                (acc["s"] + (acc["i"] + 1) * x).alias("s"),
+            ),
+            lambda acc: acc["s"] % 1000000007,
+        )
+        return out.select(
+            "doc_id", "chunk_idx", "start", "n_chunk", checksum.alias("checksum")
+        )
+
+    q["sliding_chunks_32_8"] = q_sliding
+
     return q
 
 
@@ -6354,6 +6387,34 @@ def _oracles_round3e() -> dict[str, str]:
                COALESCE(agg.n_bigrams, 0) AS n_bigrams
         FROM (SELECT doc_id FROM documents) d0
         LEFT JOIN agg ON agg.doc = d0.doc_id
+    """
+
+    # sliding_chunks_32_8: same start grid, same inclusive list slice,
+    # same position-weighted checksum (DuckDB lambda index is 1-based
+    # = Spark's fold counter); no empty docs in this corpus so the
+    # empty-chunk branch is inert on both sides.
+    o["sliding_chunks_32_8"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform({_WORDS},
+                                w -> CAST({_md5int_sql('w')} % 50000 AS BIGINT))
+                   AS tk
+          FROM documents),
+        ex AS (
+          SELECT doc_id, g.start,
+                 list_slice(tk, g.start + 1, g.start + 32) AS chunk
+          FROM toks
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(0, greatest(len(tk), 1), 8)) AS start) g)
+        SELECT doc_id,
+               CAST(start // 8 AS INT) AS chunk_idx,
+               CAST(start AS INT) AS start,
+               CAST(len(chunk) AS INT) AS n_chunk,
+               CAST(list_aggregate(
+                      list_transform(chunk, (x, i) -> CAST(x * i AS BIGINT)),
+                      'sum') % 1000000007 AS BIGINT) AS checksum
+        FROM ex
+        WHERE len(chunk) >= 1 OR start = 0
     """
 
     return o

@@ -164,3 +164,53 @@ def test_pack_bins_partitioning_independent(spark):
     a = pack_bins(df1, 256, n_shards=4).orderBy("doc_id").toPandas()
     b = pack_bins(df2, 256, n_shards=4).orderBy("doc_id").toPandas()
     assert (a[["doc_id", "shard", "bin"]].values == b[["doc_id", "shard", "bin"]].values).all()
+
+
+def test_sliding_chunks_reconstruction_and_edges(spark):
+    import pyspark.sql.types as T
+
+    from tstoolbox_spark.textops.packing import sliding_chunks
+
+    sch = T.StructType(
+        [T.StructField("doc_id", T.StringType()),
+         T.StructField("tokens", T.ArrayType(T.IntegerType()))]
+    )
+    rows = [
+        ("d1", list(range(10))),   # 10 tokens, chunk 4 stride 2
+        ("d2", [7]),               # single token
+        ("d3", []),                # empty doc survives as one empty chunk
+    ]
+    df = spark.createDataFrame(rows, sch)
+    out = sliding_chunks(df, 4, 2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc["d1"], key=lambda r: r["chunk_idx"])
+    # python reference
+    exp = []
+    for start in range(0, 10, 2):
+        exp.append((start // 2, start, list(range(10))[start:start + 4]))
+    assert [(r["chunk_idx"], r["start"], r["tokens"]) for r in d1] == exp
+    # every token position is covered by ≥1 chunk and overlap = chunk-stride
+    assert by_doc["d2"][0]["tokens"] == [7] and by_doc["d2"][0]["n_chunk"] == 1
+    assert by_doc["d3"][0]["tokens"] == [] and by_doc["d3"][0]["chunk_idx"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_chunks(df, 0, 2)
+
+
+def test_sliding_chunks_min_tail_drop(spark):
+    import pyspark.sql.types as T
+
+    from tstoolbox_spark.textops.packing import sliding_chunks
+
+    sch = T.StructType(
+        [T.StructField("doc_id", T.StringType()),
+         T.StructField("tokens", T.ArrayType(T.IntegerType()))]
+    )
+    df = spark.createDataFrame([("d1", list(range(9)))], sch)
+    # stride 4, chunk 8: starts 0,4,8; tail at 8 has 1 token < min_tail=2 → dropped
+    out = sliding_chunks(df, 8, 4, min_tail=2).collect()
+    assert sorted(r["start"] for r in out) == [0, 4]

@@ -200,3 +200,55 @@ def pack_bins(
         return g
 
     return sharded.groupBy(shard_col).applyInPandas(_pack, out_schema)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    chunk_len: int,
+    stride: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_tail: int = 1,
+) -> DataFrame:
+    """Overlapping sliding-window chunks per document — the RAG /
+    long-context prep step (split each doc into ``chunk_len``-token
+    windows every ``stride`` tokens, windows overlapping by
+    ``chunk_len - stride``).
+
+    Window starts are 0, stride, 2·stride, … while they cut NEW tokens
+    (start < n); a final short tail shorter than ``min_tail`` tokens is
+    dropped unless it is the document's only chunk.  Empty docs yield
+    one empty chunk (chunk_idx 0) so no document disappears.
+
+    Scale shape: a pure narrow explode (``sequence`` of starts +
+    ``slice``) — no shuffle, no UDF, whole-stage codegen; output size
+    is the standard overlap blow-up factor ≈ chunk_len/stride.
+
+    Output: (id_col, chunk_idx, start, n_chunk, tokens).
+    """
+    if chunk_len < 1 or stride < 1:
+        raise ValueError(f"chunk_len and stride must be ≥ 1, got {chunk_len}, {stride}")
+    t = F.col(tokens_col)
+    n = F.size(t)
+    starts = F.when(n == 0, F.array(F.lit(0))).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(int(stride)))
+    )
+    ex = df.select(
+        id_col, t.alias("__t"), F.explode(starts).alias("start")
+    ).select(
+        id_col,
+        "start",
+        F.slice(F.col("__t"), F.col("start") + 1, F.lit(int(chunk_len))).alias(
+            tokens_col
+        ),
+    )
+    out = ex.withColumn("n_chunk", F.size(tokens_col).cast("int")).where(
+        (F.col("n_chunk") >= int(min_tail)) | (F.col("start") == 0)
+    )
+    return out.select(
+        id_col,
+        (F.col("start") / F.lit(int(stride))).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        "n_chunk",
+        tokens_col,
+    )
