@@ -81,6 +81,13 @@ BENCH_QUERIES = [
     "lomb_scargle_periods",
     "kalman_level_hourly",
     "pack_bins_2048",
+    "bpe_learn_3",
+    "vocab_remap_16",
+    "dsir_weights",
+    "pacf_3",
+    "sax_daily_8",
+    "kn_bigram_logprob",
+    "sliding_chunks_32_8",
 ]
 
 

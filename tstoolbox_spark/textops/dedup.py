@@ -54,18 +54,36 @@ MH_PRIME = 2147483647
 SHINGLE_K = 1000003
 
 
+def let(bound: Column, fn) -> Column:
+    """Bind ``bound`` to a lambda variable so ``fn`` can reference it
+    many times at O(1) cost.
+
+    Higher-order functions evaluate their lambdas in interpreted mode
+    with NO common-subexpression elimination: ``element_at(expr, i)``
+    inside a ``transform`` re-evaluates the whole ``expr`` per element
+    (O(n²) when expr itself is O(n) — measured 30× on the bigram
+    stream).  Lambda *variables*, by contrast, are evaluated once and
+    bound, so wrapping the expression as the single element of an
+    array and transforming over it gives let-binding semantics with
+    pure Catalyst expressions."""
+    return F.element_at(F.transform(F.array(bound), fn), 1)
+
+
 def shingles(col: Column, n: int = 2) -> Column:
     """Distinct word n-grams as an array of strings (built-in
-    transform/slice — no UDF)."""
-    w = words(col)
+    transform/slice — no UDF; words bound once via :func:`let`)."""
     if n == 1:
-        return F.array_distinct(w)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        return F.array_distinct(words(col))
+    grams = let(
+        words(col),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array()),
     )
-    # drop trailing partial grams when len(words) < n
-    grams = F.when(F.size(w) >= n, grams).otherwise(F.array())
     return F.array_distinct(grams)
 
 
@@ -93,15 +111,20 @@ def hashed_shingles(col: Column, n: int = 2) -> Column:
     """
     if n > 2:
         raise ValueError("hashed_shingles supports n <= 2; use shingles(col, n)")
-    w = words(col)
-    wh = F.transform(w, lambda x: md5int(x) % F.lit(MH_PRIME))
+    wh = F.transform(words(col), lambda x: md5int(x) % F.lit(MH_PRIME))
     if n == 1:
         return F.array_distinct(wh)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-        lambda i: F.element_at(wh, i) * F.lit(SHINGLE_K) + F.element_at(wh, i + 1),
+    grams = let(
+        wh,
+        lambda h: F.when(
+            F.size(h) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(h) - 1, F.lit(1))),
+                lambda i: F.element_at(h, i) * F.lit(SHINGLE_K)
+                + F.element_at(h, i + 1),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
     )
-    grams = F.when(F.size(w) >= 2, grams).otherwise(F.array().cast("array<bigint>"))
     return F.array_distinct(grams)
 
 

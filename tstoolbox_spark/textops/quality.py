@@ -165,13 +165,19 @@ def gopher_quality_flags(
 
 def _ngrams_all(w: Column, n: int) -> Column:
     """NON-distinct word n-grams (repetition analysis needs counts —
-    contrast shingles(), which dedups for set-similarity)."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-    )
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    contrast shingles(), which dedups for set-similarity). ``w`` is
+    let-bound so callers may pass an unevaluated words() expression."""
+    from .dedup import let
+
+    return let(
+        w,
+        lambda arr: F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 
@@ -308,6 +314,29 @@ def vocab_topk(
     )
 
 
+def _bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, w1, w2) adjacent word pairs; the words array is let-bound
+    so each element access is O(1) (see dedup.let)."""
+    from .dedup import let
+
+    grams = let(
+        words(F.col(text_col)),
+        lambda w: F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.element_at(w, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("g")
+    ).select("doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+
 def bigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: float = 1.0
 ) -> DataFrame:
@@ -324,20 +353,7 @@ def bigram_logprob(
     each to score — all map-side combinable, linear in corpus tokens;
     the frequency tables are vocab-scale and AQE decides broadcast.
     """
-    w = words(F.col(text_col))
-    grams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("w1"),
-                F.element_at(w, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(grams).alias("g")
-    ).select("doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    ex = _bigram_stream(df, text_col, id_col)
     big = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     left = ex.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = df.select(F.explode(words(F.col(text_col))).alias("w")).agg(
@@ -470,45 +486,39 @@ def kn_bigram_logprob(
     floor-quantized to 1e-6 before the per-doc sum (association-free,
     engine-exact). Docs with < 2 words get n_bigrams = 0, null score.
 
-    Shape: one explode builds the bigram stream; the model is three
-    vocab-scale aggregates (bigram counts, left-context count +
-    follower-type count, predecessor-type count) equi-joined back —
-    all map-side combinable, linear in corpus tokens; AQE decides
-    broadcast vs shuffle join by model size. Scoring the corpus with
-    its own model means every bigram is in-model (no backoff-miss
-    branch); scoring a HELD-OUT corpus against this model would add a
-    left join with the bare continuation term as the miss branch.
+    Shape: one explode builds the bigram stream; ONE vocab²-scale
+    aggregate (bigram counts) carries the whole model — left-context
+    totals, follower-type and predecessor-type counts ride two window
+    functions over that small frame, and the distinct-bigram total is
+    a 1-row broadcast, so scoring is a single equi-join back onto the
+    stream (AQE decides broadcast vs shuffle by model size) with no
+    extra driver action. Scoring the corpus with its own model means
+    every bigram is in-model (no backoff-miss branch); scoring a
+    HELD-OUT corpus against this model would add a left join with the
+    bare continuation term as the miss branch.
     """
     d = float(discount)
-    w = words(F.col(text_col))
-    grams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("w1"),
-                F.element_at(w, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(grams).alias("g")
-    ).select("doc", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    ex = _bigram_stream(df, text_col, id_col)
+    from pyspark.sql import Window
+
     big = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx = big.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    model = big.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(Window.partitionBy("w1")).alias("c1"),
+        F.count(F.lit(1)).over(Window.partitionBy("w1")).alias("n1f"),
+        F.count(F.lit(1)).over(Window.partitionBy("w2")).alias("n1b"),
     )
-    n1b = big.groupBy("w2").agg(F.count("*").alias("n1b"))
-    n_bigram_types = big.count()
+    d_tot = big.agg(F.count(F.lit(1)).cast("double").alias("__dt"))
     p = (
         (F.col("c12") - F.lit(d)) / F.col("c1")
         + (F.lit(d) * F.col("n1f") / F.col("c1"))
-        * (F.col("n1b") / F.lit(float(n_bigram_types)))
+        * (F.col("n1b") / F.col("__dt"))
     )
     scored = (
-        ex.join(big, ["w1", "w2"])
-        .join(ctx, "w1")
-        .join(n1b, "w2")
+        ex.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(d_tot))
         .select("doc", F.floor(F.log(p) * F.lit(1e6) + F.lit(0.5)).alias("lp_q6"))
     )
     agg = scored.groupBy("doc").agg(
