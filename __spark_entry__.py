@@ -6133,6 +6133,26 @@ def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sliding_chunks_32_8"] = q_sliding
 
+    def q_trimmed(s, d):
+        """Exact 10%-trimmed mean per (flag, month) read from the SAME
+        cascaded histogram partials as tier_quantiles_hist
+        (rollup.hist_trimmed_mean) — robust location at every tier
+        without rescanning raw; integer kept-count arithmetic."""
+        from tstoolbox_spark.pipeline import rollup
+
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            F.col("l_returnflag").alias("source"),
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+            F.col("l_quantity").cast("int").alias("n_tok"),
+        )
+        monthly = rollup.hist_cascade(rollup.hist_base(li, "1d"), "1mo")
+        out = rollup.hist_trimmed_mean(monthly, trim=0.1)
+        return out.select(
+            F.col("source").alias("l_returnflag"), "ts", "trimmed_mean", "n_kept"
+        )
+
+    q["tier_trimmed_mean"] = q_trimmed
+
     return q
 
 
@@ -6415,6 +6435,44 @@ def _oracles_round3e() -> dict[str, str]:
                       'sum') % 1000000007 AS BIGINT) AS checksum
         FROM ex
         WHERE len(chunk) >= 1 OR start = 0
+    """
+
+    # tier_trimmed_mean: identical cum/tot/lo/hi kept-count integer
+    # arithmetic over the per-value histogram (floor(0.1·n) is the
+    # same IEEE double product on both engines).
+    o["tier_trimmed_mean"] = """
+        WITH h AS (
+          SELECT l_returnflag,
+                 CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
+                 CAST(l_quantity AS INT) AS v, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2, 3),
+        c AS (
+          SELECT l_returnflag, ts, v, cnt,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag, ts
+                                ORDER BY v) AS cum,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag, ts) AS tot
+          FROM h),
+        k AS (
+          SELECT l_returnflag, ts, v, cnt, cum, tot,
+                 CAST(floor(0.1 * tot) AS BIGINT) AS lo,
+                 tot - CAST(floor(0.1 * tot) AS BIGINT) AS hi
+          FROM c),
+        g AS (
+          SELECT l_returnflag, ts,
+                 SUM(CAST(v AS BIGINT)
+                     * greatest(CAST(0 AS BIGINT),
+                                least(cum, hi) - greatest(cum - cnt, lo)))
+                   AS wsum,
+                 SUM(greatest(CAST(0 AS BIGINT),
+                              least(cum, hi) - greatest(cum - cnt, lo)))
+                   AS n_kept
+          FROM k GROUP BY 1, 2)
+        SELECT l_returnflag, ts,
+               CASE WHEN n_kept > 0
+                    THEN round(CAST(wsum AS DOUBLE) / n_kept, 6)
+                    END AS trimmed_mean,
+               CAST(n_kept AS BIGINT) AS n_kept
+        FROM g
     """
 
     return o

@@ -78,3 +78,57 @@ def test_hist_monthly_cascade(spark, seq):
     for r in q:
         src_vals = pdf[pdf["source"] == r["source"]]["n_tok"].to_numpy()
         assert r["p50"] == _disc(src_vals, 0.5)
+
+
+def test_hist_trimmed_mean_matches_sorted_drop(spark):
+    import datetime as dt
+    import random
+
+    import pyspark.sql.functions as F
+
+    from tstoolbox_spark.pipeline import rollup
+
+    rng = random.Random(11)
+    rows = []
+    for keyi in range(3):
+        for i in range(200):
+            rows.append(
+                (f"k{keyi}", dt.datetime(2024, 1, 1 + i % 5), rng.randint(1, 50))
+            )
+    df = spark.createDataFrame(rows, "source string, ts timestamp, n_tok int")
+    hist = rollup.hist_base(df, "1d")
+    out = {
+        (r["source"], r["ts"]): r
+        for r in rollup.hist_trimmed_mean(hist, trim=0.1).collect()
+    }
+    # reference: sort, drop floor(0.1*n) from each end
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for srcv, ts, v in rows:
+        groups[(srcv, ts)].append(v)
+    for k, vals in groups.items():
+        vals.sort()
+        lo = int(0.1 * len(vals))
+        kept = vals[lo:len(vals) - lo]
+        got = out[k]
+        assert got["n_kept"] == len(kept)
+        assert got["trimmed_mean"] == round(sum(kept) / len(kept), 6), k
+
+
+def test_hist_trimmed_mean_validation_and_degenerate(spark):
+    import datetime as dt
+
+    import pytest
+
+    from tstoolbox_spark.pipeline import rollup
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 5)], "source string, ts timestamp, n_tok int"
+    )
+    hist = rollup.hist_base(df, "1d")
+    with pytest.raises(ValueError):
+        rollup.hist_trimmed_mean(hist, trim=0.5)
+    # trim=0 → plain mean
+    r = rollup.hist_trimmed_mean(hist, trim=0.0).collect()[0]
+    assert r["trimmed_mean"] == 5.0 and r["n_kept"] == 1

@@ -170,3 +170,53 @@ def day_partition(tier_df: DataFrame) -> DataFrame:
     """Add the day partition column tiers are stored under (TTL drops
     whole day partitions — metadata-only)."""
     return tier_df.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+
+
+def hist_trimmed_mean(
+    hist: DataFrame,
+    trim: float = 0.1,
+    key_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exact α-trimmed mean per (key, tier bucket) from histogram
+    partials — the robust-location companion to :func:`hist_quantiles`
+    (drop the floor(α·n) smallest and floor(α·n) largest ranks, mean
+    the rest), computed WITHOUT rescanning raw rows.
+
+    Every value v with cumulative range (cum−cnt, cum] contributes
+    ``max(0, min(cum, hi) − max(cum−cnt, lo))`` kept occurrences —
+    pure integer arithmetic until the final division, so the result is
+    engine-exact. Same trivially-small window as hist_quantiles
+    (partitions ≤ |domain| rows). Buckets where trimming removes
+    everything (hi ≤ lo) return null.
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    keys = [*key_cols, "ts"]
+    bucket = Window.partitionBy(*keys)
+    byval = bucket.orderBy("v")
+    cum = F.sum("cnt").over(byval)
+    tot = F.sum("cnt").over(bucket)
+    h = hist.select(
+        *keys, "v", "cnt", cum.alias("__cum"), tot.alias("__tot")
+    )
+    lo = F.floor(F.lit(float(trim)) * F.col("__tot")).cast("long")
+    hi = F.col("__tot") - lo
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), hi)
+        - F.greatest(F.col("__cum") - F.col("cnt"), lo),
+    )
+    agg = h.groupBy(*keys).agg(
+        F.sum(F.col("v").cast("long") * kept).alias("__wsum"),
+        F.sum(kept).alias("n_kept"),
+    )
+    return agg.select(
+        *keys,
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(
+                F.col("__wsum").cast("double") / F.col("n_kept"), 6
+            ),
+        ).alias("trimmed_mean"),
+        "n_kept",
+    )
