@@ -6153,6 +6153,17 @@ def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_trimmed_mean"] = q_trimmed
 
+    def q_src_overlap(s, d):
+        """Cross-source contamination matrix (dedup.source_overlap):
+        Jaccard of distinct shingle sets per source pair WITHOUT a
+        shingle-stream self-join — per-shingle source sets (≤ n_sources)
+        emit in-shingle pairs; the oracle pays the self-join at sf0.01."""
+        from tstoolbox_spark.textops.dedup import source_overlap
+
+        return source_overlap(_docs(s, d))
+
+    q["source_overlap"] = q_src_overlap
+
     return q
 
 
@@ -6473,6 +6484,34 @@ def _oracles_round3e() -> dict[str, str]:
                     END AS trimmed_mean,
                CAST(n_kept AS BIGINT) AS n_kept
         FROM g
+    """
+
+    # source_overlap: same distinct (source, hashed-shingle) sets;
+    # the oracle affords the posting-list self-join at this scale.
+    o["source_overlap"] = f"""
+        WITH ss AS (
+          SELECT DISTINCT source AS src, sh AS shingle
+          FROM (
+            SELECT source,
+                   unnest(list_transform(
+                     range(len({_WORDHASH}) - 1),
+                     i -> {_WORDHASH}[i + 1] * 1000003
+                          + {_WORDHASH}[i + 2])) AS sh
+            FROM documents
+            WHERE len({_WORDS}) >= 2)),
+        cnt AS (SELECT src, COUNT(*) AS n FROM ss GROUP BY 1),
+        inter AS (
+          SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS inter
+          FROM ss a JOIN ss b
+            ON a.shingle = b.shingle AND a.src < b.src
+          GROUP BY 1, 2)
+        SELECT i.source_a, i.source_b, i.inter,
+               ca.n AS n_a, cb.n AS n_b,
+               round(CAST(i.inter AS DOUBLE) / (ca.n + cb.n - i.inter), 6)
+                 AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.src = i.source_a
+        JOIN cnt cb ON cb.src = i.source_b
     """
 
     return o

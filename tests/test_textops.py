@@ -508,3 +508,25 @@ def test_kn_bigram_logprob_matches_reference(spark):
             exp = round(sum(q6) / len(q6) / 1e6, 6)
             assert out[doc_id]["mean_kn_logprob"] == pytest.approx(exp, abs=2e-6)
             assert out[doc_id]["n_bigrams"] == len(gs)
+
+
+def test_source_overlap_exact_jaccard(spark):
+    import pyspark.sql.types as T
+
+    from tstoolbox_spark.textops.dedup import source_overlap
+
+    sch = T.StructType(
+        [T.StructField("source", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    # s1: shingles {a b, b c}; s2: {b c, c d}; s3: {x y} (disjoint)
+    docs = [
+        ("s1", "a b c"), ("s2", "b c d"), ("s3", "x y"),
+        ("s1", "a b"),   # duplicate shingle within source — still distinct-counted once
+    ]
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_overlap(spark.createDataFrame(docs, sch)).collect()}
+    # only the s1-s2 pair overlaps: inter={b c}=1, n1=2, n2=2, J=1/3
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert r["inter"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
+    assert r["jaccard"] == round(1 / 3, 6)

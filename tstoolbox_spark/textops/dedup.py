@@ -468,3 +468,70 @@ def near_dup_clusters(
         F.col("label").alias("cluster"),
         (F.col("doc") == F.col("label")).alias("keeper"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 2,
+) -> DataFrame:
+    """Cross-source contamination matrix: Jaccard similarity of the
+    DISTINCT shingle sets of every source pair — the corpus-level
+    diagnostic for "which feeds overlap" (run before mixing sources or
+    to locate likely train/eval leakage at the source granularity).
+
+    Scale shape: NO self-join of the shingle stream.  The stream
+    reduces to distinct (source, shingle) rows, then one groupBy
+    per shingle collects its source set (≤ n_sources entries) and
+    emits in-shingle pairs — work per shingle is bounded by
+    n_sources², a constant, while the heavy dimension (shingles)
+    stays a single map-side-combinable aggregation.  Intersections
+    and per-source distinct counts combine as
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    Output: (source_a, source_b, inter, n_a, n_b, jaccard) for every
+    pair with inter > 0, source_a < source_b.
+    """
+    ss = _exploded_shingles(
+        df.select(F.col(source_col).alias("doc_id"), text_col), text_col, "doc_id", n
+    ).select(F.col("doc").alias("src"), "shingle").distinct()
+    per_source = ss.groupBy("src").agg(F.count(F.lit(1)).alias("n_src"))
+    pairs_per_shingle = ss.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("src")).alias("srcs")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("srcs"), i + 2,
+                        F.greatest(F.size(F.col("srcs")) - i - 1, F.lit(0)),
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    inter = (
+        pairs_per_shingle.select(pair.alias("p"))
+        .select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = per_source.select(F.col("src").alias("source_a"), F.col("n_src").alias("n_a"))
+    cb = per_source.select(F.col("src").alias("source_b"), F.col("n_src").alias("n_b"))
+    out = inter.join(F.broadcast(ca), "source_a").join(F.broadcast(cb), "source_b")
+    return out.select(
+        "source_a",
+        "source_b",
+        "inter",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
+    )
