@@ -127,3 +127,63 @@ def test_dsir_logweights_prefers_target_like_docs(spark):
     # target-like docs must outscore non-target docs, and each group is uniform
     assert min(w[k] for k in w if k.startswith("t")) > max(w[k] for k in w if k.startswith("r"))
     assert len({w[k] for k in w if k.startswith("t")}) == 1
+
+
+def test_span_corrupt_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from tstoolbox_spark.textops.bpe import span_corrupt
+
+    rows = [("d1", list(range(1, 14))), ("d2", [5, 6]), ("d3", [])]
+    out = {
+        r["doc_id"]: r
+        for r in span_corrupt(
+            spark.createDataFrame(rows, SCHEMA), span_len=3, rate=0.4, seed="s"
+        ).collect()
+    }
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref(doc_id, toks, span_len=3, rate=0.4, seed="s", base=60000):
+        ns = math.ceil(len(toks) / span_len)
+        flags = [
+            md5int(f"{doc_id}-{g}-{seed}") % 1_000_000 < int(rate * 1_000_000)
+            for g in range(ns)
+        ]
+        inp, tgt, k = [], [], 0
+        for g in range(ns):
+            sp = toks[g * span_len:(g + 1) * span_len]
+            if flags[g]:
+                inp.append(base + k)
+                tgt += [base + k] + sp
+                k += 1
+            else:
+                inp += sp
+        return inp, tgt, ns, k
+
+    for doc_id, toks in rows:
+        ei, et, ens, ek = ref(doc_id, toks)
+        r = out[doc_id]
+        assert r["input_tokens"] == ei and r["target_tokens"] == et
+        assert r["n_spans"] == ens and r["n_masked_spans"] == ek
+
+
+def test_span_corrupt_rate_bounds_and_reconstruction(spark):
+    import pytest as _pytest
+
+    from tstoolbox_spark.textops.bpe import span_corrupt
+
+    df = spark.createDataFrame([("d", [1, 2, 3])], SCHEMA)
+    with _pytest.raises(ValueError):
+        span_corrupt(df, span_len=0)
+    with _pytest.raises(ValueError):
+        span_corrupt(df, rate=1.5)
+    # rate=0 → input == tokens, empty target; rate=1 → all spans masked,
+    # target reconstructs the full token stream in order
+    r0 = span_corrupt(df, span_len=2, rate=0.0).collect()[0]
+    assert r0["input_tokens"] == [1, 2, 3] and r0["target_tokens"] == []
+    r1 = span_corrupt(df, span_len=2, rate=1.0, sentinel_base=90).collect()[0]
+    assert r1["input_tokens"] == [90, 91]
+    assert r1["target_tokens"] == [90, 1, 2, 91, 3]

@@ -241,3 +241,115 @@ def vocab_remap(
         )
         .withColumn("n_tok", F.size(tokens_col).cast("int"))
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    span_len: int = 3,
+    rate: float = 0.15,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    sentinel_base: int = 60000,
+    seed: str = "",
+) -> DataFrame:
+    """T5-style span-corruption batch prep (Raffel et al. 2020 §3.1.4),
+    fixed-grid deterministic variant: the token array is cut into
+    ``span_len``-token grid spans; span g of a document is masked iff
+    ``md5(doc_id-g-seed) mod 10⁶ < rate·10⁶``.  The encoder input
+    replaces each masked span with one sentinel id (sentinel_base + k,
+    k = masked-span ordinal within the doc); the decoder target is the
+    concatenation of ``sentinel_k ++ span_tokens`` for every masked
+    span — exactly the T5 objective, with hash tickets instead of RNG
+    so the corruption is reproducible, partitioning-independent, and
+    resumable (the same properties as ``sampling.hash_sample``).
+
+    Pure column expressions, one narrow pass, no shuffle/UDF; per-span
+    ordinals cost O(spans²) list work per doc (spans = n/span_len —
+    cheap next to the token copy itself).
+
+    Output: (id_col, input_tokens, target_tokens, n_spans,
+    n_masked_spans).
+    """
+    if span_len < 1:
+        raise ValueError(f"span_len must be ≥ 1, got {span_len}")
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    from .dedup import let, md5int
+
+    thresh = int(rate * 1_000_000)
+    t = F.col(tokens_col)
+    did = F.col(id_col).cast("string")
+    n_spans = F.ceil(F.size(t) / F.lit(int(span_len))).cast("int")
+
+    def mask_flag(g: Column) -> Column:
+        return (
+            md5int(F.concat_ws("-", did, g.cast("string"), F.lit(seed)))
+            % 1_000_000
+            < thresh
+        )
+
+    # flags[g] for g in 0..n_spans-1 (empty docs → empty flags)
+    flags = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1), lambda g: mask_flag(g)
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+
+    def build(out_struct):
+        # bind flags + tokens once; k(g) = masked spans before g
+        return let(
+            F.struct(flags.alias("f"), t.alias("tk")),
+            lambda b: out_struct(
+                b["f"],
+                b["tk"],
+            ),
+        )
+
+    def span_of(tk: Column, g: Column) -> Column:
+        return F.slice(tk, g * span_len + 1, span_len)
+
+    def k_before(f: Column, g: Column) -> Column:
+        return F.size(F.filter(F.slice(f, 1, g), lambda x: x))
+
+    def input_expr(f: Column, tk: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(f) - 1),
+                lambda g: F.when(
+                    F.element_at(f, g + 1),
+                    F.array(
+                        (F.lit(int(sentinel_base)) + k_before(f, g)).cast("int")
+                    ),
+                ).otherwise(span_of(tk, g)),
+            )
+        )
+
+    def target_expr(f: Column, tk: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(0), F.size(f) - 1),
+                    lambda g: F.element_at(f, g + 1),
+                ),
+                lambda g: F.concat(
+                    F.array(
+                        (F.lit(int(sentinel_base)) + k_before(f, g)).cast("int")
+                    ),
+                    span_of(tk, g),
+                ),
+            )
+        )
+
+    empty = F.array().cast("array<int>")
+    return df.select(
+        id_col,
+        F.when(n_spans > 0, build(input_expr)).otherwise(empty).alias(
+            "input_tokens"
+        ),
+        F.when(n_spans > 0, build(target_expr)).otherwise(empty).alias(
+            "target_tokens"
+        ),
+        F.coalesce(n_spans, F.lit(0)).alias("n_spans"),
+        F.size(F.filter(flags, lambda x: x)).cast("int").alias("n_masked_spans"),
+    )
