@@ -6206,6 +6206,22 @@ def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_corrupt_3"] = q_span_corrupt
 
+    def q_byte_stats(s, d):
+        """Codec-free byte-level payload statistics
+        (multimodal.byte_stats): Shannon byte entropy, printable/NUL
+        ratios, distinct bytes — the pre-decode routing signal for
+        binary columns. Pure JVM hex + let-bound transform; entropy
+        terms quantized to 1e-6 → association-free BIGINT."""
+        from tstoolbox_spark.multimodal import byte_stats
+
+        assets = _docs(s, d).select(
+            F.col("doc_id").alias("asset_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        return byte_stats(assets)
+
+    q["byte_stats"] = q_byte_stats
+
     return q
 
 
@@ -6606,6 +6622,39 @@ def _oracles_round3e() -> dict[str, str]:
                  list_transform(tgt, (x, i) -> CAST(x * i AS BIGINT)),
                  'sum'), 0) % 1000000007 AS BIGINT) AS target_checksum
         FROM flat
+    """
+
+    # byte_stats: same hex decode (strpos arithmetic = Spark's conv),
+    # same per-byte entropy quantization.
+    _hxd = "strpos('0123456789ABCDEF', substring(hx, i * 2 - 1, 1))"
+    _hxd2 = "strpos('0123456789ABCDEF', substring(hx, i * 2, 1))"
+    o["byte_stats"] = f"""
+        WITH h AS (
+          SELECT doc_id AS asset_id, hex(CAST(text AS BLOB)) AS hx
+          FROM documents),
+        ex AS (
+          SELECT asset_id,
+                 ({_hxd} - 1) * 16 + {_hxd2} - 1 AS b
+          FROM h
+          CROSS JOIN LATERAL
+            (SELECT unnest(range(1, CAST(length(hx) / 2 AS INT) + 1)) AS i) g),
+        pb AS (
+          SELECT asset_id, b, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+        tt AS (
+          SELECT asset_id, SUM(c) AS n FROM pb GROUP BY 1)
+        SELECT pb.asset_id,
+               CAST(MAX(n) AS BIGINT) AS n_bytes,
+               COUNT(*) AS distinct_bytes,
+               CAST(SUM(CAST(floor(-(CAST(c AS DOUBLE) / n)
+                                   * ln(CAST(c AS DOUBLE) / n) * 1e6 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS entropy_q6,
+               round(CAST(SUM(CASE WHEN b BETWEEN 32 AND 126 THEN c
+                                   ELSE 0 END) AS DOUBLE) / MAX(n), 6)
+                 AS printable_ratio,
+               round(CAST(SUM(CASE WHEN b = 0 THEN c ELSE 0 END) AS DOUBLE)
+                     / MAX(n), 6) AS nul_ratio
+        FROM pb JOIN tt USING (asset_id)
+        GROUP BY 1
     """
 
     return o

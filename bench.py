@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "sax_daily_8",
     "kn_bigram_logprob",
     "sliding_chunks_32_8",
+    "tier_trimmed_mean",
+    "source_overlap",
+    "span_corrupt_3",
 ]
 
 

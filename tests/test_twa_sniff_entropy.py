@@ -159,3 +159,32 @@ def test_token_entropy_matches_counter(spark):
         assert abs(got[i][1] - h) < 2e-6, (i, got[i], h)
     assert got[0][1] == 0.0
     assert got[1][1] == 2.0
+
+
+def test_byte_stats_known_payloads(spark):
+    import math
+
+    import pyspark.sql.types as T
+
+    from tstoolbox_spark.multimodal import byte_stats
+
+    sch = T.StructType(
+        [T.StructField("asset_id", T.StringType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    rows = [
+        ("uniform", bytes([0, 1, 2, 3] * 4)),       # 4 distinct, p=1/4 each
+        ("const", b"\x00" * 8),                     # zero entropy, all NUL
+        ("text", b"abab"),
+    ]
+    out = {r["asset_id"]: r for r in byte_stats(spark.createDataFrame(rows, sch)).collect()}
+    u = out["uniform"]
+    assert u["n_bytes"] == 16 and u["distinct_bytes"] == 4
+    # entropy = ln 4; each of 4 terms quantized then summed
+    term = math.floor(0.25 * math.log(4) * 1e6 + 0.5)
+    assert u["entropy_q6"] == 4 * term
+    assert u["printable_ratio"] == 0.0
+    c = out["const"]
+    assert c["entropy_q6"] == 0 and c["nul_ratio"] == 1.0
+    t = out["text"]
+    assert t["printable_ratio"] == 1.0 and t["distinct_bytes"] == 2

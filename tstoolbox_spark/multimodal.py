@@ -162,3 +162,65 @@ def sniff_media_type(
         expr = expr.when(riff & (at9 == hx(sub)), mime)
     expr = expr.when(at5 == hx(b"ftyp"), "video/mp4")
     return df.withColumn(out_col, expr.otherwise(SNIFF_FALLBACK))
+
+
+def byte_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
+) -> DataFrame:
+    """Codec-free byte-level payload statistics — the routing signal a
+    100 TB multimodal pipeline computes BEFORE any decode stage:
+    Shannon byte entropy (compressed/encrypted ≈ 8 bits, text ≈ 4-5),
+    printable and NUL ratios, distinct byte count.  Pure JVM
+    expressions (hex + let-bound per-byte transform), one explode +
+    one groupBy(asset) — no Python, no codec libraries.
+
+    Entropy terms are floor-quantized to 1e-6 per distinct byte before
+    the sum, so ``entropy_q6`` (nats·10⁶) is an association-free
+    BIGINT; divide by 1e6 for the float value.
+
+    Output: (id_col, n_bytes, distinct_bytes, entropy_q6,
+    printable_ratio, nul_ratio).
+    """
+    from .textops.dedup import let
+
+    hx = F.hex(F.col(payload_col))
+    bytes_arr = let(
+        hx,
+        lambda h: F.transform(
+            F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
+            lambda i: F.conv(F.substring(h, (i * 2 - 1).cast("int"), 2), 16, 10)
+            .cast("int"),
+        ),
+    )
+    ex = df.select(
+        F.col(id_col).alias("aid"), F.explode(bytes_arr).alias("b")
+    )
+    per_byte = ex.groupBy("aid", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = per_byte.groupBy("aid").agg(F.sum("c").alias("n"))
+    j = per_byte.join(F.broadcast(tot), "aid")
+    p = F.col("c").cast("double") / F.col("n")
+    stats = j.groupBy("aid").agg(
+        F.max("n").alias("n_bytes"),
+        F.count(F.lit(1)).alias("distinct_bytes"),
+        F.sum(
+            F.floor(-(p * F.log(p)) * F.lit(1e6) + F.lit(0.5))
+        ).cast("long").alias("entropy_q6"),
+        F.round(
+            F.sum(F.when((F.col("b") >= 32) & (F.col("b") <= 126), F.col("c"))
+                  .otherwise(F.lit(0))).cast("double") / F.max("n"),
+            6,
+        ).alias("printable_ratio"),
+        F.round(
+            F.sum(F.when(F.col("b") == 0, F.col("c")).otherwise(F.lit(0)))
+            .cast("double") / F.max("n"),
+            6,
+        ).alias("nul_ratio"),
+    )
+    return stats.select(
+        F.col("aid").alias(id_col),
+        "n_bytes",
+        "distinct_bytes",
+        "entropy_q6",
+        "printable_ratio",
+        "nul_ratio",
+    )
