@@ -6222,6 +6222,38 @@ def _queries_round3e() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["byte_stats"] = q_byte_stats
 
+    def q_integrate(s, d):
+        """Cumulative trapezoidal integral over an IRREGULAR axis
+        (accumulate.integrate — TimescaleDB `integral` analog):
+        hourly means thinned to a gappy grid, value·hours per
+        event_type. Trapezoids quantize to 1e-6 before the running
+        sum so the cumulative value is association-free."""
+        from tstoolbox_spark.operators.accumulate import integrate
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        irregular = hourly.where(F.hour("ts") % 3 != 0)
+        out = integrate(
+            irregular, "value_mean", key_cols=["event_type"], unit_seconds=3600.0
+        )
+        return out.select("event_type", "ts", "value_mean_integral")
+
+    q["integrate_trapz"] = q_integrate
+
+    def q_split(s, d):
+        """Deterministic corpus split (sampling.assign_split):
+        train/val/test by md5 ticket ranges — re-runs and corpus
+        growth never move a document between splits."""
+        from tstoolbox_spark.textops.sampling import assign_split
+
+        out = assign_split(
+            _docs(s, d), {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        return out.select("doc_id", "split")
+
+    q["corpus_split"] = q_split
+
     return q
 
 
@@ -6655,6 +6687,52 @@ def _oracles_round3e() -> dict[str, str]:
                      / MAX(n), 6) AS nul_ratio
         FROM pb JOIN tt USING (asset_id)
         GROUP BY 1
+    """
+
+    # integrate_trapz: identical hourly means, identical thinning,
+    # identical per-trapezoid 1e-6 quantization → BIGINT running sum
+    # (associative, so DuckDB's segment-tree window = Spark's
+    # left-to-right accumulation).
+    o["integrate_trapz"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value) AS x
+          FROM events GROUP BY 1, 2),
+        irr AS (
+          SELECT * FROM h WHERE CAST(extract(hour FROM ts) AS INT) % 3 != 0),
+        l AS (
+          SELECT event_type, ts, x,
+                 lag(x) OVER (PARTITION BY event_type ORDER BY ts) AS xp,
+                 CAST(epoch_us(ts)
+                      - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                ORDER BY ts) AS DOUBLE)
+                   / 1e6 AS dt
+          FROM irr),
+        t AS (
+          SELECT event_type, ts, x,
+                 CAST(floor(
+                   CASE WHEN xp IS NOT NULL AND x IS NOT NULL
+                        THEN (x + xp) / 2.0 * dt / 3600.0 ELSE 0.0 END
+                   * 1e6 + 0.5) AS BIGINT) AS tq
+          FROM l)
+        SELECT event_type, ts,
+               CAST(SUM(tq) OVER (PARTITION BY event_type ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE) / 1e6
+                 AS value_mean_integral
+        FROM t
+    """
+
+    # corpus_split: same ticket arithmetic, same cumulative cuts.
+    _t = _md5int_sql("doc_id::VARCHAR") + f" % {1 << 20}"
+    _c1 = int(round(0.9 * (1 << 20)))
+    _c2 = int(round(0.95 * (1 << 20)))
+    o["corpus_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_t} < {_c1} THEN 'train'
+                    WHEN {_t} < {_c2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """
 
     return o

@@ -157,3 +157,25 @@ def test_bigram_logprob(spark):
     assert rows[2]["n_bigrams"] == 2
     assert rows[2]["mean_bigram_logprob"] == round((p_ab + p_bc) / 2, 6)
     assert rows[3]["n_bigrams"] == 0 and rows[3]["mean_bigram_logprob"] is None
+
+
+def test_assign_split_deterministic_and_stable(spark):
+    import pyspark.sql.functions as F
+
+    from tstoolbox_spark.textops.sampling import assign_split
+
+    df = spark.createDataFrame([("d%04d" % i,) for i in range(2000)], "doc_id string")
+    out = assign_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # roughly proportional (md5 uniformity at n=2000)
+    assert abs(counts["train"] - 1600) < 120 and abs(counts["val"] - 200) < 70
+    # subset stability: splitting a subset never moves a doc
+    sub = assign_split(df.limit(500), {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_split(df, {"a": 0.9, "b": 0.2})

@@ -320,3 +320,52 @@ def test_seasonal_decompose_matches_classical(spark):
     assert np.corrcoef(seasonal,
                        3 * np.sin(2 * np.pi * np.arange(period) / period)
                        )[0, 1] > 0.99
+
+
+def test_integrate_trapezoid_matches_numpy(spark):
+    import datetime as dt
+    import math
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.operators.accumulate import integrate
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+    # irregular axis: cumulative random gaps
+    ts, t = [], base
+    for _ in range(50):
+        t += dt.timedelta(minutes=rng.randint(10, 300))
+        ts.append(t)
+    vals = [rng.uniform(-3, 7) for _ in ts]
+    pdf = pd.DataFrame({"ts": ts, "value": vals})
+    out = integrate(spark.createDataFrame(pdf), "value", unit_seconds=3600.0)
+    got = {r["ts"]: r["value_integral"] for r in out.collect()}
+    # reference with the same 1e-6 term quantization
+    acc, exp = 0, {}
+    for i in range(len(ts)):
+        if i > 0:
+            dts = (ts[i] - ts[i - 1]).total_seconds()
+            acc += math.floor((vals[i] + vals[i - 1]) / 2.0 * dts / 3600.0 * 1e6 + 0.5)
+        exp[ts[i]] = acc / 1e6
+    for k in exp:
+        assert got[k] == exp[k], k
+    # sanity vs numpy trapz at the last point (quantization ≤ n·1e-6)
+    assert abs(got[ts[-1]] - getattr(np, 'trapezoid', np.trapz)(np.array(vals), np.array([(x - base).total_seconds() / 3600 for x in ts]))) < 1e-4
+
+
+def test_integrate_null_breaks_trapezoid(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from tstoolbox_spark.operators.accumulate import integrate
+
+    ts = [dt.datetime(2024, 1, 1, h) for h in range(4)]
+    pdf = pd.DataFrame({"ts": ts, "value": [2.0, None, 4.0, 4.0]})
+    out = {r["ts"]: r["value_integral"] for r in integrate(spark.createDataFrame(pdf), "value").collect()}
+    # intervals touching the null contribute 0; last interval = (4+4)/2*1h = 4
+    assert out[ts[0]] == 0.0 and out[ts[1]] == 0.0 and out[ts[2]] == 0.0
+    assert out[ts[3]] == 4.0

@@ -213,3 +213,34 @@ def dsir_logweights(
             F.sum(F.floor(F.col("c") * F.col("lr") * 1e6)).cast("long").alias("logw_q6"),
         )
     )
+
+
+def assign_split(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) corpus split: each
+    row's ticket falls into consecutive [0, SAMPLE_MOD) ranges sized by
+    ``fractions`` (insertion order; must sum to ≤ 1 — any remainder
+    gets the last split).  The split is a pure function of the row id:
+    re-runs, repartitioning, adding executors, or growing the corpus
+    never move a document between splits (the property leakage-safe
+    eval splits require).  A narrow projection — no shuffle, no RNG.
+    """
+    total = sum(fractions.values())
+    if not fractions or total > 1.0 + 1e-9:
+        raise ValueError(f"fractions must be non-empty and sum to <= 1, got {total}")
+    ticket = sample_ticket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cut = F.lit(int(round(acc * SAMPLE_MOD)))
+        branch = F.when(ticket < cut, F.lit(name))
+        expr = branch if expr is None else expr.when(ticket < cut, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
