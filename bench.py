@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "tier_trimmed_mean",
     "source_overlap",
     "span_corrupt_3",
+    "byte_stats",
+    "integrate_trapz",
+    "corpus_split",
 ]
 
 

@@ -82,6 +82,9 @@ def _verb_registry() -> dict[str, callable]:
         "holt_winters_forecast": scan.holt_winters_forecast,
         "ljung_box": stats.ljung_box,
         "ar2": stats.ar2_yule_walker,
+        "pacf": stats.pacf,
+        "integrate": _acc.integrate,
+        "sax": signal.sax_daily,
         # sink verb (ref functions/tstopickle.py): common pipeline
         # runs first, then the frame is pickled; stdout stays empty
         # (header-only) like the reference.
