@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_queries_round3c())
     q.update(_queries_round3d())
     q.update(_queries_round3e())
+    q.update(_queries_round3f())
 
     # The round driver checks the FIRST 50 entries in insertion order
     # (confirmed in VERDICT r1/r2). Window placement is coverage
@@ -1451,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_oracles_round3c())
     o.update(_oracles_round3d())
     o.update(_oracles_round3e())
+    o.update(_oracles_round3f())
     return o
 
 
@@ -6733,6 +6735,170 @@ def _oracles_round3e() -> dict[str, str]:
                     WHEN {_t} < {_c2} THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """
+
+    return o
+
+
+# --------------------------------------------------------------------------
+# round-3f: categorical-state rollups, count-min sketch, backtest folds
+# --------------------------------------------------------------------------
+
+
+def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def q_state_dur(s, d):
+        """Per-(user, day, state) time-in-state — TimescaleDB
+        state_agg/duration_in analog (operators/states.state_durations):
+        exact BIGINT-microsecond durations from one lead window per
+        user, interval-start bucket attribution, then a plain
+        partial-aggregating groupBy."""
+        from tstoolbox_spark.operators.states import state_durations
+
+        ev = _events(s, d).select("user_id", "ts", "event_type")
+        return state_durations(
+            ev, "event_type", tier="1d", key_cols=["user_id"],
+            order_cols=[],
+        )
+
+    q["state_durations_1d"] = q_state_dur
+
+    def q_state_runs(s, d):
+        """Run-length state timeline per user (gaps-and-islands):
+        change flags -> running-sum run ids -> one groupBy; run_us is
+        exact integer microseconds, final runs are open (0)."""
+        from tstoolbox_spark.operators.states import state_runs
+
+        ev = _events(s, d).select("user_id", "ts", "event_type")
+        out = state_runs(ev, "event_type", key_cols=["user_id"])
+        return out.select(
+            "user_id", F.col("run_id").cast("long").alias("run_id"),
+            "state", "run_start", "run_end", "run_us",
+            F.col("n_obs").cast("long").alias("n_obs"),
+        )
+
+    q["state_runs_user"] = q_state_runs
+
+    def q_cms(s, d):
+        """Count-min sketch estimates (pipeline/cms.py — Cormode &
+        Muthukrishnan 2005) for every user against a 4x2048 md5 grid:
+        grid partials compose like every other tier partial; probes
+        stream against the broadcast (bounded) grid. Estimates are
+        exact here (150 keys, negligible collision mass) and never
+        undercount by construction."""
+        from tstoolbox_spark.pipeline.cms import cms_estimate, cms_partials
+
+        ev = _events(s, d)
+        grid = cms_partials(ev, "user_id", tier=None)
+        probes = ev.select("user_id").distinct()
+        return cms_estimate(grid, probes, "user_id")
+
+    q["cms_user_counts"] = q_cms
+
+    def q_backtest(s, d):
+        """Rolling-origin backtest folds (operators/backtest.py,
+        Hyndman & Athanasopoulos): 4 folds over epoch-microsecond
+        integer boundaries, aggregated to per-(fold, role, event_type)
+        row counts + exact decimal value sums."""
+        from tstoolbox_spark.operators.backtest import rolling_origin_folds
+
+        ev = _events(s, d).select("ts", "event_type", "value")
+        folds = rolling_origin_folds(ev, n_folds=4)
+        return folds.groupBy("fold", "role", "event_type").agg(
+            F.count("*").alias("n"),
+            _dsum("value").cast("double").alias("value_sum"),
+        )
+
+    q["backtest_folds_4"] = q_backtest
+
+    return q
+
+
+def _oracles_round3f() -> dict[str, str]:
+    o: dict[str, str] = {}
+    DECS = "DECIMAL(28,2)"
+
+    # state_durations_1d: identical lead-window + interval-start
+    # bucket attribution; durations are exact integer microseconds.
+    o["state_durations_1d"] = """
+        WITH l AS (
+          SELECT user_id, ts, event_type,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   - epoch_us(ts) AS dur
+          FROM events)
+        SELECT user_id, date_trunc('day', ts) AS ts,
+               event_type AS state,
+               CAST(SUM(COALESCE(dur, 0)) AS BIGINT) AS state_us,
+               COUNT(*) AS n_obs
+        FROM l GROUP BY 1, 2, 3
+    """
+
+    # state_runs_user: same change-flag running sum; run_end of the
+    # final run falls back to its last observation (open interval).
+    o["state_runs_user"] = """
+        WITH m AS (
+          SELECT user_id, ts, event_type,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w != event_type
+                      THEN 1 ELSE 0 END AS chg,
+                 COALESCE(lead(ts) OVER w, ts) AS nxt
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        r AS (
+          SELECT user_id, ts, event_type, nxt,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run_id
+          FROM m)
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               MIN(event_type) AS state,
+               MIN(ts) AS run_start, MAX(nxt) AS run_end,
+               epoch_us(MAX(nxt)) - epoch_us(MIN(ts)) AS run_us,
+               COUNT(*) AS n_obs
+        FROM r GROUP BY 1, 2
+    """
+
+    # cms_user_counts: rebuild the identical md5 grid (4 rows x 2048
+    # buckets, '|cms<j>' salts) and take the same min-over-rows read.
+    _b = lambda expr: (
+        "CAST(('0x' || substr(md5(" + expr + "), 1, 15)) AS UBIGINT)::BIGINT"
+        " % 2048"
+    )
+    _key = _b("user_id::VARCHAR || '|cms' || j::VARCHAR")
+    o["cms_user_counts"] = f"""
+        WITH js AS (SELECT unnest(range(4)) AS j),
+        g AS (
+          SELECT j, {_key} AS bucket, COUNT(*) AS cnt
+          FROM events CROSS JOIN js GROUP BY 1, 2),
+        p AS (SELECT DISTINCT user_id FROM events),
+        pr AS (SELECT user_id, j, {_key} AS bucket FROM p CROSS JOIN js)
+        SELECT pr.user_id, MIN(COALESCE(g.cnt, 0)) AS est
+        FROM pr LEFT JOIN g USING (j, bucket)
+        GROUP BY 1
+    """
+
+    # backtest_folds_4: identical integer boundary arithmetic
+    # (span = tmax - tmin + 1; b_j = tmin + span*j // 5).
+    o["backtest_folds_4"] = f"""
+        WITH b AS (
+          SELECT MIN(epoch_us(ts)) AS tmin,
+                 MAX(epoch_us(ts)) - MIN(epoch_us(ts)) + 1 AS span
+          FROM events),
+        f AS (SELECT unnest(range(1, 5)) AS fold),
+        tagged AS (
+          SELECT CAST(f.fold AS INT) AS fold, e.event_type, e.value,
+                 CASE
+                   WHEN epoch_us(e.ts) < b.tmin + (b.span * f.fold) // 5
+                     THEN 'train'
+                   WHEN epoch_us(e.ts) < b.tmin + (b.span * (f.fold + 1)) // 5
+                     THEN 'test'
+                 END AS role
+          FROM events e CROSS JOIN b CROSS JOIN f)
+        SELECT fold, role, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS value_sum
+        FROM tagged WHERE role IS NOT NULL
+        GROUP BY 1, 2, 3
     """
 
     return o

@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "byte_stats",
     "integrate_trapz",
     "corpus_split",
+    "state_durations_1d",
+    "cms_user_counts",
+    "backtest_folds_4",
 ]
 
 

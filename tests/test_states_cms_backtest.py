@@ -1,0 +1,158 @@
+"""state_agg durations / run-length timelines, count-min sketch tiers,
+and rolling-origin backtest folds — pandas-checked semantics plus the
+sketch's upper-bound and composability invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from tstoolbox_spark.operators.backtest import rolling_origin_folds
+from tstoolbox_spark.operators.states import state_durations, state_runs
+from tstoolbox_spark.pipeline.cms import (
+    cms_estimate,
+    cms_merge,
+    cms_partials,
+)
+
+
+def _state_frame(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # key a: on(0h) on(1h) off(2h) on(5h) — last open
+    for h, s in [(0, "on"), (1, "on"), (2, "off"), (5, "on")]:
+        rows.append(("a", t0 + dt.timedelta(hours=h), s))
+    # key b: single observation — zero duration
+    rows.append(("b", t0 + dt.timedelta(hours=3), "idle"))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "state"])
+    return spark.createDataFrame(pdf)
+
+
+def test_state_durations_interval_semantics(spark):
+    out = (
+        state_durations(_state_frame(spark), "state", tier=None, key_cols=["k"])
+        .orderBy("k", "state")
+        .collect()
+    )
+    got = {(r["k"], r["state"]): (r["state_us"], r["n_obs"]) for r in out}
+    hour = 3_600_000_000
+    # a: on holds 0→1, 1→2, and 5→open(0); off holds 2→5
+    assert got[("a", "on")] == (2 * hour, 3)
+    assert got[("a", "off")] == (3 * hour, 1)
+    # b: single observation, open interval
+    assert got[("b", "idle")] == (0, 1)
+
+
+def test_state_durations_tier_start_attribution(spark):
+    t0 = dt.datetime(2024, 1, 1, 23, 0)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0, t0 + dt.timedelta(hours=2)],
+            "state": ["up", "down"],
+        }
+    )
+    out = state_durations(
+        spark.createDataFrame(pdf), "state", tier="1d"
+    ).collect()
+    got = {(r["ts"], r["state"]): r["state_us"] for r in out}
+    # the 23:00→01:00 interval is attributed wholly to Jan 1 (start)
+    assert got[(dt.datetime(2024, 1, 1), "up")] == 2 * 3_600_000_000
+    assert got[(dt.datetime(2024, 1, 2), "down")] == 0
+
+
+def test_state_runs_islands(spark):
+    out = (
+        state_runs(_state_frame(spark), "state", key_cols=["k"])
+        .orderBy("k", "run_id")
+        .collect()
+    )
+    a = [r for r in out if r["k"] == "a"]
+    assert [(r["state"], r["n_obs"]) for r in a] == [
+        ("on", 2),
+        ("off", 1),
+        ("on", 1),
+    ]
+    hour = 3_600_000_000
+    # first 'on' run: starts 0h, ends at the off transition (2h)
+    assert a[0]["run_us"] == 2 * hour
+    # final run is open: run_end == run_start
+    assert a[2]["run_us"] == 0
+    b = [r for r in out if r["k"] == "b"]
+    assert len(b) == 1 and b[0]["run_us"] == 0
+
+
+def _events_frame(spark, n=400):
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + dt.timedelta(minutes=13 * i) for i in range(n)],
+            "user": [f"u{i % 37}" for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_cms_upper_bound_and_exactness_when_sparse(spark):
+    df = _events_frame(spark)
+    grid = cms_partials(df, "user", tier=None)
+    probes = df.select("user").distinct()
+    est = {
+        r["user"]: r["est"]
+        for r in cms_estimate(grid, probes, "user").collect()
+    }
+    true = {
+        r["user"]: r["n"]
+        for r in df.groupBy("user")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(est) == set(true)
+    for u, t in true.items():
+        assert est[u] >= t  # CMS never undercounts
+    # 37 keys into a 4x2048 grid: collisions are essentially absent
+    assert sum(est[u] != true[u] for u in true) == 0
+
+
+def test_cms_partials_compose(spark):
+    df = _events_frame(spark)
+    daily = cms_partials(df, "user", tier="1h")
+    folded = cms_merge(daily, tier=None)
+    direct = cms_partials(df, "user", tier=None)
+    a = {(r["j"], r["bucket"]): r["cnt"] for r in folded.collect()}
+    b = {(r["j"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert a == b
+
+
+def test_cms_grid_is_bounded(spark):
+    df = _events_frame(spark)
+    grid = cms_partials(df, "user", tier=None, depth=3, width=64)
+    assert grid.count() <= 3 * 64
+
+
+def test_rolling_origin_fold_boundaries(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {"ts": [t0 + dt.timedelta(hours=i) for i in range(100)],
+         "v": list(range(100))}
+    )
+    df = spark.createDataFrame(pdf)
+    out = rolling_origin_folds(df, n_folds=4).toPandas()
+    # every fold's max train ts < min test ts (causality)
+    for k in range(1, 5):
+        f = out[out["fold"] == k]
+        assert f[f["role"] == "train"]["ts"].max() < f[
+            f["role"] == "test"
+        ]["ts"].min()
+    # train grows monotonically with the fold index
+    sizes = [
+        len(out[(out["fold"] == k) & (out["role"] == "train")])
+        for k in range(1, 5)
+    ]
+    assert sizes == sorted(sizes) and sizes[0] > 0
+    # the union of fold-k test windows tiles everything after b_1,
+    # including the very last observation (half-open cover fix)
+    tested = set(out[out["role"] == "test"]["v"])
+    assert 99 in tested
+    assert tested == set(range(min(tested), 100))

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 def _verb_registry() -> dict[str, callable]:
     from .operators import accumulate as _acc
     from .operators import aggregate as _agg
+    from .operators import backtest as _backtest
+    from .operators import states as _states
     from .operators import core, counters, downsample, fill, peaks, reshape
     from .operators import scan, signal, stats, transform, window
 
@@ -85,6 +87,9 @@ def _verb_registry() -> dict[str, callable]:
         "pacf": stats.pacf,
         "integrate": _acc.integrate,
         "sax": signal.sax_daily,
+        "state_agg": _states.state_durations,
+        "state_runs": _states.state_runs,
+        "backtest_folds": _backtest.rolling_origin_folds,
         # sink verb (ref functions/tstopickle.py): common pipeline
         # runs first, then the frame is pickled; stdout stays empty
         # (header-only) like the reference.
