@@ -1995,6 +1995,21 @@ def _textops_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _dd.near_dup_clusters(docs, pairs=pairs)
 
     q["dedup_clusters"] = dedup_clusters
+
+    def canonical_docs(s, d):
+        """Canonical-representative selection after clustering
+        (dedup.canonical_pick): longest doc per near-dup cluster,
+        ties to the smallest doc_id — one join + one associative
+        argmax aggregate, no corpus-wide window."""
+        docs = _docs(s, d)
+        pairs = _dd.minhash_lsh_dedup(
+            docs, n=2, threshold=0.2, k=_MINHASH_K, bands=2, rows=4
+        )
+        clusters = _dd.near_dup_clusters(docs, pairs=pairs)
+        scores = docs.select("doc_id", F.length("text").alias("n_chars"))
+        return _dd.canonical_pick(clusters, scores)
+
+    q["canonical_docs"] = canonical_docs
     q["simhash"] = lambda s, d: _dd.simhash(_docs(s, d), bits=_SIMHASH_BITS)
     q["language_id"] = lambda s, d: _tq.language_id(_docs(s, d))
     q["quality_score"] = lambda s, d: _tq.quality_score(_docs(s, d))
@@ -2349,6 +2364,36 @@ def _textops_oracles() -> dict[str, str]:
         SELECT doc AS doc_id, MIN(label) AS cluster,
                doc = MIN(label) AS keeper
         FROM reach GROUP BY doc
+    """
+
+    # canonical_docs: same component labels, then the deterministic
+    # argmax pick (score desc, id asc) the Spark side does with
+    # min(struct(-score, id)).
+    o["canonical_docs"] = f"""
+        WITH RECURSIVE p AS ({jacc_base}),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b, doc_a FROM p),
+        reach(doc, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.doc),
+        cl AS (
+          SELECT doc AS doc_id, MIN(label) AS cluster
+          FROM reach GROUP BY doc),
+        j AS (
+          SELECT cl.cluster, cl.doc_id,
+                 CAST(length(d.text) AS DOUBLE) AS n_chars
+          FROM cl JOIN documents d USING (doc_id)),
+        r AS (
+          SELECT cluster, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+          FROM j)
+        SELECT cluster, doc_id, n_chars, CAST(n_docs AS BIGINT) AS n_docs
+        FROM r WHERE rn = 1
     """
 
     from tstoolbox_spark.textops.dedup import MH_PRIME as _MHP
@@ -6812,6 +6857,27 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["backtest_folds_4"] = q_backtest
 
+    def q_winsor(s, d):
+        """Exact 10%-winsorized mean per (flag, month) read from the
+        SAME cascaded histogram partials as tier_trimmed_mean
+        (rollup.hist_winsorized_mean): the clamping robust-location
+        sibling — k smallest/largest occurrences clamp to the k+1 /
+        n−k order statistics, integer arithmetic end to end."""
+        from tstoolbox_spark.pipeline import rollup
+
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            F.col("l_returnflag").alias("source"),
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+            F.col("l_quantity").cast("int").alias("n_tok"),
+        )
+        monthly = rollup.hist_cascade(rollup.hist_base(li, "1d"), "1mo")
+        out = rollup.hist_winsorized_mean(monthly, alpha=0.1)
+        return out.select(
+            F.col("source").alias("l_returnflag"), "ts", "winsorized_mean", "n"
+        )
+
+    q["tier_winsorized_mean"] = q_winsor
+
     return q
 
 
@@ -6899,6 +6965,44 @@ def _oracles_round3f() -> dict[str, str]:
                CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS value_sum
         FROM tagged WHERE role IS NOT NULL
         GROUP BY 1, 2, 3
+    """
+
+    # tier_winsorized_mean: identical integer kept/clamp arithmetic
+    # over the per-value histogram (k = floor(0.1·n); v_lo/v_hi are
+    # percentile_disc reads at ranks k+1 and n−k).
+    o["tier_winsorized_mean"] = """
+        WITH h AS (
+          SELECT l_returnflag,
+                 CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
+                 CAST(l_quantity AS INT) AS v, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2, 3),
+        c AS (
+          SELECT l_returnflag, ts, v, cnt,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag, ts
+                                ORDER BY v) AS cum,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag, ts) AS tot
+          FROM h),
+        k AS (
+          SELECT l_returnflag, ts, v, cnt, cum, tot,
+                 CAST(floor(0.1 * tot) AS BIGINT) AS lo,
+                 tot - CAST(floor(0.1 * tot) AS BIGINT) AS hi
+          FROM c),
+        g AS (
+          SELECT l_returnflag, ts,
+                 SUM(CAST(v AS BIGINT)
+                     * greatest(CAST(0 AS BIGINT),
+                                least(cum, hi) - greatest(cum - cnt, lo)))
+                   AS wsum,
+                 MIN(CASE WHEN cum >= lo + 1 THEN v END) AS vlo,
+                 MIN(CASE WHEN cum >= hi THEN v END) AS vhi,
+                 MAX(lo) AS kk, MAX(tot) AS n
+          FROM k GROUP BY 1, 2)
+        SELECT l_returnflag, ts,
+               round(CAST(wsum + kk * (CAST(vlo AS BIGINT)
+                                       + CAST(vhi AS BIGINT))
+                          AS DOUBLE) / n, 6) AS winsorized_mean,
+               CAST(n AS BIGINT) AS n
+        FROM g
     """
 
     return o

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "state_durations_1d",
     "cms_user_counts",
     "backtest_folds_4",
+    "canonical_docs",
+    "tier_winsorized_mean",
 ]
 
 

@@ -156,3 +156,66 @@ def test_rolling_origin_fold_boundaries(spark):
     tested = set(out[out["role"] == "test"]["v"])
     assert 99 in tested
     assert tested == set(range(min(tested), 100))
+
+
+def test_hist_winsorized_mean_matches_numpy(spark):
+    import numpy as np
+    import datetime as dt
+    from tstoolbox_spark.pipeline.rollup import hist_base, hist_winsorized_mean
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(1, 51, size=500)
+    t0 = dt.datetime(2024, 3, 1)
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 500,
+            "ts": [t0 + dt.timedelta(minutes=i) for i in range(500)],
+            "n_tok": vals,
+        }
+    )
+    h = hist_base(spark.createDataFrame(pdf), "1d")
+    out = hist_winsorized_mean(h, alpha=0.1).collect()
+    assert len(out) == 1
+    k = int(np.floor(0.1 * 500))
+    s = np.sort(vals)
+    s[:k] = s[k]
+    s[500 - k:] = s[500 - k - 1]
+    assert out[0]["winsorized_mean"] == round(float(s.mean()), 6)
+    assert out[0]["n"] == 500
+
+
+def test_hist_winsorized_alpha_guard(spark):
+    import pytest as _pytest
+    from tstoolbox_spark.pipeline.rollup import hist_winsorized_mean
+
+    with _pytest.raises(ValueError):
+        hist_winsorized_mean(None, alpha=0.5)
+
+
+def test_canonical_pick_argmax_and_ties(spark):
+    from tstoolbox_spark.textops.dedup import canonical_pick
+
+    clusters = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b", "c", "d", "e"],
+                "cluster": ["a", "a", "a", "d", "d"],
+                "keeper": [True, False, False, True, False],
+            }
+        )
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a", "b", "c", "d", "e"],
+                "n_chars": [10, 30, 30, 7, 7],
+            }
+        )
+    )
+    out = {
+        r["cluster"]: (r["doc_id"], r["n_chars"], r["n_docs"])
+        for r in canonical_pick(clusters, scores).collect()
+    }
+    # highest score wins; tie (b vs c at 30) breaks to smaller id
+    assert out["a"] == ("b", 30.0, 3)
+    assert out["d"] == ("d", 7.0, 2)

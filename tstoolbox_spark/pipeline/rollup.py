@@ -220,3 +220,58 @@ def hist_trimmed_mean(
         ).alias("trimmed_mean"),
         "n_kept",
     )
+
+
+def hist_winsorized_mean(
+    hist: DataFrame,
+    alpha: float = 0.1,
+    key_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exact α-winsorized mean per (key, tier bucket) from histogram
+    partials — the CLAMPING sibling of :func:`hist_trimmed_mean`: the
+    k = floor(α·n) smallest occurrences are replaced by the (k+1)-th
+    order statistic and the k largest by the (n−k)-th, then everything
+    is averaged (Tukey/Dixon winsorization).
+
+    From the histogram this is the trimmed middle sum plus
+    ``k · (v_lo + v_hi)`` where ``v_lo``/``v_hi`` are percentile_disc
+    reads at ranks k+1 and n−k — integer arithmetic end to end, exact
+    at every tier, same |domain|-bounded window as hist_quantiles.
+    """
+    if not 0.0 <= alpha < 0.5:
+        raise ValueError(f"alpha must be in [0, 0.5), got {alpha}")
+    keys = [*key_cols, "ts"]
+    bucket = Window.partitionBy(*keys)
+    byval = bucket.orderBy("v")
+    cum = F.sum("cnt").over(byval)
+    tot = F.sum("cnt").over(bucket)
+    h = hist.select(
+        *keys, "v", "cnt", cum.alias("__cum"), tot.alias("__tot")
+    )
+    k = F.floor(F.lit(float(alpha)) * F.col("__tot")).cast("long")
+    hi = F.col("__tot") - k
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), hi)
+        - F.greatest(F.col("__cum") - F.col("cnt"), k),
+    )
+    agg = h.groupBy(*keys).agg(
+        F.sum(F.col("v").cast("long") * kept).alias("__wsum"),
+        F.min(F.when(F.col("__cum") >= k + 1, F.col("v"))).alias("__vlo"),
+        F.min(F.when(F.col("__cum") >= hi, F.col("v"))).alias("__vhi"),
+        F.max(k).alias("__k"),
+        F.max(F.col("__tot")).alias("n"),
+    )
+    wsum = (
+        F.col("__wsum")
+        + F.col("__k") * (
+            F.col("__vlo").cast("long") + F.col("__vhi").cast("long")
+        )
+    )
+    return agg.select(
+        *keys,
+        F.round(wsum.cast("double") / F.col("n"), 6).alias(
+            "winsorized_mean"
+        ),
+        F.col("n").cast("long").alias("n"),
+    )

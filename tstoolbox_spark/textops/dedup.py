@@ -535,3 +535,38 @@ def source_overlap(
             6,
         ).alias("jaccard"),
     )
+
+
+def canonical_pick(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Choose the canonical representative of every near-dup cluster:
+    highest score wins, ties break to the lexicographically smallest
+    id — the selection step a dedup pipeline applies after
+    :func:`near_dup_clusters` (keep the best copy, not an arbitrary
+    one; score is pluggable — length, quality_score, recency).
+
+    One inner join on ids and one argmax aggregate via
+    ``min(struct(-score, id))`` — no window over the full corpus, and
+    partial aggregation applies (struct-min is associative). Scores
+    compare as doubles (exact for the integral scores used here).
+    """
+    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    best = joined.groupBy("cluster").agg(
+        F.min(
+            F.struct(
+                (-F.col(score_col).cast("double")).alias("ns"),
+                F.col(id_col).alias("doc"),
+            )
+        ).alias("b"),
+        F.count("*").alias("n_docs"),
+    )
+    return best.select(
+        "cluster",
+        F.col("b.doc").alias(id_col),
+        (-F.col("b.ns")).alias(score_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
