@@ -6878,6 +6878,63 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tier_winsorized_mean"] = q_winsor
 
+    def q_drawdown(s, d):
+        """Running peak / drawdown per event_type (window.drawdown:
+        prefix-max window, no joins) aggregated to the worst drawdown
+        per (type, day). Pure IEEE double arithmetic — deterministic
+        in both engines, no rounding needed."""
+        from tstoolbox_spark.operators.window import drawdown
+
+        ev = _events(s, d).select("event_type", "ts", "event_id", "value")
+        dd = drawdown(
+            ev, "value", key_cols=["event_type"], order_cols=["event_id"]
+        )
+        return dd.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("ts")
+        ).agg(
+            F.min("drawdown").alias("max_drawdown"),
+            F.max("peak").alias("peak_max"),
+        )
+
+    q["drawdown_daily"] = q_drawdown
+
+    def q_vwap(s, d):
+        """Weighted mean per (returnflag, month) — the VWAP shape
+        (aggregate.weighted_mean): per-term double products cast to
+        DECIMAL(28,2) so the sums are associative; one
+        map-side-combinable groupBy."""
+        from tstoolbox_spark.operators.aggregate import weighted_mean
+
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            F.col("l_returnflag"),
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").alias("qty"),
+        )
+        return weighted_mean(
+            li, "price", "qty", tier="1mo", key_cols=["l_returnflag"]
+        )
+
+    q["vwap_monthly"] = q_vwap
+
+    def q_qnorm(s, d):
+        """Rank-based inverse-normal (quantile) normalization
+        (transform.quantile_normalize): mid-rank Hazen position →
+        Acklam Φ⁻¹, built on the range-partitioned rank components —
+        no single-task key sort. ROUND(6) absorbs libm ulp skew."""
+        from tstoolbox_spark.operators.transform import quantile_normalize
+
+        ev = _events(s, d).select("event_id", "event_type", "value")
+        out = quantile_normalize(
+            ev, value_cols=["value"], key_cols=["event_type"]
+        )
+        return out.select(
+            "event_id", "event_type", "value",
+            F.round("value_qnorm", 6).alias("value_qnorm"),
+        )
+
+    q["quantile_normalize_value"] = q_qnorm
+
     return q
 
 
@@ -7003,6 +7060,63 @@ def _oracles_round3f() -> dict[str, str]:
                           AS DOUBLE) / n, 6) AS winsorized_mean,
                CAST(n AS BIGINT) AS n
         FROM g
+    """
+
+    # drawdown_daily: identical prefix-max window (ties broken by
+    # event_id on both sides), exact double subtraction, min/max agg.
+    o["drawdown_daily"] = """
+        WITH dd AS (
+          SELECT event_type, ts, value,
+                 MAX(value) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS peak
+          FROM events)
+        SELECT event_type, date_trunc('day', ts) AS ts,
+               MIN(value - peak) AS max_drawdown,
+               MAX(peak) AS peak_max
+        FROM dd GROUP BY 1, 2
+    """
+
+    # vwap_monthly: identical per-term double product -> DECIMAL(28,2)
+    # associative sums, final division in double.
+    o["vwap_monthly"] = """
+        SELECT l_returnflag,
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
+               CAST(SUM(CAST(l_extendedprice * l_quantity
+                             AS DECIMAL(28,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                 AS weighted_mean,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                 AS weight_sum,
+               COUNT(l_extendedprice) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+    """
+
+    # quantile_normalize_value: identical mid-rank Hazen position and
+    # the shared Acklam probit expression; ROUND(6) absorbs libm ulp.
+    from tstoolbox_spark.operators.stats import norm_ppf_sql as _nps
+
+    _p = "(((g.mn + g.mx) / 2.0 - 0.5) / g.n)"
+    o["quantile_normalize_value"] = f"""
+        WITH nn AS (
+          SELECT event_id, event_type, value
+          FROM events WHERE value IS NOT NULL),
+        rn AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rnum,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM nn),
+        g AS (
+          SELECT event_type, value, MIN(rnum) AS mn, MAX(rnum) AS mx,
+                 MAX(n) AS n
+          FROM rn GROUP BY 1, 2)
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND({_nps(_p)}, 6) AS value_qnorm
+        FROM events e
+        LEFT JOIN g ON e.event_type = g.event_type AND e.value = g.value
     """
 
     return o

@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "backtest_folds_4",
     "canonical_docs",
     "tier_winsorized_mean",
+    "drawdown_daily",
+    "vwap_monthly",
+    "quantile_normalize_value",
 ]
 
 

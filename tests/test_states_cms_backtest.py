@@ -219,3 +219,72 @@ def test_canonical_pick_argmax_and_ties(spark):
     # highest score wins; tie (b vs c at 30) breaks to smaller id
     assert out["a"] == ("b", 30.0, 3)
     assert out["d"] == ("d", 7.0, 2)
+
+
+def test_drawdown_semantics(spark):
+    from tstoolbox_spark.operators.window import drawdown
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 8.0, 12.0, 15.0, 9.0]
+    pdf = pd.DataFrame(
+        {"ts": [t0 + dt.timedelta(hours=i) for i in range(6)], "v": vals}
+    )
+    out = (
+        drawdown(spark.createDataFrame(pdf), "v")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert list(out["peak"]) == [10, 12, 12, 12, 15, 15]
+    assert list(out["drawdown"]) == [0, 0, -4, 0, 0, -6]
+    assert round(out["drawdown_pct"][2], 6) == round(-4 / 12, 6)
+
+
+def test_weighted_mean_matches_numpy(spark):
+    import numpy as np
+    from tstoolbox_spark.operators.aggregate import weighted_mean
+
+    rng = np.random.RandomState(3)
+    n = 300
+    t0 = dt.datetime(2024, 5, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + dt.timedelta(minutes=7 * i) for i in range(n)],
+            "price": np.round(rng.uniform(1, 100, n), 2),
+            "qty": rng.randint(1, 50, n),
+        }
+    )
+    out = weighted_mean(
+        spark.createDataFrame(pdf), "price", "qty", tier="1d"
+    ).orderBy("ts").collect()
+    g = pdf.groupby(pdf["ts"].dt.floor("D"))
+    for row, (_, grp) in zip(out, g):
+        expect = float((grp["price"] * grp["qty"]).sum() / grp["qty"].sum())
+        assert abs(row["weighted_mean"] - expect) < 1e-9
+        assert row["weight_sum"] == float(grp["qty"].sum())
+
+
+def test_quantile_normalize_is_normalish(spark):
+    import numpy as np
+    from tstoolbox_spark.operators.transform import quantile_normalize
+
+    rng = np.random.RandomState(5)
+    n = 1000
+    t0 = dt.datetime(2024, 1, 1)
+    # heavily skewed input: lognormal
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + dt.timedelta(minutes=i) for i in range(n)],
+            "value": rng.lognormal(0, 2, n),
+        }
+    )
+    res = quantile_normalize(
+        spark.createDataFrame(pdf), value_cols=["value"]
+    ).toPandas()
+    out = res["value_qnorm"]
+    # output is standard-normal by construction of the transform
+    assert abs(out.mean()) < 0.01
+    assert abs(out.std() - 1.0) < 0.05
+    # strictly monotone in the input (pair columns from the SAME frame
+    # — Spark output row order is arbitrary)
+    m = res.sort_values("value")
+    assert m["value_qnorm"].is_monotonic_increasing

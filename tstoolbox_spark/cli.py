@@ -90,6 +90,9 @@ def _verb_registry() -> dict[str, callable]:
         "state_agg": _states.state_durations,
         "state_runs": _states.state_runs,
         "backtest_folds": _backtest.rolling_origin_folds,
+        "drawdown": window.drawdown,
+        "weighted_mean": _agg.weighted_mean,
+        "quantile_normalize": transform.quantile_normalize,
         # sink verb (ref functions/tstopickle.py): common pipeline
         # runs first, then the frame is pickled; stdout stays empty
         # (header-only) like the reference.

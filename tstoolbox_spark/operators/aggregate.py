@@ -255,3 +255,42 @@ def time_weighted_avg(
             f"{value_col}_twa"
         ),
     )
+
+
+def weighted_mean(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    tier: str = "1d",
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Weight-weighted mean per (key, tier bucket) — the VWAP shape
+    (sum(v·w)/sum(w)). Each v·w product is computed in double (exact
+    when, as here, weights are small integers and values carry ≤2
+    decimals) and summed as DECIMAL(28,2) so the aggregate is
+    associative and partitioning-independent; the final division is
+    one double op. Plain map-side-combinable groupBy — no window, no
+    join.
+    """
+    from ..pipeline.rollup import TIERS
+
+    unit = TIERS[tier]
+    vw = (F.col(value_col) * F.col(weight_col)).cast("decimal(28,2)")
+    w = F.col(weight_col).cast("decimal(28,2)")
+    out = df.groupBy(
+        *key_cols, F.date_trunc(unit, F.col(ts_col)).alias("ts")
+    ).agg(
+        F.sum(vw).alias("__svw"),
+        F.sum(w).alias("__sw"),
+        F.count(value_col).alias("n"),
+    )
+    return out.select(
+        *key_cols,
+        "ts",
+        (
+            F.col("__svw").cast("double") / F.col("__sw").cast("double")
+        ).alias("weighted_mean"),
+        F.col("__sw").cast("double").alias("weight_sum"),
+        "n",
+    )

@@ -123,6 +123,8 @@ def normalization(
     low-cardinality key through one task at corpus scale. (pct_rank is
     the exception: a rank is inherently a per-key sort.)
     """
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
     if value_cols is None:
         skip = {ts_col, *key_cols}
         value_cols = [c for c in df.columns if c not in skip]
@@ -214,3 +216,43 @@ def convert_index_to_datetime(
         raise ValueError(f"unknown epoch {epoch!r}")
     julian = F.col(num_col) + F.lit(EPOCH_JULIAN_OFFSET[epoch])
     return df.withColumn(ts_col, F.timestamp_seconds((julian - 2440587.5) * 86400.0))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_cols: Sequence[str] | None = None,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Map each value onto the standard-normal quantile of its
+    mid-rank — rank-based inverse-normal ("quantile") normalization,
+    the feature-prep transform that forces any marginal distribution
+    to N(0,1): z = Φ⁻¹((r̄ − 0.5) / n) with r̄ the average rank among
+    ties (Hazen plotting position, van der Waerden-style scores).
+
+    Built entirely from existing scalable pieces: per-(key, value)
+    rank components (range-partitioned parallel ranking — no
+    single-task key sort) and the Acklam Φ⁻¹ column expression
+    (stats.norm_ppf), joined back on (keys, value). Nulls pass
+    through.
+    """
+    from .stats import norm_ppf, rank_components
+
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    if value_cols is None:
+        skip = {ts_col, *key_cols}
+        value_cols = [c for c in df.columns if c not in skip]
+    keys = list(key_cols)
+    out = df
+    for c in value_cols:
+        comps = rank_components(out, c, keys)
+        avg_rank = (F.col("__mn") + F.col("__mx")) / 2.0
+        p = (avg_rank - 0.5) / F.col("__n")
+        comps = comps.select(
+            *keys, c, norm_ppf(p).alias(f"{c}_qnorm")
+        )
+        out = out.join(comps, [*keys, c], "left")
+    return out

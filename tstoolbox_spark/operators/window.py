@@ -518,3 +518,35 @@ def cusum_changepoints(
             .withColumn("shift_up", F.col("cusum_pos") > h)
             .withColumn("shift_down", F.col("cusum_neg") > h)
             .drop("__sy", "__syy", "__n", "__mu", "__sigma", "__pp", "__pn"))
+
+
+def drawdown(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Running peak and drawdown per key: ``peak`` = running max of the
+    series so far, ``drawdown`` = value − peak (≤ 0), ``drawdown_pct``
+    = drawdown / peak (null while peak ≤ 0). The classic
+    high-water-mark diagnostic for any cumulative KPI (loss curves,
+    account balances, throughput). Max drawdown per key is one
+    ``groupBy().min("drawdown")`` away.
+
+    One window sort per key (running max is a plain prefix
+    aggregate); no joins, no driver state.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max(F.col(value_col)).over(w)
+    dd = F.col(value_col) - peak
+    return df.select(
+        *df.columns,
+        peak.alias("peak"),
+        dd.alias("drawdown"),
+        F.when(peak > 0, dd / peak).alias("drawdown_pct"),
+    )
