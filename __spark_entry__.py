@@ -6935,6 +6935,29 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantile_normalize_value"] = q_qnorm
 
+    def q_bloom(s, d):
+        """Bloom membership (pipeline/bloom.py, Bloom 1970): build the
+        63-bit-word filter over all doc_ids, probe with every member
+        plus an equal count of known-absent ids. Members are always
+        true (no false negatives); absent ids read false except
+        deterministic hash collisions. bit_or partials compose like
+        every other tier partial; probes stream against the broadcast
+        word table."""
+        from tstoolbox_spark.pipeline.bloom import bloom_build, bloom_probe
+
+        docs = _docs(s, d)
+        bf = bloom_build(docs, "doc_id")
+        probes = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id")
+        ).unionByName(
+            docs.select(
+                F.concat(F.lit("absent_"), F.col("doc_id")).alias("doc_id")
+            )
+        )
+        return bloom_probe(bf, probes, "doc_id")
+
+    q["bloom_membership"] = q_bloom
+
     return q
 
 
@@ -7117,6 +7140,38 @@ def _oracles_round3f() -> dict[str, str]:
                ROUND({_nps(_p)}, 6) AS value_qnorm
         FROM events e
         LEFT JOIN g ON e.event_type = g.event_type AND e.value = g.value
+    """
+
+    # bloom_membership: rebuild the identical 63-bit-word filter
+    # (same md5 '|bf<j>' salts, same DIV/% geometry) and the same
+    # all-k-bits-set read.
+    _bm = 63 * 1024
+    _bh = (
+        "CAST(('0x' || substr(md5(id || '|bf' || j::VARCHAR), 1, 15)) "
+        f"AS UBIGINT)::BIGINT % {_bm}"
+    )
+    o["bloom_membership"] = f"""
+        WITH js AS (SELECT unnest(range(4)) AS j),
+        ids AS (SELECT doc_id::VARCHAR AS id FROM documents),
+        pos AS (SELECT id, {_bh} AS h FROM ids CROSS JOIN js),
+        filt AS (
+          SELECT h // 63 AS word,
+                 bit_or(1::BIGINT << CAST(h % 63 AS INT)) AS mask
+          FROM pos GROUP BY 1),
+        probes AS (
+          SELECT doc_id::VARCHAR AS id FROM documents
+          UNION ALL
+          SELECT 'absent_' || doc_id::VARCHAR FROM documents),
+        ppos AS (SELECT id, {_bh} AS h FROM probes CROSS JOIN js),
+        chk AS (
+          SELECT p.id,
+                 CASE WHEN (COALESCE(f.mask, 0)
+                            & (1::BIGINT << CAST(p.h % 63 AS INT)))
+                        = (1::BIGINT << CAST(p.h % 63 AS INT))
+                      THEN 1 ELSE 0 END AS s
+          FROM ppos p LEFT JOIN filt f ON p.h // 63 = f.word)
+        SELECT id AS doc_id, MIN(s) = 1 AS maybe_member
+        FROM chk GROUP BY 1
     """
 
     return o

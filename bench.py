@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "drawdown_daily",
     "vwap_monthly",
     "quantile_normalize_value",
+    "bloom_membership",
 ]
 
 

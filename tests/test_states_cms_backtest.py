@@ -288,3 +288,34 @@ def test_quantile_normalize_is_normalish(spark):
     # — Spark output row order is arbitrary)
     m = res.sort_values("value")
     assert m["value_qnorm"].is_monotonic_increasing
+
+
+def test_bloom_no_false_negatives_and_composes(spark):
+    from tstoolbox_spark.pipeline.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(500).select(
+        F.concat(F.lit("id"), F.col("id")).alias("k")
+    )
+    bf = bloom_build(ids, "k")
+    assert bf.count() <= 1024
+    # every mask is a positive BIGINT (63-bit words — DuckDB-portable)
+    assert bf.filter(F.col("mask") <= 0).count() == 0
+    # members always read true
+    assert bloom_probe(bf, ids, "k").filter("NOT maybe_member").count() == 0
+    # absent ids mostly read false (fp < 3% at this load)
+    absent = spark.range(500).select(
+        F.concat(F.lit("nope"), F.col("id")).alias("k")
+    )
+    fp = bloom_probe(bf, absent, "k").filter("maybe_member").count()
+    assert fp <= 15
+    # split-build merge == whole build
+    h1 = bloom_build(ids.filter("k < 'id25'"), "k")
+    h2 = bloom_build(ids.filter("k >= 'id25'"), "k")
+    m = {r["word"]: r["mask"] for r in bloom_merge(h1.unionByName(h2)).collect()}
+    whole = {r["word"]: r["mask"] for r in bf.collect()}
+    assert m == whole
