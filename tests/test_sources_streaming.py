@@ -444,3 +444,57 @@ def test_streaming_hist_matches_batch_and_quantiles(spark, tmp_path):
     qa = hist_quantiles(streamed).join(emitted, ["source", "ts"])
     qb = hist_quantiles(batch).join(emitted, ["source", "ts"])
     assert qa.exceptAll(qb).count() == 0 and qb.exceptAll(qa).count() == 0
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """continuous_cms: streamed sketch partials equal the batch
+    cms_partials cells they cover, and a folded global estimate reads
+    identically from either side (kill-resume, exactly-once)."""
+    from tstoolbox_spark.pipeline.cms import cms_estimate, cms_merge, cms_partials
+    from tstoolbox_spark.streaming import continuous_cms
+
+    seq = generate_sequences(spark, 20_000)
+    in_dir = tmp_path / "cms_in"
+    with_ts = with_time_axis(seq)
+    cutoff = with_ts.agg(F.percentile_approx("ts", 0.8)).collect()[0][0]
+    with_ts.filter(F.col("ts") <= F.lit(cutoff)).drop("ts").write.mode(
+        "overwrite"
+    ).parquet(str(in_dir))
+    continuous_cms(
+        spark, str(in_dir), str(tmp_path / "ctier"), str(tmp_path / "cck"),
+        key_col="source",
+    ).awaitTermination(120)
+    with_ts.filter(F.col("ts") > F.lit(cutoff)).drop("ts").write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    continuous_cms(
+        spark, str(in_dir), str(tmp_path / "ctier"), str(tmp_path / "cck"),
+        key_col="source",
+    ).awaitTermination(180)
+
+    streamed = spark.read.parquet(str(tmp_path / "ctier"))
+    n = streamed.count()
+    assert n > 0
+    # exactly-once: one row per (ts, j, bucket)
+    assert (
+        streamed.groupBy("ts", "j", "bucket")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    # cell parity vs the batch grid
+    batch = cms_partials(with_time_axis(seq), "source", tier="1m")
+    joined = streamed.alias("s").join(
+        batch.alias("b"), ["ts", "j", "bucket"], "inner"
+    )
+    assert joined.count() == n
+    assert joined.filter(F.col("s.cnt") != F.col("b.cnt")).count() == 0
+    # estimates folded over the emitted buckets match batch folds
+    emitted = streamed.select("ts").distinct()
+    ga = cms_merge(streamed, tier=None)
+    gb = cms_merge(batch.join(emitted, "ts"), tier=None)
+    probes = seq.select("source").distinct()
+    ea = cms_estimate(ga, probes, "source").collect()
+    eb = cms_estimate(gb, probes, "source").collect()
+    assert sorted(map(tuple, ea)) == sorted(map(tuple, eb))

@@ -1,5 +1,6 @@
 from .continuous import (  # noqa: F401
     continuous_cascade,
+    continuous_cms,
     continuous_hist,
     continuous_ingest_dedup,
     continuous_rollup,

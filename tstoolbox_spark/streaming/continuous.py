@@ -217,3 +217,66 @@ def continuous_cascade(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def continuous_cms(
+    spark: SparkSession,
+    input_dir: str,
+    tier_dir: str,
+    checkpoint_dir: str,
+    tier: str = "1m",
+    key_col: str = "doc_id",
+    watermark: str = "2 minutes",
+    depth: int | None = None,
+    width: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming count-min-sketch partials — the incremental-ingest
+    mode of ``pipeline.cms.cms_partials``: per closed tier bucket,
+    the (j, bucket) counter grid for an UNBOUNDED key domain (doc
+    ids at 10^12-sequence scale). Output schema (ts, j, bucket, cnt)
+    is consumed unchanged by ``cms_merge`` / ``cms_estimate``, so
+    approximate heavy-hitter counts stay available while data streams
+    in.
+
+    State per open bucket is bounded by depth × width counters — the
+    same bound that makes the batch partial composable; append mode +
+    watermark emit a bucket's grid once it closes. Exactly-once via
+    the file-sink transaction log, resume via the checkpoint.
+    """
+    from ..pipeline.cms import CMS_DEPTH, CMS_WIDTH, cms_bucket
+
+    d = depth or CMS_DEPTH
+    w = width or CMS_WIDTH
+    unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(input_dir)
+    seq = with_time_axis(stream)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                cms_bucket(F.col(key_col), j, w).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    rows = seq.select("ts", F.explode(pairs).alias("jb"))
+    agg = (
+        rows.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", unit).alias("w"),
+            F.col("jb.j").alias("j"),
+            F.col("jb.bucket").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ts"), "j", "bucket", "cnt")
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
