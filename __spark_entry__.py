@@ -560,7 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_click_view", "fft_lowpass", "substring_dedup", "pii_flags",
         "ewm_corr_span12", "repetition_flags", "vocab_topk",
         "stratified_sample", "butterworth_lowpass", "bigram_logprob",
-        "peak_parabola", "peak_sine", "ols_hour_dow", "pca_covariance",
+        "peak_parabola", "ols_hour_dow", "pca_covariance",
         "pq_topk", "text_normalize", "convert_units_mixed", "mad_outliers",
         "interval_join_day_windows", "cusum_changepoints",
         "seasonal_decompose_24h", "incremental_rollup_refresh",
@@ -570,10 +570,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_agg_hourly", "heartbeat_gaps", "tier_top_values",
         "semdedup", "m4_downsample", "funnel_3step", "retention_weekly",
         "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
-        "holt_level_trend", "holt_winters_24h", "holt_forecast_24h",
-        "mixture_sample_weighted", "shard_assign_16",
-        "holt_winters_forecast_36h", "ljung_box_10", "ar2_yule_walker",
-        "forecast_accuracy_holt", "holt_winters_mul_24h",
+        "holt_winters_24h", "shard_assign_16",
+        "ljung_box_10", "ar2_yule_walker", "forecast_accuracy_holt",
+        # (a') later round-3 families, one representative each — the
+        # rest of each family stays under the local 173-query gate
+        # (kept inside over 4 Holt variants / duplicate samplers whose
+        # siblings already occupy window slots)
+        "kalman_level_hourly", "granger_click_view", "bpe_learn_3",
+        "state_durations_1d", "cms_user_counts", "bloom_membership",
         # (b) implementation changed this round
         "rank_average", "normalization_pct_rank", "spearman_lag1",
         "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
