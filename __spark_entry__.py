@@ -6962,6 +6962,52 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_membership"] = q_bloom
 
+    def q_cdf(s, d):
+        """Exact CDF reads at fixed thresholds per (flag, month) from
+        the SAME cascaded histogram partials (rollup.hist_cdf):
+        'what share of rows are ≤ t' without rescanning raw —
+        conditional integer sums, no window."""
+        from tstoolbox_spark.pipeline import rollup
+
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            F.col("l_returnflag").alias("source"),
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+            F.col("l_quantity").cast("int").alias("n_tok"),
+        )
+        monthly = rollup.hist_cascade(rollup.hist_base(li, "1d"), "1mo")
+        out = rollup.hist_cdf(monthly, (10, 25, 40))
+        return out.select(
+            F.col("source").alias("l_returnflag"), "ts", "n",
+            "le_10", "le_25", "le_40",
+        )
+
+    q["tier_cdf_thresholds"] = q_cdf
+
+    def q_stale(s, d):
+        """Per-source freshness (counters.staleness_report): exact
+        integer-microsecond lag behind the corpus frontier + a
+        1-hour stale flag; one groupBy + a broadcast 1-row frontier,
+        no window."""
+        from tstoolbox_spark.operators.counters import staleness_report
+
+        ev = _events(s, d)
+        return staleness_report(
+            ev, key_cols=["event_type"], threshold="1 hour"
+        )
+
+    q["staleness_sources"] = q_stale
+
+    def q_zipf(s, d):
+        """Zipf exponent per source (quality.zipf_alpha): OLS of
+        ln(freq) ~ ln(rank) over the vocabulary head, every log term
+        quantized to 1e-9 and summed as BIGINT so the moments are
+        association-free; rank window sorts vocab scale only."""
+        from tstoolbox_spark.textops.quality import zipf_alpha
+
+        return zipf_alpha(_docs(s, d), key_cols=["source"], top_k=1000)
+
+    q["zipf_alpha_source"] = q_zipf
+
     return q
 
 
@@ -7176,6 +7222,75 @@ def _oracles_round3f() -> dict[str, str]:
           FROM ppos p LEFT JOIN filt f ON p.h // 63 = f.word)
         SELECT id AS doc_id, MIN(s) = 1 AS maybe_member
         FROM chk GROUP BY 1
+    """
+
+    # tier_cdf_thresholds: identical integer conditional sums; the
+    # double divisions share numerator/denominator bit-for-bit.
+    o["tier_cdf_thresholds"] = """
+        SELECT l_returnflag,
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN CAST(l_quantity AS INT) <= 10
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 AS le_10,
+               CAST(SUM(CASE WHEN CAST(l_quantity AS INT) <= 25
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 AS le_25,
+               CAST(SUM(CASE WHEN CAST(l_quantity AS INT) <= 40
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 AS le_40
+        FROM lineitem GROUP BY 1, 2
+    """
+
+    # staleness_sources: identical frontier join + integer-us lag.
+    o["staleness_sources"] = """
+        WITH pk AS (
+          SELECT event_type, MAX(ts) AS last_ts, COUNT(ts) AS n_obs
+          FROM events GROUP BY 1),
+        f AS (SELECT MAX(last_ts) AS fr FROM pk)
+        SELECT event_type, last_ts,
+               epoch_us(f.fr) - epoch_us(last_ts) AS lag_us, n_obs,
+               last_ts < f.fr - INTERVAL 1 HOUR AS stale
+        FROM pk CROSS JOIN f
+    """
+
+    # zipf_alpha_source: identical word split, deterministic rank
+    # ties (cnt desc, word asc), 1e-9 per-term quantization, and the
+    # same slope expression over the de-quantized moments.
+    o["zipf_alpha_source"] = f"""
+        WITH w AS (
+          SELECT source, unnest({_WORDS}) AS w FROM documents),
+        c AS (SELECT source, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        r AS (
+          SELECT source, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, w ASC) AS rank
+          FROM c),
+        t AS (
+          SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+                 ln(CAST(cnt AS DOUBLE)) AS y
+          FROM r WHERE rank <= 1000),
+        g AS (
+          SELECT source, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sxq,
+                 CAST(SUM(CAST(floor(y * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS syq,
+                 CAST(SUM(CAST(floor(x * y * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sxyq,
+                 CAST(SUM(CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sxxq
+          FROM t GROUP BY 1)
+        SELECT source,
+               ROUND(-(
+                 (CAST(n AS DOUBLE) * (CAST(sxyq AS DOUBLE) / 1e9)
+                  - (CAST(sxq AS DOUBLE) / 1e9) * (CAST(syq AS DOUBLE) / 1e9))
+                 / (CAST(n AS DOUBLE) * (CAST(sxxq AS DOUBLE) / 1e9)
+                    - (CAST(sxq AS DOUBLE) / 1e9)
+                      * (CAST(sxq AS DOUBLE) / 1e9))
+               ), 6) AS zipf_alpha,
+               CAST(n AS BIGINT) AS n_ranks
+        FROM g
     """
 
     return o

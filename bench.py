@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "vwap_monthly",
     "quantile_normalize_value",
     "bloom_membership",
+    "tier_cdf_thresholds",
+    "staleness_sources",
+    "zipf_alpha_source",
 ]
 
 

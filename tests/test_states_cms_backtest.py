@@ -319,3 +319,62 @@ def test_bloom_no_false_negatives_and_composes(spark):
     m = {r["word"]: r["mask"] for r in bloom_merge(h1.unionByName(h2)).collect()}
     whole = {r["word"]: r["mask"] for r in bf.collect()}
     assert m == whole
+
+
+def test_hist_cdf_reads(spark):
+    from tstoolbox_spark.pipeline.rollup import hist_base, hist_cdf
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [1, 1, 2, 5, 5, 5, 9, 10]
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 8,
+            "ts": [t0 + dt.timedelta(minutes=i) for i in range(8)],
+            "n_tok": vals,
+        }
+    )
+    h = hist_base(spark.createDataFrame(pdf), "1d")
+    out = hist_cdf(h, (1, 5, 10)).collect()[0]
+    assert out["n"] == 8
+    assert out["le_1"] == 2 / 8
+    assert out["le_5"] == 6 / 8
+    assert out["le_10"] == 1.0
+
+
+def test_staleness_report(spark):
+    from tstoolbox_spark.operators.counters import staleness_report
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "c"],
+            "ts": [t0, t0 + dt.timedelta(hours=5),
+                   t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=4,
+                                                                 minutes=30)],
+        }
+    )
+    out = {
+        r["source"]: r
+        for r in staleness_report(
+            spark.createDataFrame(pdf), key_cols=["source"],
+            threshold="1 hour",
+        ).collect()
+    }
+    assert out["a"]["lag_us"] == 0 and not out["a"]["stale"]
+    assert out["b"]["lag_us"] == 2 * 3_600_000_000 and out["b"]["stale"]
+    # 30 min behind: within the 1 h threshold
+    assert not out["c"]["stale"]
+
+
+def test_zipf_alpha_recovers_exponent(spark):
+    from tstoolbox_spark.textops.quality import zipf_alpha
+
+    # synthesize a corpus whose word frequencies follow freq ∝ 1/rank
+    words_ = []
+    for r in range(1, 60):
+        words_ += [f"w{r:03d}"] * max(1, int(round(600 / r)))
+    pdf = pd.DataFrame({"text": [" ".join(words_)]})
+    out = zipf_alpha(spark.createDataFrame(pdf), top_k=50).collect()[0]
+    assert out["n_ranks"] == 50
+    # rounding of 600/r makes this approximate; alpha ~ 1
+    assert 0.9 < out["zipf_alpha"] < 1.1

@@ -116,3 +116,38 @@ def detect_gaps(
 
 
 __all__ = ["counter_delta", "counter_agg", "counter_rate", "detect_gaps"]
+
+
+def staleness_report(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("source",),
+    threshold: str | None = None,
+) -> DataFrame:
+    """Per-key data freshness: last observation, exact lag in
+    microseconds behind the corpus frontier (the max timestamp across
+    ALL keys), and — when ``threshold`` is an interval string like
+    ``'1 hour'`` — a ``stale`` flag. The standard "which sources
+    stopped reporting" read over a telemetry lake.
+
+    One map-combinable groupBy for the per-key frontier, one 1-row
+    aggregate broadcast back — no window, no driver collection.
+    """
+    per_key = df.groupBy(*key_cols).agg(
+        F.max(F.col(ts_col)).alias("last_ts"),
+        F.count(ts_col).alias("n_obs"),
+    )
+    frontier = per_key.agg(F.max("last_ts").alias("__frontier"))
+    out = per_key.join(F.broadcast(frontier))
+    lag = F.unix_micros(F.col("__frontier").cast("timestamp")) - F.unix_micros(
+        F.col("last_ts").cast("timestamp")
+    )
+    cols = [*key_cols, "last_ts", lag.alias("lag_us"), "n_obs"]
+    if threshold is not None:
+        bound = F.expr(f"INTERVAL {threshold}")
+        cols.append(
+            (
+                F.col("last_ts") < F.col("__frontier") - bound
+            ).alias("stale")
+        )
+    return out.select(*cols)

@@ -275,3 +275,27 @@ def hist_winsorized_mean(
         ),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def hist_cdf(
+    hist: DataFrame,
+    thresholds: tuple[int, ...],
+    key_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exact CDF reads per (key, tier bucket) from histogram partials:
+    for each threshold t, the fraction of occurrences with value ≤ t
+    ("share of sequences at or under 512 tokens per day" style
+    questions) — plain conditional integer sums over the partials, no
+    window at all, never rescans raw.
+    """
+    keys = [*key_cols, "ts"]
+    aggs = [F.sum("cnt").alias("n")]
+    for t in thresholds:
+        aggs.append(
+            (
+                F.sum(F.when(F.col("v") <= t, F.col("cnt")).otherwise(0))
+                .cast("double")
+                / F.sum("cnt")
+            ).alias(f"le_{t}")
+        )
+    return hist.groupBy(*keys).agg(*aggs)

@@ -536,3 +536,57 @@ def kn_bigram_logprob(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         )
     )
+
+
+def zipf_alpha(
+    df: DataFrame,
+    text_col: str = "text",
+    key_cols: Sequence[str] = (),
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf exponent of the corpus word-frequency curve per key:
+    OLS slope of ln(freq) ~ ln(rank) over the top_k vocabulary head,
+    reported as alpha = −slope (natural text sits near 1.0 — a cheap
+    distribution-shift / synthetic-text diagnostic for LM data).
+
+    Shapes: word counts are one explode + map-combinable groupBy; the
+    rank window sorts the AGGREGATED vocabulary of each key (vocab
+    scale, not corpus scale — the hist_topk shape), and the head is
+    capped at top_k rows per key before the regression. Every
+    log-term is quantized to 1e-9 and summed as BIGINT, so the OLS
+    moments are association-free and engine-exact.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    cnts = (
+        df.select(*keys, F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy(*keys, "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rk = Window.partitionBy(*keys).orderBy(
+        F.col("cnt").desc(), F.col("w").asc()
+    )
+    ranked = cnts.withColumn("rank", F.row_number().over(rk)).filter(
+        F.col("rank") <= top_k
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    q = lambda c: F.floor(c * 1e9 + 0.5).cast("long")  # noqa: E731
+    g = ranked.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(q(x)).alias("__sx"),
+        F.sum(q(y)).alias("__sy"),
+        F.sum(q(x * y)).alias("__sxy"),
+        F.sum(q(x * x)).alias("__sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double") / 1e9
+    sy = F.col("__sy").cast("double") / 1e9
+    sxy = F.col("__sxy").cast("double") / 1e9
+    sxx = F.col("__sxx").cast("double") / 1e9
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return g.select(
+        *keys, F.round(-slope, 6).alias("zipf_alpha"),
+        F.col("n").cast("long").alias("n_ranks"),
+    )
