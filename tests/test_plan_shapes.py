@@ -378,3 +378,68 @@ def test_drift_family_plan_shapes(spark):
     plan = _plan(adf_test(hourly, "v", key_cols=["event_type"]))
     assert "partial_sum" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_cms_estimate_broadcasts_grid_and_partial_aggs(spark):
+    from tstoolbox_spark.pipeline.cms import cms_estimate, cms_partials
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    grid = cms_partials(ev, "user_id", tier=None)
+    # grid build: explode collapses into a partial-aggregating hash agg
+    gplan = _plan(grid)
+    assert "partial_count" in gplan or "HashAggregate" in gplan
+    est = cms_estimate(grid, ev.select("user_id").distinct(), "user_id")
+    eplan = _plan(est)
+    assert "BroadcastHashJoin" in eplan   # grid is the broadcast side
+    assert "SortMergeJoin" not in eplan
+
+
+def test_bloom_probe_broadcasts_word_table(spark):
+    from tstoolbox_spark.pipeline.bloom import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    bf = bloom_build(docs, "doc_id")
+    plan = _plan(
+        bloom_probe(bf, docs.select(F.col("doc_id").cast("string").alias("doc_id")), "doc_id")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_mean_is_one_partial_agg_no_window(spark):
+    from tstoolbox_spark.operators.aggregate import weighted_mean
+
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet").select(
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    plan = _plan(weighted_mean(li, "price", "qty", tier="1mo",
+                               key_cols=["l_returnflag"]))
+    assert "Window" not in plan
+    # map-side combine: partial aggregate before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_state_durations_single_window_then_agg(spark):
+    from tstoolbox_spark.operators.states import state_durations
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    plan = _plan(
+        state_durations(ev, "event_type", tier="1d", key_cols=["user_id"])
+    )
+    # exactly one window (the lead), then hash aggregation
+    assert plan.count("Window") == 1
+    assert "HashAggregate" in plan
+
+
+def test_backtest_bounds_row_is_broadcast(spark):
+    from tstoolbox_spark.operators.backtest import rolling_origin_folds
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").select("ts", "value")
+    plan = _plan(rolling_origin_folds(ev, n_folds=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
