@@ -7008,6 +7008,72 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zipf_alpha_source"] = q_zipf
 
+    def q_gap_density(s, d):
+        """Gap-density report (core.null_profile over the regularized
+        grid): the asbestfreq NaN-insertion quirk turned into a
+        per-key data-quality metric — fraction of hourly grid slots
+        with no observation."""
+        from tstoolbox_spark.operators.core import (
+            clean,
+            null_profile,
+            regularize,
+            round_index,
+        )
+
+        ev = _events(s, d).select("user_id", "ts", "value")
+        r = clean(round_index(ev, "H", mode="floor"), key_cols=["user_id"])
+        grid = regularize(r, "H", key_cols=["user_id"])
+        return null_profile(
+            grid, value_cols=["value"], key_cols=["user_id"]
+        )
+
+    q["gap_density_hourly"] = q_gap_density
+
+    def q_pack_eff(s, d):
+        """Packing-efficiency report over pack_bins output: per hash
+        shard, bins used, total units, exact fill ratio
+        total/(bins·capacity), oversize docs. Pure integer aggregates
+        over the packing — the read a training job uses to size
+        max-seq-len."""
+        from tstoolbox_spark.textops.packing import pack_bins
+
+        docs = _docs(s, d).select("doc_id", "n_chars")
+        packed = pack_bins(docs, capacity=2048, size_col="n_chars", n_shards=8)
+        g = packed.groupBy("shard").agg(
+            F.countDistinct("bin").alias("n_bins"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.sum(F.col("oversize").cast("long")).alias("oversize_docs"),
+        )
+        return g.select(
+            "shard", "n_bins", "total_chars",
+            (
+                F.col("total_chars").cast("double")
+                / (F.col("n_bins") * F.lit(2048)).cast("double")
+            ).alias("fill_ratio"),
+            "oversize_docs",
+        )
+
+    q["packing_efficiency"] = q_pack_eff
+
+    def q_benford(s, d):
+        """First-digit Benford screen (drift.benford_digits) over
+        lineitem prices per returnflag: observed vs n·log10(1+1/d)
+        expected counts + association-free chi-square distance."""
+        from tstoolbox_spark.operators.drift import benford_digits
+
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            "l_returnflag", "l_extendedprice"
+        )
+        out = benford_digits(
+            li, "l_extendedprice", key_cols=["l_returnflag"]
+        )
+        return out.select(
+            "l_returnflag", "digit", "obs", "exp",
+            F.round("chi2", 6).alias("chi2"), "n",
+        )
+
+    q["benford_digits"] = q_benford
+
     return q
 
 
@@ -7291,6 +7357,100 @@ def _oracles_round3f() -> dict[str, str]:
                ), 6) AS zipf_alpha,
                CAST(n AS BIGINT) AS n_ranks
         FROM g
+    """
+
+    # gap_density_hourly: the regularize grid CTE (identical to the
+    # regularize_hourly_grid oracle) aggregated to null fractions.
+    o["gap_density_hourly"] = """
+        WITH r AS (
+          SELECT user_id,
+                 to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
+                                   AS BIGINT))::TIMESTAMP AS ts,
+                 value
+          FROM events),
+        d AS (
+          SELECT user_id, ts, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY value) AS rn
+            FROM r) WHERE rn = 1),
+        b AS (SELECT user_id, MIN(ts) AS mn, MAX(ts) AS mx
+              FROM d GROUP BY 1),
+        g AS (SELECT user_id,
+                     unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+              FROM b),
+        grid AS (
+          SELECT g.user_id, g.ts, d.value
+          FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.ts = d.ts)
+        SELECT user_id, 'value' AS column,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS null_frac
+        FROM grid GROUP BY 1
+    """
+
+    # packing_efficiency: the same NFD recursive packing, aggregated.
+    o["packing_efficiency"] = f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, n_chars,
+                 CAST({_md5int_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+                   AS shard,
+                 row_number() OVER (
+                   PARTITION BY CAST({_md5int_sql("CAST(doc_id AS VARCHAR)")}
+                                     % 8 AS INT)
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars, shard, rn,
+                 CAST(0 AS BIGINT) AS bin, n_chars AS fill
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.doc_id, d.n_chars, d.shard, d.rn,
+                 CASE WHEN r.fill + d.n_chars > 2048
+                      THEN r.bin + 1 ELSE r.bin END,
+                 CASE WHEN r.fill + d.n_chars > 2048
+                      THEN d.n_chars ELSE r.fill + d.n_chars END
+          FROM d JOIN r ON d.shard = r.shard AND d.rn = r.rn + 1)
+        SELECT shard, COUNT(DISTINCT bin) AS n_bins,
+               CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+               CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT bin) * 2048 AS DOUBLE) AS fill_ratio,
+               CAST(SUM(CASE WHEN n_chars > 2048 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS oversize_docs
+        FROM r GROUP BY 1
+    """
+
+    # benford_digits: identical digit extraction, expected-count
+    # expression, and 1e-6-quantized chi-square terms.
+    o["benford_digits"] = """
+        WITH pos AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice
+                            / power(10.0, floor(log10(l_extendedprice))))
+                      AS INT) AS digit
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        obs AS (
+          SELECT l_returnflag, digit, COUNT(*) AS obs
+          FROM pos GROUP BY 1, 2),
+        tot AS (
+          SELECT l_returnflag, COUNT(*) AS n FROM pos GROUP BY 1),
+        j AS (
+          SELECT o.l_returnflag, o.digit, o.obs, t.n,
+                 t.n * log10(1.0 + 1.0 / o.digit) AS exp
+          FROM obs o JOIN tot t USING (l_returnflag)),
+        q AS (
+          SELECT *,
+                 CAST(floor((obs - exp) * (obs - exp) / exp * 1e6 + 0.5)
+                      AS BIGINT) AS term
+          FROM j)
+        SELECT l_returnflag, digit, CAST(obs AS BIGINT) AS obs,
+               round(exp, 6) AS exp,
+               round(CAST(SUM(term) OVER (PARTITION BY l_returnflag)
+                          AS DOUBLE) / 1e6, 6) AS chi2,
+               CAST(n AS BIGINT) AS n
+        FROM q
     """
 
     return o

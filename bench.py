@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "tier_cdf_thresholds",
     "staleness_sources",
     "zipf_alpha_source",
+    "gap_density_hourly",
+    "packing_efficiency",
+    "benford_digits",
 ]
 
 

@@ -378,3 +378,43 @@ def test_zipf_alpha_recovers_exponent(spark):
     assert out["n_ranks"] == 50
     # rounding of 600/r makes this approximate; alpha ~ 1
     assert 0.9 < out["zipf_alpha"] < 1.1
+
+
+def test_null_profile_counts(spark):
+    from tstoolbox_spark.operators.core import null_profile
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 2,
+            "x": [1.0, None, 3.0, None, 5.0, None],
+            "y": [None] * 4 + [1.0, 2.0],
+        }
+    )
+    out = {
+        (r["k"], r["column"]): (r["n_null"], r["n"], r["null_frac"])
+        for r in null_profile(
+            spark.createDataFrame(pdf), key_cols=["k"]
+        ).collect()
+    }
+    assert out[("a", "x")] == (2, 4, 0.5)
+    assert out[("a", "y")] == (4, 4, 1.0)
+    assert out[("b", "y")] == (0, 2, 0.0)
+
+
+def test_benford_digits_on_benford_data(spark):
+    import numpy as np
+    from tstoolbox_spark.operators.drift import benford_digits
+
+    # exponential growth is Benford-distributed
+    vals = 1.07 ** np.arange(1, 1200)
+    pdf = pd.DataFrame({"v": vals})
+    out = benford_digits(spark.createDataFrame(pdf), "v").collect()
+    assert {r["digit"] for r in out} == set(range(1, 10))
+    chi2 = out[0]["chi2"]
+    assert all(r["chi2"] == chi2 for r in out)
+    # 8 dof, conforming data: chi2 comfortably under 20
+    assert chi2 < 20.0, chi2
+    # counts sum to n; expected counts sum to ~n
+    n = out[0]["n"]
+    assert sum(r["obs"] for r in out) == n
+    assert abs(sum(r["exp"] for r in out) - n) < 0.01

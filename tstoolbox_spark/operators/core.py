@@ -365,3 +365,44 @@ def apply_common(
         out = regularize(out, freq, ts_col, key_cols)
     out = date_slice(out, start, end, ts_col)
     return dropna(out, drop, value_cols)
+
+
+def null_profile(
+    df: DataFrame,
+    value_cols: Sequence[str] | None = None,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Long-form null-density report per key: one row per (key,
+    column) with the null fraction and counts — the standard
+    data-quality read after regularization (gap rows carry nulls) or
+    ingest. One map-combinable aggregate; the unpivot touches only
+    the tiny aggregated frame.
+    """
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    if value_cols is None:
+        skip = set(key_cols)
+        value_cols = [c for c in df.columns if c not in skip]
+    keys = list(key_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in value_cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+        )
+    g = df.groupBy(*keys).agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{c}").alias("n_null"),
+            )
+            for c in value_cols
+        ]
+    )
+    return g.select(*keys, F.col("__n").alias("n"), F.explode(structs).alias("p")).select(
+        *keys,
+        F.col("p.column").alias("column"),
+        F.col("p.n_null").alias("n_null"),
+        "n",
+        (F.col("p.n_null").cast("double") / F.col("n")).alias("null_frac"),
+    )

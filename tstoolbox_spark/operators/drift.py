@@ -700,3 +700,50 @@ def engle_granger(
         )
     )
     return out
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law per key —
+    the classic fabricated/degenerate-numeric-data screen (Benford
+    1938; Nigrini's audit usage). Output: one row per (key, digit)
+    with the observed count, the Benford-expected count
+    n·log10(1 + 1/d), and the key's chi-square distance (repeated per
+    row; each (obs−exp)²/exp term is quantized to 1e-6 and summed as
+    BIGINT so the statistic is association-free).
+
+    Positive values only (zero/negative/null rows are excluded from
+    n). One narrow groupBy on (key, digit) — at most 9 rows per key —
+    plus a broadcast per-key total.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    digit = F.floor(
+        v / F.pow(F.lit(10.0), F.floor(F.log10(v)))
+    ).cast("int")
+    pos = df.filter(v.isNotNull() & (v > 0)).select(
+        *keys, digit.alias("digit")
+    )
+    obs = pos.groupBy(*keys, "digit").agg(F.count("*").alias("obs"))
+    tot = pos.groupBy(*keys).agg(F.count("*").alias("__n"))
+    j = (
+        obs.join(F.broadcast(tot), keys)
+        if keys
+        else obs.crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("__n") * F.log10(1.0 + 1.0 / F.col("digit"))
+    term = F.floor(
+        (F.col("obs") - exp) * (F.col("obs") - exp) / exp * 1e6 + 0.5
+    ).cast("long")
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    return j.select(
+        *keys,
+        "digit",
+        F.col("obs").cast("long").alias("obs"),
+        F.round(exp, 6).alias("exp"),
+        (F.sum(term).over(w).cast("double") / 1e6).alias("chi2"),
+        F.col("__n").cast("long").alias("n"),
+    )
