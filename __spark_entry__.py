@@ -7074,6 +7074,41 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["benford_digits"] = q_benford
 
+    def q_iqr(s, d):
+        """Tukey-fence outlier counts per (flag, month) from the SAME
+        cascaded histogram partials (rollup.iqr_fences): exact
+        percentile_disc q1/q3 + one more conditional sum — the
+        boxplot screen at tier granularity, raw never rescanned."""
+        from tstoolbox_spark.pipeline import rollup
+
+        li = s.read.parquet(f"{d}/lineitem.parquet").select(
+            F.col("l_returnflag").alias("source"),
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+            F.col("l_quantity").cast("int").alias("n_tok"),
+        )
+        monthly = rollup.hist_cascade(rollup.hist_base(li, "1d"), "1mo")
+        out = rollup.iqr_fences(monthly, k=1.5)
+        return out.select(
+            F.col("source").alias("l_returnflag"), "ts",
+            "q1", "q3", "lo_fence", "hi_fence", "n_outliers", "n",
+        )
+
+    q["iqr_outliers_monthly"] = q_iqr
+
+    def q_corr_matrix(s, d):
+        """Full pairwise Pearson matrix across the 5 event_type hourly
+        series (stats.pearson_matrix): inner time alignment, one
+        self-equi-join on ts, 1e-6-quantized association-free
+        moments."""
+        from tstoolbox_spark.operators.stats import pearson_matrix
+
+        hourly = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        return pearson_matrix(hourly, "event_type", "value_mean")
+
+    q["corr_matrix_hourly"] = q_corr_matrix
+
     return q
 
 
@@ -7451,6 +7486,87 @@ def _oracles_round3f() -> dict[str, str]:
                           AS DOUBLE) / 1e6, 6) AS chi2,
                CAST(n AS BIGINT) AS n
         FROM q
+    """
+
+    # iqr_outliers_monthly: identical percentile_disc thresholds,
+    # double fences, and conditional integer outlier sums.
+    o["iqr_outliers_monthly"] = """
+        WITH h AS (
+          SELECT l_returnflag,
+                 CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
+                 CAST(l_quantity AS INT) AS v, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2, 3),
+        c AS (
+          SELECT l_returnflag, ts, v, cnt,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag, ts
+                                ORDER BY v) AS cum,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag, ts) AS tot
+          FROM h),
+        g AS (
+          SELECT l_returnflag, ts,
+                 MIN(CASE WHEN cum >= greatest(CAST(ceil(0.25 * tot)
+                                                    AS BIGINT), 1)
+                          THEN v END) AS q1,
+                 MIN(CASE WHEN cum >= greatest(CAST(ceil(0.75 * tot)
+                                                    AS BIGINT), 1)
+                          THEN v END) AS q3,
+                 MAX(tot) AS n
+          FROM c GROUP BY 1, 2),
+        f AS (
+          SELECT l_returnflag, ts, q1, q3,
+                 q1 - 1.5 * (q3 - q1) AS lo_fence,
+                 q3 + 1.5 * (q3 - q1) AS hi_fence, n
+          FROM g)
+        SELECT f.l_returnflag, f.ts, f.q1, f.q3, f.lo_fence, f.hi_fence,
+               CAST(SUM(CASE WHEN h.v < f.lo_fence OR h.v > f.hi_fence
+                             THEN h.cnt ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               CAST(f.n AS BIGINT) AS n
+        FROM h JOIN f ON h.l_returnflag = f.l_returnflag AND h.ts = f.ts
+        GROUP BY 1, 2, 3, 4, 5, 6, 8
+    """
+
+    # corr_matrix_hourly: identical hourly means, identical 1e-6
+    # quantized moments and slope/r expression order.
+    o["corr_matrix_hourly"] = f"""
+        WITH m AS (
+          SELECT event_type,
+                 date_trunc('hour', ts) AS ts,
+                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) / COUNT(value)
+                   AS x
+          FROM events GROUP BY 1, 2),
+        p AS (
+          SELECT a.event_type AS key_a, b.event_type AS key_b,
+                 a.x AS x, b.x AS y
+          FROM m a JOIN m b ON a.ts = b.ts
+          WHERE a.event_type < b.event_type),
+        g AS (
+          SELECT key_a, key_b, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sxq,
+                 CAST(SUM(CAST(floor(y * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS syq,
+                 CAST(SUM(CAST(floor(x * y * 1e6 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sxyq,
+                 CAST(SUM(CAST(floor(x * x * 1e6 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sxxq,
+                 CAST(SUM(CAST(floor(y * y * 1e6 + 0.5) AS BIGINT))
+                      AS BIGINT) AS syyq
+          FROM p GROUP BY 1, 2)
+        SELECT key_a, key_b,
+               ROUND(
+                 (CAST(n AS DOUBLE) * (CAST(sxyq AS DOUBLE) / 1e6)
+                  - (CAST(sxq AS DOUBLE) / 1e6) * (CAST(syq AS DOUBLE) / 1e6))
+                 / sqrt(
+                     (CAST(n AS DOUBLE) * (CAST(sxxq AS DOUBLE) / 1e6)
+                      - (CAST(sxq AS DOUBLE) / 1e6)
+                        * (CAST(sxq AS DOUBLE) / 1e6))
+                     * (CAST(n AS DOUBLE) * (CAST(syyq AS DOUBLE) / 1e6)
+                        - (CAST(syq AS DOUBLE) / 1e6)
+                          * (CAST(syq AS DOUBLE) / 1e6))
+                   ), 6) AS r,
+               CAST(n AS BIGINT) AS n
+        FROM g
     """
 
     return o

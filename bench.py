@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "gap_density_hourly",
     "packing_efficiency",
     "benford_digits",
+    "iqr_outliers_monthly",
+    "corr_matrix_hourly",
 ]
 
 

@@ -418,3 +418,45 @@ def test_benford_digits_on_benford_data(spark):
     n = out[0]["n"]
     assert sum(r["obs"] for r in out) == n
     assert abs(sum(r["exp"] for r in out) - n) < 0.01
+
+
+def test_iqr_fences_counts(spark):
+    from tstoolbox_spark.pipeline.rollup import hist_base, iqr_fences
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [10] * 20 + [12] * 20 + [14] * 20 + [1, 50]  # two outliers
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * len(vals),
+            "ts": [t0 + dt.timedelta(minutes=i) for i in range(len(vals))],
+            "n_tok": vals,
+        }
+    )
+    h = hist_base(spark.createDataFrame(pdf), "1d")
+    out = iqr_fences(h, k=1.5).collect()[0]
+    assert out["q1"] == 10 and out["q3"] == 14
+    assert out["lo_fence"] == 10 - 1.5 * 4 and out["hi_fence"] == 14 + 1.5 * 4
+    assert out["n_outliers"] == 2 and out["n"] == 62
+
+
+def test_pearson_matrix_known_correlations(spark):
+    import numpy as np
+    from tstoolbox_spark.operators.stats import pearson_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    n = 200
+    x = np.linspace(0, 10, n)
+    frames = []
+    for key, series in [("up", x), ("down", -2 * x + 5), ("noise",
+                        np.sin(37.0 * np.arange(n)))]:
+        frames.append(pd.DataFrame({
+            "k": key,
+            "ts": [t0 + dt.timedelta(hours=i) for i in range(n)],
+            "v": series,
+        }))
+    df = spark.createDataFrame(pd.concat(frames))
+    out = {(r["key_a"], r["key_b"]): r["r"]
+           for r in pearson_matrix(df, "k", "v").collect()}
+    assert out[("down", "up")] == -1.0
+    assert abs(out[("noise", "up")]) < 0.2
+    assert len(out) == 3  # 3 pairs from 3 keys

@@ -1381,3 +1381,56 @@ def pacf(
     )
     ex = base.select(*keys, F.explode(lagged).alias("__e"))
     return ex.select(*keys, F.col("__e.lag").alias("lag"), F.col("__e.pacf").alias("pacf"))
+
+
+def pearson_matrix(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pairwise Pearson correlation between every pair of series keyed
+    by ``key_col``, aligned on ``ts_col`` (inner alignment — only
+    instants both series observe). One self-equi-join on the time
+    axis and one map-combinable aggregate per pair; every moment term
+    is quantized to 1e-6 and summed as BIGINT so the statistic is
+    association-free and engine-exact.
+
+    Output: (key_a, key_b, r, n) for key_a < key_b. Pair count grows
+    as |keys|², so this is for panel widths (dozens of series), not
+    key cardinalities — the same contract as pandas DataFrame.corr().
+    """
+    a = df.select(
+        F.col(key_col).alias("key_a"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__x"),
+    )
+    b = df.select(
+        F.col(key_col).alias("key_b"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__y"),
+    )
+    pairs = a.join(b, "__ts").filter(F.col("key_a") < F.col("key_b"))
+    q = lambda c: F.floor(c * 1e6 + 0.5).cast("long")  # noqa: E731
+    x, y = F.col("__x"), F.col("__y")
+    g = pairs.groupBy("key_a", "key_b").agg(
+        F.count("*").alias("n"),
+        F.sum(q(x)).alias("__sx"),
+        F.sum(q(y)).alias("__sy"),
+        F.sum(q(x * y)).alias("__sxy"),
+        F.sum(q(x * x)).alias("__sxx"),
+        F.sum(q(y * y)).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double") / 1e6
+    sy = F.col("__sy").cast("double") / 1e6
+    sxy = F.col("__sxy").cast("double") / 1e6
+    sxx = F.col("__sxx").cast("double") / 1e6
+    syy = F.col("__syy").cast("double") / 1e6
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return g.select(
+        "key_a", "key_b", F.round(r, 6).alias("r"),
+        F.col("n").cast("long").alias("n"),
+    )

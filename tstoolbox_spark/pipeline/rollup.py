@@ -299,3 +299,54 @@ def hist_cdf(
             ).alias(f"le_{t}")
         )
     return hist.groupBy(*keys).agg(*aggs)
+
+
+def iqr_fences(
+    hist: DataFrame,
+    k: float = 1.5,
+    key_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Tukey-fence outlier counts per (key, tier bucket) read from
+    histogram partials: q1/q3 are exact percentile_disc reads, fences
+    are q1 − k·IQR / q3 + k·IQR, and the outlier count is one more
+    conditional sum over the same partials — the boxplot screen at
+    every tier without rescanning raw. Same |domain|-bounded window
+    as hist_quantiles.
+    """
+    keys = [*key_cols, "ts"]
+    bucket = Window.partitionBy(*keys)
+    byval = bucket.orderBy("v")
+    cum = F.sum("cnt").over(byval)
+    tot = F.sum("cnt").over(bucket)
+    h = hist.select(*keys, "v", "cnt", cum.alias("__cum"), tot.alias("__tot"))
+    q1thr = F.greatest(F.ceil(F.lit(0.25) * F.col("__tot")), F.lit(1))
+    q3thr = F.greatest(F.ceil(F.lit(0.75) * F.col("__tot")), F.lit(1))
+    g = h.groupBy(*keys).agg(
+        F.min(F.when(F.col("__cum") >= q1thr, F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("__cum") >= q3thr, F.col("v"))).alias("q3"),
+        F.sum("cnt").alias("n"),
+    )
+    lo = F.col("q1") - F.lit(float(k)) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(float(k)) * (F.col("q3") - F.col("q1"))
+    fenced = g.select(
+        *keys, "q1", "q3", lo.alias("lo_fence"), hi.alias("hi_fence"),
+        F.col("n").cast("long").alias("n"),
+    )
+    out = hist.join(fenced, keys).groupBy(*keys).agg(
+        F.sum(
+            F.when(
+                (F.col("v") < F.col("lo_fence"))
+                | (F.col("v") > F.col("hi_fence")),
+                F.col("cnt"),
+            ).otherwise(F.lit(0))
+        ).alias("n_outliers"),
+        F.first("q1").alias("q1"),
+        F.first("q3").alias("q3"),
+        F.first("lo_fence").alias("lo_fence"),
+        F.first("hi_fence").alias("hi_fence"),
+        F.first("n").alias("n"),
+    )
+    return out.select(
+        *keys, "q1", "q3", "lo_fence", "hi_fence",
+        F.col("n_outliers").cast("long").alias("n_outliers"), "n",
+    )
