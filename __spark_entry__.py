@@ -7109,6 +7109,24 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corr_matrix_hourly"] = q_corr_matrix
 
+    def q_rolling_p90(s, d):
+        """Rolling 24-row p90 (rolling_window stat='quantile',
+        pandas-linear interpolation == DuckDB quantile_cont) — the
+        percentile-band read SLO/anomaly dashboards run."""
+        from tstoolbox_spark.operators.window import rolling_window
+
+        ev = _events(s, d).select("ts", "event_id", "user_id", "value")
+        out = rolling_window(
+            ev, "quantile", window=24, value_cols=["value"],
+            key_cols=["user_id"], quantile=0.9,
+        )
+        return out.select(
+            "ts", "event_id", "user_id",
+            F.round("value_rolling_24_quantile", 6).alias("p90"),
+        )
+
+    q["rolling_p90_24"] = q_rolling_p90
+
     return q
 
 
@@ -7567,6 +7585,19 @@ def _oracles_round3f() -> dict[str, str]:
                    ), 6) AS r,
                CAST(n AS BIGINT) AS n
         FROM g
+    """
+
+    # rolling_p90_24: identical frame and the shared linear
+    # interpolation convention (Spark percentile == quantile_cont);
+    # ROUND(6) absorbs the interpolation's last-ulp skew.
+    o["rolling_p90_24"] = """
+        SELECT ts, event_id, user_id,
+               CASE WHEN COUNT(value) OVER w >= 24
+                    THEN round(quantile_cont(value, 0.9) OVER w, 6)
+                    END AS p90
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     """
 
     return o

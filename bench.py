@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "benford_digits",
     "iqr_outliers_monthly",
     "corr_matrix_hourly",
+    "rolling_p90_24",
 ]
 
 

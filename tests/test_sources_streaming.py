@@ -498,3 +498,45 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
     ea = cms_estimate(ga, probes, "source").collect()
     eb = cms_estimate(gb, probes, "source").collect()
     assert sorted(map(tuple, ea)) == sorted(map(tuple, eb))
+
+
+def test_streaming_bloom_matches_batch(spark, tmp_path):
+    """continuous_bloom: folding the streamed per-bucket word tables
+    equals the batch bloom_build over the same rows (bit_or is the
+    lossless merge), and membership reads carry over."""
+    from tstoolbox_spark.pipeline.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+    from tstoolbox_spark.streaming import continuous_bloom
+
+    seq = generate_sequences(spark, 5_000)
+    in_dir = tmp_path / "bf_in"
+    with_time_axis(seq).drop("ts").write.mode("overwrite").parquet(str(in_dir))
+    continuous_bloom(
+        spark, str(in_dir), str(tmp_path / "bft"), str(tmp_path / "bfck")
+    ).awaitTermination(120)
+    streamed = spark.read.parquet(str(tmp_path / "bft"))
+    assert streamed.count() > 0
+    folded = bloom_merge(streamed.drop("ts"))
+    # the streamed fold covers only CLOSED buckets; batch-build the
+    # same covered rows and compare word tables exactly
+    emitted = streamed.select("ts").distinct()
+    covered = (
+        with_time_axis(seq)
+        .withColumn("ts", F.date_trunc("minute", "ts"))
+        .join(emitted, "ts")
+    )
+    batch = bloom_build(covered, "doc_id")
+    a = {r["word"]: r["mask"] for r in folded.collect()}
+    b = {r["word"]: r["mask"] for r in batch.collect()}
+    assert a == b
+    # membership: every covered id reads true from the folded filter
+    misses = (
+        bloom_probe(folded, covered.select(F.col("doc_id").cast("string")
+                                           .alias("doc_id")), "doc_id")
+        .filter("NOT maybe_member")
+        .count()
+    )
+    assert misses == 0

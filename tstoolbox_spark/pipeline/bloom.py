@@ -30,11 +30,17 @@ BLOOM_K = 4
 
 
 def _exploded_positions(
-    df: DataFrame, id_col: str, k: int, words: int
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    words: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per (id, hash row): ``word`` index and single-bit
     ``mask``. Bit j of a key sits at md5(key || '|bf<j>') mod 63·W;
-    the division/modulo stay on exact BIGINTs (word < W, bit < 63)."""
+    the division/modulo stay on exact BIGINTs (word < W, bit < 63).
+    ``carry_cols`` pass through untouched (e.g. the event-time column
+    for the streaming twin)."""
     m = 63 * words
     tmp = df
     structs = []
@@ -52,8 +58,13 @@ def _exploded_positions(
             )
         )
     return tmp.select(
-        F.col(id_col), F.explode(F.array(*structs)).alias("p")
-    ).select(id_col, F.col("p.word").alias("word"), F.col("p.mask").alias("mask"))
+        *carry_cols, F.col(id_col), F.explode(F.array(*structs)).alias("p")
+    ).select(
+        *carry_cols,
+        id_col,
+        F.col("p.word").alias("word"),
+        F.col("p.mask").alias("mask"),
+    )
 
 
 def bloom_build(

@@ -1,4 +1,5 @@
 from .continuous import (  # noqa: F401
+    continuous_bloom,
     continuous_cascade,
     continuous_cms,
     continuous_hist,

@@ -280,3 +280,52 @@ def continuous_cms(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def continuous_bloom(
+    spark: SparkSession,
+    input_dir: str,
+    tier_dir: str,
+    checkpoint_dir: str,
+    tier: str = "1m",
+    key_col: str = "doc_id",
+    watermark: str = "2 minutes",
+    k: int | None = None,
+    words: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming Bloom-filter partials — the incremental-ingest mode
+    of ``pipeline.bloom.bloom_build``: per closed tier bucket, the
+    (word, mask) table of ids seen in that bucket. ``bloom_merge``
+    folds any set of buckets into one filter (bit_or), so "was this
+    id ingested in range X" membership stays answerable while data
+    streams in — the ingest-side half of eval-set decontamination.
+
+    State per open bucket is bounded by the word-table size;
+    exactly-once via the file-sink log, resume via the checkpoint.
+    """
+    from ..pipeline.bloom import BLOOM_K, BLOOM_WORDS, _exploded_positions
+
+    kk = k or BLOOM_K
+    ww = words or BLOOM_WORDS
+    unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(input_dir)
+    seq = with_time_axis(stream)
+    rows = _exploded_positions(
+        seq.select("ts", key_col), key_col, kk, ww, carry_cols=("ts",)
+    )
+    agg = (
+        rows.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", unit).alias("w"), F.col("word"))
+        .agg(F.bit_or("mask").alias("mask"))
+        .select(F.col("w.start").alias("ts"), "word", "mask")
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
