@@ -7154,8 +7154,8 @@ def _oracles_round3f() -> dict[str, str]:
     o["state_runs_user"] = """
         WITH m AS (
           SELECT user_id, ts, event_type,
-                 CASE WHEN lag(event_type) OVER w IS NULL
-                        OR lag(event_type) OVER w != event_type
+                 CASE WHEN row_number() OVER w = 1
+                        OR lag(event_type) OVER w IS DISTINCT FROM event_type
                       THEN 1 ELSE 0 END AS chg,
                  COALESCE(lead(ts) OVER w, ts) AS nxt
           FROM events
@@ -7276,10 +7276,10 @@ def _oracles_round3f() -> dict[str, str]:
         SELECT l_returnflag,
                CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
                CAST(SUM(CAST(l_extendedprice * l_quantity
-                             AS DECIMAL(28,2))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                             AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                  AS weighted_mean,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                  AS weight_sum,
                COUNT(l_extendedprice) AS n
         FROM lineitem
@@ -7489,10 +7489,15 @@ def _oracles_round3f() -> dict[str, str]:
           FROM pos GROUP BY 1, 2),
         tot AS (
           SELECT l_returnflag, COUNT(*) AS n FROM pos GROUP BY 1),
+        fd AS (
+          SELECT t.l_returnflag, CAST(d.d AS INT) AS digit, t.n
+          FROM tot t CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d),
         j AS (
-          SELECT o.l_returnflag, o.digit, o.obs, t.n,
-                 t.n * log10(1.0 + 1.0 / o.digit) AS exp
-          FROM obs o JOIN tot t USING (l_returnflag)),
+          SELECT f.l_returnflag, f.digit,
+                 COALESCE(o.obs, 0) AS obs, f.n,
+                 f.n * log10(1.0 + 1.0 / f.digit) AS exp
+          FROM fd f LEFT JOIN obs o
+            ON f.l_returnflag = o.l_returnflag AND f.digit = o.digit),
         q AS (
           SELECT *,
                  CAST(floor((obs - exp) * (obs - exp) / exp * 1e6 + 0.5)

@@ -460,3 +460,87 @@ def test_pearson_matrix_known_correlations(spark):
     assert out[("down", "up")] == -1.0
     assert abs(out[("noise", "up")]) < 0.2
     assert len(out) == 3  # 3 pairs from 3 keys
+
+
+def test_state_runs_null_state_is_its_own_run(spark):
+    from tstoolbox_spark.operators.states import state_runs
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + dt.timedelta(hours=h) for h in range(4)],
+            "state": ["A", None, "A", "A"],
+        }
+    )
+    out = (
+        state_runs(spark.createDataFrame(pdf), "state")
+        .orderBy("run_id")
+        .collect()
+    )
+    # A | NULL | A,A — three runs; the NULL observation never merges
+    # into its neighbours (code-review finding)
+    assert [(r["state"], r["n_obs"]) for r in out] == [
+        ("A", 1), (None, 1), ("A", 2)
+    ]
+    # NULL-leading key: a single NULL run, opened by the first row
+    pdf2 = pd.DataFrame(
+        {"ts": [t0, t0 + dt.timedelta(hours=1)], "state": [None, None]}
+    )
+    out2 = state_runs(spark.createDataFrame(pdf2), "state").collect()
+    assert len(out2) == 1 and out2[0]["n_obs"] == 2
+
+
+def test_benford_includes_zero_observed_digits(spark):
+    from tstoolbox_spark.operators.drift import benford_digits
+
+    # every value starts with digit 1 — the most non-conforming case
+    pdf = pd.DataFrame({"v": [1.5, 10.2, 199.0, 1.01] * 50})
+    out = benford_digits(spark.createDataFrame(pdf), "v").collect()
+    assert {r["digit"] for r in out} == set(range(1, 10))
+    zeros = [r for r in out if r["digit"] > 1]
+    assert all(r["obs"] == 0 for r in zeros)
+    # chi2 must carry the zero-obs digits' expected mass:
+    # sum over d>=2 of n*log10(1+1/d) + (n - n*log10(2))^2/(n*log10(2))
+    import math
+    n = 200
+    exp1 = n * math.log10(2)
+    expect = (n - exp1) ** 2 / exp1 + sum(
+        n * math.log10(1 + 1 / d) for d in range(2, 10)
+    )
+    assert abs(out[0]["chi2"] - expect) < 0.01, (out[0]["chi2"], expect)
+
+
+def test_weighted_mean_small_values_survive(spark):
+    from tstoolbox_spark.operators.aggregate import weighted_mean
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + dt.timedelta(minutes=i) for i in range(10)],
+            "rate": [0.001] * 10,
+            "w": [1] * 10,
+        }
+    )
+    out = weighted_mean(
+        spark.createDataFrame(pdf), "rate", "w", tier="1d"
+    ).collect()[0]
+    # 1e-6 quantum keeps 3-decimal products exact (code-review finding:
+    # the old 2-decimal quantum zeroed them)
+    assert out["weighted_mean"] == 0.001
+
+
+def test_pearson_matrix_check_unique_guard(spark):
+    import pytest as _pytest
+    from tstoolbox_spark.operators.stats import pearson_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "ts": [t0, t0, t0],
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with _pytest.raises(ValueError, match="duplicate"):
+        pearson_matrix(df, "k", "v", check_unique=True)

@@ -266,18 +266,19 @@ def weighted_mean(
     key_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Weight-weighted mean per (key, tier bucket) — the VWAP shape
-    (sum(v·w)/sum(w)). Each v·w product is computed in double (exact
-    when, as here, weights are small integers and values carry ≤2
-    decimals) and summed as DECIMAL(28,2) so the aggregate is
-    associative and partitioning-independent; the final division is
-    one double op. Plain map-side-combinable groupBy — no window, no
-    join.
+    (sum(v·w)/sum(w)). Each v·w product is computed in double, then
+    quantized to 1e-6 (DECIMAL(38,6)) so the sums are associative and
+    partitioning-independent; the final division is one double op.
+    Values whose products carry more than 6 decimals are truncated at
+    the repo's standard 1e-6 quantum — for sub-1e-3 magnitudes,
+    rescale the value column first. Plain map-side-combinable
+    groupBy — no window, no join.
     """
     from ..pipeline.rollup import TIERS
 
     unit = TIERS[tier]
-    vw = (F.col(value_col) * F.col(weight_col)).cast("decimal(28,2)")
-    w = F.col(weight_col).cast("decimal(28,2)")
+    vw = (F.col(value_col) * F.col(weight_col)).cast("decimal(38,6)")
+    w = F.col(weight_col).cast("decimal(38,6)")
     out = df.groupBy(
         *key_cols, F.date_trunc(unit, F.col(ts_col)).alias("ts")
     ).agg(

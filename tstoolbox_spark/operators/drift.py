@@ -729,10 +729,16 @@ def benford_digits(
     )
     obs = pos.groupBy(*keys, "digit").agg(F.count("*").alias("obs"))
     tot = pos.groupBy(*keys).agg(F.count("*").alias("__n"))
-    j = (
-        obs.join(F.broadcast(tot), keys)
-        if keys
-        else obs.crossJoin(F.broadcast(tot))
+    # every key contributes all 9 digit rows: a digit with zero
+    # observations still owes its (0 − exp)²/exp chi-square term —
+    # dropping it understates the distance exactly when data is most
+    # non-conforming (e.g. an all-digit-1 metric).
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    full = tot.crossJoin(F.broadcast(digits))
+    j = full.join(obs, [*keys, "digit"], "left").withColumn(
+        "obs", F.coalesce(F.col("obs"), F.lit(0))
     )
     exp = F.col("__n") * F.log10(1.0 + 1.0 / F.col("digit"))
     term = F.floor(

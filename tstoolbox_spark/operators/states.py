@@ -98,9 +98,15 @@ def state_runs(
     hash partitioning on key cols.
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols)
+    # null-safe change detection: a NULL state is its own run (the
+    # same convention state_durations uses — NULL groups as a state),
+    # and the key's first row always opens a run. A plain != would
+    # return NULL against a NULL state, silently merging the NULL
+    # observation into the previous run and force-splitting the next.
+    first_row = F.lag(F.lit(1)).over(w).isNull()
     changed = (
-        F.lag(F.col(state_col)).over(w).isNull()
-        | (F.lag(F.col(state_col)).over(w) != F.col(state_col))
+        first_row
+        | ~F.lag(F.col(state_col)).over(w).eqNullSafe(F.col(state_col))
     ).cast("int")
     run = F.sum(changed).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

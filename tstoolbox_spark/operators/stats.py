@@ -1388,6 +1388,7 @@ def pearson_matrix(
     key_col: str,
     value_col: str,
     ts_col: str = "ts",
+    check_unique: bool = False,
 ) -> DataFrame:
     """Pairwise Pearson correlation between every pair of series keyed
     by ``key_col``, aligned on ``ts_col`` (inner alignment — only
@@ -1396,10 +1397,29 @@ def pearson_matrix(
     is quantized to 1e-6 and summed as BIGINT so the statistic is
     association-free and engine-exact.
 
+    PRECONDITION: one row per (key, ts) — the same shape pandas
+    ``pivot().corr()`` requires. Duplicate timestamps within a key
+    would cross-product through the self-join and silently inflate
+    the moments; aggregate to a grid first (as the driver query
+    does), or pass ``check_unique=True`` to pay one extra aggregate
+    that raises on violations.
+
     Output: (key_a, key_b, r, n) for key_a < key_b. Pair count grows
     as |keys|², so this is for panel widths (dozens of series), not
     key cardinalities — the same contract as pandas DataFrame.corr().
     """
+    if check_unique:
+        dup = (
+            df.groupBy(key_col, ts_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"pearson_matrix: {dup} duplicate ({key_col}, {ts_col}) "
+                "groups — aggregate to one row per (key, ts) first"
+            )
     a = df.select(
         F.col(key_col).alias("key_a"),
         F.col(ts_col).alias("__ts"),

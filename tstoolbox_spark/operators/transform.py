@@ -240,8 +240,6 @@ def quantile_normalize(
 
     if isinstance(value_cols, str):
         value_cols = [value_cols]
-    if isinstance(value_cols, str):
-        value_cols = [value_cols]
     if value_cols is None:
         skip = {ts_col, *key_cols}
         value_cols = [c for c in df.columns if c not in skip]
