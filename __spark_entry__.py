@@ -7127,6 +7127,26 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rolling_p90_24"] = q_rolling_p90
 
+    def q_funnel_latency(s, d):
+        """Exact p50/p90 time-to-convert through the 3-step funnel
+        (events.funnel_latency -> stats.exact_quantiles): per-user
+        BIGINT-µs latencies, percentile_disc reads from the
+        range-partitioned rank components — no single-task sort, no
+        sketch."""
+        from tstoolbox_spark.operators.events import funnel_latency
+        from tstoolbox_spark.operators.stats import exact_quantiles
+
+        ev = _events(s, d).filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        lat = funnel_latency(ev, ["view", "click", "purchase"])
+        out = exact_quantiles(lat, "latency_us", qs=(0.5, 0.9))
+        return out.select(
+            F.col("n").cast("long").alias("n"), "p50", "p90"
+        )
+
+    q["funnel_latency_p50"] = q_funnel_latency
+
     return q
 
 
@@ -7603,6 +7623,34 @@ def _oracles_round3f() -> dict[str, str]:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """
+
+    # funnel_latency_p50: identical greedy chain (the funnel_3step
+    # oracle CTEs), then the same percentile_disc selection rule the
+    # Spark side reads from rank components.
+    o["funnel_latency_p50"] = """
+        WITH e AS (SELECT user_id, ts, event_type FROM events
+                   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        m0 AS (SELECT user_id, min(ts) AS t FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        m1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN m0 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > m0.t GROUP BY 1),
+        m2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN m1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > m1.t GROUP BY 1),
+        lat AS (
+          SELECT m2.user_id, epoch_us(m2.t) - epoch_us(m0.t) AS latency_us
+          FROM m2 JOIN m0 USING (user_id)),
+        r AS (
+          SELECT latency_us,
+                 row_number() OVER (ORDER BY latency_us) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM lat)
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN rn >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                        THEN latency_us END) AS p50,
+               MIN(CASE WHEN rn >= greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                        THEN latency_us END) AS p90
+        FROM r
     """
 
     return o

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "iqr_outliers_monthly",
     "corr_matrix_hourly",
     "rolling_p90_24",
+    "funnel_latency_p50",
 ]
 
 

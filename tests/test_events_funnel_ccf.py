@@ -124,3 +124,51 @@ def test_ccf_recovers_known_shift(spark):
     for k in lags:
         exp = np.corrcoef(x[: n - k], y[k:])[0, 1]
         assert abs(got[k] - exp) < 2e-6
+
+
+def test_funnel_latency_and_exact_quantiles(spark):
+    import datetime as dt
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from tstoolbox_spark.operators.events import funnel_latency
+    from tstoolbox_spark.operators.stats import exact_quantiles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1 converts in 2h; user 2 in 5h; user 3 never (wrong order)
+    for u, offs in [(1, [("view", 0), ("click", 1), ("purchase", 2)]),
+                    (2, [("view", 0), ("click", 4), ("purchase", 5)]),
+                    (3, [("purchase", 0), ("click", 1), ("view", 2)])]:
+        for ev, h in offs:
+            rows.append((u, t0 + dt.timedelta(hours=h), ev))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    lat = funnel_latency(
+        spark.createDataFrame(pdf), ["view", "click", "purchase"]
+    )
+    got = {r["user_id"]: r["latency_us"] for r in lat.collect()}
+    hour = 3_600_000_000
+    assert got == {1: 2 * hour, 2: 5 * hour}
+    q = exact_quantiles(lat, "latency_us", qs=(0.5, 0.9)).collect()[0]
+    # percentile_disc over [2h, 5h]: ceil(0.5*2)=1 -> 2h; ceil(0.9*2)=2 -> 5h
+    assert q["n"] == 2 and q["p50"] == 2 * hour and q["p90"] == 5 * hour
+
+
+def test_exact_quantiles_matches_hist_convention(spark):
+    import datetime as dt
+    import pandas as pd
+    import numpy as np
+    from tstoolbox_spark.operators.stats import exact_quantiles
+    from tstoolbox_spark.pipeline.rollup import hist_base, hist_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(1, 100, 500)
+    t0 = dt.datetime(2024, 3, 1)
+    pdf = pd.DataFrame(
+        {"source": ["s"] * 500,
+         "ts": [t0 + dt.timedelta(minutes=i) for i in range(500)],
+         "n_tok": vals}
+    )
+    df = spark.createDataFrame(pdf)
+    a = exact_quantiles(df, "n_tok", qs=(0.5, 0.9), key_cols=["source"]).collect()[0]
+    b = hist_quantiles(hist_base(df, "1mo"), (0.5, 0.9)).collect()[0]
+    assert (a["p50"], a["p90"]) == (b["p50"], b["p90"])

@@ -132,3 +132,33 @@ def test_hist_trimmed_mean_validation_and_degenerate(spark):
     # trim=0 → plain mean
     r = rollup.hist_trimmed_mean(hist, trim=0.0).collect()[0]
     assert r["trimmed_mean"] == 5.0 and r["n_kept"] == 1
+
+
+def test_hist_rebin_counts_add_and_reads_quantize(spark):
+    import datetime as dt
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from tstoolbox_spark.pipeline.rollup import (
+        hist_base,
+        hist_quantiles,
+        hist_rebin,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = list(range(1, 101))
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 100,
+            "ts": [t0 + dt.timedelta(minutes=i) for i in range(100)],
+            "n_tok": vals,
+        }
+    )
+    h = hist_base(spark.createDataFrame(pdf), "1d")
+    r = hist_rebin(h, 16)
+    rows = {x["v"]: x["cnt"] for x in r.collect()}
+    # totals preserved; bins are floor(v/16)*16
+    assert sum(rows.values()) == 100
+    assert rows[0] == 15 and rows[16] == 16 and rows[96] == 5
+    # quantile read on the rebinned frame lands on a bin lower bound
+    q = hist_quantiles(r, (0.5,)).collect()[0]
+    assert q["p50"] % 16 == 0

@@ -28,6 +28,7 @@ def _verb_registry() -> dict[str, callable]:
     from .operators import accumulate as _acc
     from .operators import aggregate as _agg
     from .operators import backtest as _backtest
+    from .operators import drift as _drift
     from .operators import states as _states
     from .operators import core, counters, downsample, fill, peaks, reshape
     from .operators import scan, signal, stats, transform, window
@@ -93,6 +94,10 @@ def _verb_registry() -> dict[str, callable]:
         "drawdown": window.drawdown,
         "weighted_mean": _agg.weighted_mean,
         "quantile_normalize": transform.quantile_normalize,
+        "staleness": counters.staleness_report,
+        "null_profile": core.null_profile,
+        "benford": _drift.benford_digits,
+        "pearson_matrix": _stats_pearson,
         # sink verb (ref functions/tstopickle.py): common pipeline
         # runs first, then the frame is pickled; stdout stays empty
         # (header-only) like the reference.
@@ -105,6 +110,12 @@ def _verb_registry() -> dict[str, callable]:
         "dropna": lambda df: df,
         "asbestfreq": lambda df: df,
     }
+
+
+def _stats_pearson(df: DataFrame, key_col: str, value_col: str, **kw):
+    from .operators.stats import pearson_matrix
+
+    return pearson_matrix(df, key_col, value_col, **kw)
 
 
 def _dispatch_tstopickle(df: DataFrame, filename: str, ts_col: str = "ts"):

@@ -133,3 +133,56 @@ def retention_cohorts(
         joined.groupBy("cohort", offset.alias("offset"))
         .agg(F.count_distinct("u").alias("users"))
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user time-to-convert through the ordered funnel: for every
+    user who completes all ``steps`` (same strict-ordering semantics
+    as :func:`funnel_conversion`), the exact BIGINT-microsecond
+    latency from their earliest step-0 event to their earliest full
+    completion. One row per completing user — feed to
+    ``stats.exact_quantiles`` for the p50/p90 conversion-time read.
+
+    Same plan shape as funnel_conversion: one shuffle + one sort, k
+    stacked windows over the sorted stream, then a per-user aggregate.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    ts = F.col(ts_col)
+    df = df.withColumn("__ord", F.unix_micros(ts.cast("timestamp")))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__ord")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn(
+        "__m0", F.min(F.when(F.col(type_col) == steps[0], ts)).over(w)
+    )
+    for k in range(1, len(steps)):
+        prev = F.col(f"__m{k - 1}")
+        out = out.withColumn(
+            f"__m{k}",
+            F.min(
+                F.when((F.col(type_col) == steps[k]) & (prev < ts), ts)
+            ).over(w),
+        )
+    last = f"__m{len(steps) - 1}"
+    # the running mins are non-increasing per user, so the per-user
+    # min over non-null values IS the final (earliest) chain time
+    per_user = out.groupBy(user_col).agg(
+        F.min("__m0").alias("__start"),
+        F.min(last).alias("__done"),
+    )
+    return per_user.filter(F.col("__done").isNotNull()).select(
+        user_col,
+        (
+            F.unix_micros(F.col("__done").cast("timestamp"))
+            - F.unix_micros(F.col("__start").cast("timestamp"))
+        ).alias("latency_us"),
+    )

@@ -1454,3 +1454,36 @@ def pearson_matrix(
         "key_a", "key_b", F.round(r, 6).alias("r"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9),
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT percentile_disc reads for UNBOUNDED value domains: the
+    smallest value whose cumulative count reaches ceil(q·n) — the
+    same convention as ``rollup.hist_quantiles``, but computed from
+    ``rank_components`` (range-partitioned parallel ranking) instead
+    of a bounded-domain histogram, so it scales to high-cardinality
+    columns (latencies, byte sizes) without a single-task key sort.
+
+    One row per key with a column per requested quantile
+    (``p50``-style names, hist_quantiles convention).
+    """
+    keys = list(key_cols)
+    comps = rank_components(df, value_col, keys)
+    # __mx = max rank among ties = cumulative count through the value
+    aggs = []
+    for q in qs:
+        thr = F.greatest(
+            F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1)
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("__mx") >= thr, F.col(value_col))
+            ).alias(f"p{str(q).replace('0.', '').ljust(2, '0')}")
+        )
+    grp = comps.groupBy(*keys) if keys else comps.groupBy()
+    return grp.agg(F.max("__n").alias("n"), *aggs)

@@ -350,3 +350,27 @@ def iqr_fences(
         *keys, "q1", "q3", "lo_fence", "hi_fence",
         F.col("n_outliers").cast("long").alias("n_outliers"), "n",
     )
+
+
+def hist_rebin(
+    hist: DataFrame,
+    width: int,
+    key_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Coarsen histogram partials to ``width``-wide value bins
+    (v → floor(v / width)·width): counts add exactly, so tiers can
+    store a coarse histogram where full value resolution is no longer
+    worth the rows (e.g. 1-token bins daily, 16-token bins monthly).
+    Reads (hist_quantiles/hist_cdf/...) on the rebinned frame answer
+    at bin resolution — a documented, bounded quantization, never a
+    sketch. One map-combinable groupBy.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    keys = [*key_cols, "ts"]
+    return hist.groupBy(
+        *keys,
+        (F.floor(F.col("v") / F.lit(width)) * F.lit(width))
+        .cast("int")
+        .alias("v"),
+    ).agg(F.sum("cnt").alias("cnt"))
