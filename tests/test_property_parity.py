@@ -182,3 +182,96 @@ def test_chunk_pack_property(spark, docs, max_len):
     if len(p):
         assert all(s == max_len for s in p["n_tok"].tolist()[:-1])
         assert 0 < p["n_tok"].iloc[-1] <= max_len
+
+
+# ---- round-3 continuation family: states / winsorized / quantiles ----
+
+states_lists = st.lists(
+    st.one_of(st.sampled_from(["a", "b", "c"]), st.none()),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SET
+@given(states_lists)
+def test_state_durations_and_runs_match_pandas(spark, states):
+    import datetime as dt
+
+    from tstoolbox_spark.operators.states import state_durations, state_runs
+
+    t0 = dt.datetime(2024, 1, 1)
+    # irregular spacing exercises real durations
+    ts = [t0 + dt.timedelta(minutes=7 * i + (i % 3)) for i in range(len(states))]
+    pdf = pd.DataFrame({"ts": ts, "state": states})
+    sdf = spark.createDataFrame(pdf)
+
+    # pandas oracle: duration of obs i = ts[i+1]-ts[i] (0 for last)
+    durs = {}
+    nobs = {}
+    for i, s in enumerate(states):
+        d = (ts[i + 1] - ts[i]).total_seconds() * 1e6 if i + 1 < len(ts) else 0
+        durs[s] = durs.get(s, 0) + int(d)
+        nobs[s] = nobs.get(s, 0) + 1
+    got = {
+        r["state"]: (r["state_us"], r["n_obs"])
+        for r in state_durations(sdf, "state", tier=None).collect()
+    }
+    assert got == {s: (durs[s], nobs[s]) for s in durs}
+
+    # run-length: pandas groupby on change points (null-safe)
+    marks = [0] * len(states)
+    for i in range(1, len(states)):
+        if states[i] != states[i - 1] or (
+            (states[i] is None) != (states[i - 1] is None)
+        ):
+            marks[i] = 1
+    expected_runs = 1 + sum(marks)
+    assert state_runs(sdf, "state").count() == expected_runs
+
+
+@SET
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=60),
+       st.sampled_from([0.0, 0.05, 0.1, 0.25]))
+def test_winsorized_mean_matches_numpy(spark, vals, alpha):
+    import datetime as dt
+
+    from tstoolbox_spark.pipeline.rollup import hist_base, hist_winsorized_mean
+
+    t0 = dt.datetime(2024, 3, 1)
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * len(vals),
+            "ts": [t0 + dt.timedelta(minutes=i) for i in range(len(vals))],
+            "n_tok": vals,
+        }
+    )
+    out = hist_winsorized_mean(
+        hist_base(spark.createDataFrame(pdf), "1mo"), alpha=alpha
+    ).collect()[0]
+    arr = np.sort(np.array(vals, dtype=np.int64))
+    k = int(np.floor(alpha * len(arr)))
+    if k:
+        arr[:k] = arr[k]
+        arr[len(arr) - k:] = arr[len(arr) - k - 1]
+    assert out["winsorized_mean"] == round(float(arr.mean()), 6)
+    assert out["n"] == len(vals)
+
+
+@SET
+@given(st.lists(st.integers(0, 10**7), min_size=1, max_size=60),
+       st.sampled_from([0.01, 0.5, 0.9, 0.99]))
+def test_exact_quantiles_matches_numpy_disc(spark, vals, q):
+    import datetime as dt
+    import math
+
+    from tstoolbox_spark.operators.stats import exact_quantiles
+
+    pdf = pd.DataFrame({"v": vals})
+    out = exact_quantiles(
+        spark.createDataFrame(pdf), "v", qs=(q,)
+    ).collect()[0]
+    srt = sorted(vals)
+    expect = srt[max(math.ceil(q * len(vals)), 1) - 1]
+    col = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+    assert out[col] == expect and out["n"] == len(vals)
