@@ -2400,6 +2400,26 @@ def _textops_oracles() -> dict[str, str]:
         FROM r WHERE rn = 1
     """
 
+    # dup_size_histogram: same component labels → cluster sizes →
+    # size frequencies.
+    o["dup_size_histogram"] = f"""
+        WITH RECURSIVE p AS ({jacc_base}),
+        e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b, doc_a FROM p),
+        reach(doc, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.doc),
+        cl AS (
+          SELECT doc AS doc_id, MIN(label) AS cluster
+          FROM reach GROUP BY doc),
+        sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM sz GROUP BY 1
+    """
+
     from tstoolbox_spark.textops.dedup import MH_PRIME as _MHP
     from tstoolbox_spark.textops.dedup import mh_params as _mhp
 
@@ -7147,6 +7167,52 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel_latency_p50"] = q_funnel_latency
 
+    def q_dup_sizes(s, d):
+        """Duplication-size histogram: how many near-dup clusters have
+        1, 2, 3… members — the corpus-duplication report a dedup run
+        publishes. Composes near_dup_clusters with two tiny
+        aggregates; cluster labels never leave the executors."""
+        from tstoolbox_spark.textops import dedup as _dd
+
+        docs = _docs(s, d)
+        pairs = _dd.minhash_lsh_dedup(
+            docs, n=2, threshold=0.2, k=_MINHASH_K, bands=2, rows=4
+        )
+        clusters = _dd.near_dup_clusters(docs, pairs=pairs)
+        sizes = clusters.groupBy("cluster").agg(
+            F.count("*").alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count("*").alias("n_clusters")
+        )
+
+    q["dup_size_histogram"] = q_dup_sizes
+
+    def q_fertility(s, d):
+        """Tokenizer fertility per source: regex (BPE-ish) tokens per
+        whitespace word, the standard tokenizer-efficiency metric —
+        exact integer token sums, one narrow aggregate."""
+        from tstoolbox_spark.textops.quality import token_counts
+
+        docs = _docs(s, d)
+        tc = token_counts(docs).join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        g = tc.groupBy("source").agg(
+            F.sum(F.col("regex_tokens").cast("long")).alias("regex_tokens"),
+            F.sum(F.col("ws_tokens").cast("long")).alias("ws_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        return g.select(
+            "source", "regex_tokens", "ws_tokens", "n_docs",
+            (
+                F.col("regex_tokens").cast("double")
+                / F.col("ws_tokens").cast("double")
+            ).alias("fertility"),
+        )
+
+    q["tokenizer_fertility"] = q_fertility
+
     return q
 
 
@@ -7651,6 +7717,26 @@ def _oracles_round3f() -> dict[str, str]:
                MIN(CASE WHEN rn >= greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
                         THEN latency_us END) AS p90
         FROM r
+    """
+
+    # tokenizer_fertility: identical token definitions (token_counts
+    # oracle), integer sums, one double division.
+    o["tokenizer_fertility"] = """
+        WITH tc AS (
+          SELECT source,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS rt,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS wt
+          FROM documents)
+        SELECT source,
+               CAST(SUM(rt) AS BIGINT) AS regex_tokens,
+               CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+               COUNT(*) AS n_docs,
+               CAST(SUM(rt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE)
+                 AS fertility
+        FROM tc GROUP BY 1
     """
 
     return o

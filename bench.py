@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "corr_matrix_hourly",
     "rolling_p90_24",
     "funnel_latency_p50",
+    "dup_size_histogram",
+    "tokenizer_fertility",
 ]
 
 
