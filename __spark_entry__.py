@@ -7213,6 +7213,24 @@ def _queries_round3f() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tokenizer_fertility"] = q_fertility
 
+    def q_coverage(s, d):
+        """Daily interval-union coverage (events.interval_coverage):
+        seconds with ≥1 active 10-minute event window per event_type —
+        sweep-line edges + one window sort per (key, day), exact
+        BIGINT microseconds."""
+        from tstoolbox_spark.operators.events import interval_coverage
+
+        ev = _events(s, d).select(
+            "event_type",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+        )
+        return interval_coverage(
+            ev, "start", "end", tier="1d", key_cols=["event_type"]
+        )
+
+    q["interval_coverage_daily"] = q_coverage
+
     return q
 
 
@@ -7737,6 +7755,35 @@ def _oracles_round3f() -> dict[str, str]:
                CAST(SUM(rt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE)
                  AS fertility
         FROM tc GROUP BY 1
+    """
+
+    # interval_coverage_daily: identical sweep-line (starts before
+    # ends at the same instant), start-bucket attribution, BIGINT-us.
+    o["interval_coverage_daily"] = """
+        WITH iv AS (
+          SELECT event_type,
+                 date_trunc('day', ts) AS day,
+                 epoch_us(ts) AS s,
+                 epoch_us(ts + INTERVAL 10 MINUTE) AS e
+          FROM events),
+        ed AS (
+          SELECT event_type, day, s AS t, 1 AS d FROM iv
+          UNION ALL
+          SELECT event_type, day, e AS t, -1 AS d FROM iv),
+        sw AS (
+          SELECT event_type, day, t, d,
+                 SUM(d) OVER (PARTITION BY event_type, day
+                              ORDER BY t, d DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS active,
+                 lead(t) OVER (PARTITION BY event_type, day
+                               ORDER BY t, d DESC) AS nxt
+          FROM ed)
+        SELECT event_type, day AS ts,
+               CAST(SUM(CASE WHEN active > 0 AND nxt IS NOT NULL
+                             THEN nxt - t ELSE 0 END) AS BIGINT)
+                 AS covered_us
+        FROM sw GROUP BY 1, 2
     """
 
     return o

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "funnel_latency_p50",
     "dup_size_histogram",
     "tokenizer_fertility",
+    "interval_coverage_daily",
 ]
 
 

@@ -172,3 +172,20 @@ def test_exact_quantiles_matches_hist_convention(spark):
     a = exact_quantiles(df, "n_tok", qs=(0.5, 0.9), key_cols=["source"]).collect()[0]
     b = hist_quantiles(hist_base(df, "1mo"), (0.5, 0.9)).collect()[0]
     assert (a["p50"], a["p90"]) == (b["p50"], b["p90"])
+
+
+def test_interval_coverage_union_semantics(spark):
+    import datetime as dt
+    import pandas as pd
+    from tstoolbox_spark.operators.events import interval_coverage
+
+    t0 = dt.datetime(2024, 1, 1, 6, 0)
+    mk = lambda m0, m1: (t0 + dt.timedelta(minutes=m0),  # noqa: E731
+                         t0 + dt.timedelta(minutes=m1))
+    rows = [mk(0, 10), mk(5, 15),    # overlap -> union 15 min
+            mk(20, 30), mk(30, 40),  # touching -> merged 20 min
+            mk(60, 70)]              # isolated 10 min
+    pdf = pd.DataFrame(rows, columns=["start", "end"])
+    out = interval_coverage(spark.createDataFrame(pdf), "start", "end").collect()
+    assert len(out) == 1
+    assert out[0]["covered_us"] == (15 + 20 + 10) * 60_000_000

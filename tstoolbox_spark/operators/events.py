@@ -186,3 +186,58 @@ def funnel_latency(
             - F.unix_micros(F.col("__start").cast("timestamp"))
         ).alias("latency_us"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    tier: str = "1d",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Union length of (possibly overlapping) intervals per (key, tier
+    bucket) — "seconds with at least one active session/incident", the
+    classic sweep-line coverage read, as pure window expressions.
+
+    Each interval contributes a +1 edge at start and a −1 edge at end;
+    edges sort within (key, bucket) with starts before ends at the
+    same instant (touching intervals merge); coverage is the sum of
+    gaps to the next edge while the running active count is positive.
+    Exact BIGINT microseconds. An interval is attributed WHOLLY to the
+    bucket containing its start (the state_durations convention —
+    telemetry sessions are short against tier widths; the rule is
+    part of the contract).
+
+    One explode (rows × 2), one window sort per (key, bucket), one
+    aggregate — bucket partitions bound the sort.
+    """
+    from ..pipeline.rollup import TIERS
+
+    unit = TIERS[tier]
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    edges = df.select(
+        *key_cols,
+        F.date_trunc(unit, F.col(start_col)).alias("ts"),
+        F.explode(
+            F.array(
+                F.struct(s_us.alias("t"), F.lit(1).alias("d")),
+                F.struct(e_us.alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select(*key_cols, "ts", F.col("e.t").alias("t"), F.col("e.d").alias("d"))
+    w = Window.partitionBy(*key_cols, "ts").orderBy(
+        F.col("t"), F.col("d").desc()
+    )
+    active = F.sum("d").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.lead("t").over(w)
+    covered = F.when(
+        (active > 0) & nxt.isNotNull(), nxt - F.col("t")
+    ).otherwise(F.lit(0))
+    return (
+        edges.select(*key_cols, "ts", covered.alias("__c"))
+        .groupBy(*key_cols, "ts")
+        .agg(F.sum("__c").cast("long").alias("covered_us"))
+    )
