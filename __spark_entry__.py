@@ -542,6 +542,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_queries_round3e())
     q.update(_queries_round3f())
 
+    _q_sd = q["seasonal_decompose_24h"]
+
+    def q_strength(s, d):
+        """Seasonality / trend strength (Hyndman & Athanasopoulos FPP:
+        F = max(0, 1 − var(resid)/var(component+resid))) read from the
+        SAME quantized decomposition as seasonal_decompose_24h —
+        variances from exact integer-µ moments (k = x·1e6 exact for
+        the 1e-6-quantized components; Σk / Σk² as DECIMAL(38,0)), so
+        the statistic is association-free in both engines."""
+        dec = _q_sd(s, d).filter(
+            F.col("trend").isNotNull()
+            & F.col("seasonal").isNotNull()
+            & F.col("resid").isNotNull()
+        )
+        k = lambda c: F.floor(F.col(c) * 1e6 + 0.5).cast("long")  # noqa: E731
+        kd = dec.select(
+            "event_type",
+            k("resid").alias("kr"),
+            (k("seasonal") + k("resid")).alias("ksr"),
+            (k("trend") + k("resid")).alias("ktr"),
+        )
+        d38 = "decimal(38,0)"
+        g = kd.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            *[
+                a
+                for c in ("kr", "ksr", "ktr")
+                for a in (
+                    F.sum(F.col(c).cast(d38)).cast("double").alias(f"s_{c}"),
+                    F.sum((F.col(c) * F.col(c)).cast(d38))
+                    .cast("double")
+                    .alias(f"ss_{c}"),
+                )
+            ],
+        )
+        n = F.col("n").cast("double")
+
+        def var(c):
+            return F.col(f"ss_{c}") / n - (F.col(f"s_{c}") / n) * (
+                F.col(f"s_{c}") / n
+            )
+
+        def strength(c):
+            return F.greatest(
+                F.lit(0.0), F.round(F.lit(1.0) - var("kr") / var(c), 6)
+            )
+
+        return g.select(
+            "event_type",
+            strength("ksr").alias("f_seasonal"),
+            strength("ktr").alias("f_trend"),
+            F.col("n").cast("long").alias("n"),
+        )
+
+    q["seasonality_strength"] = q_strength
+
     # The round driver checks the FIRST 50 entries in insertion order
     # (confirmed in VERDICT r1/r2). Window placement is coverage
     # routing, NOT the correctness gate — scripts/check_correctness.py
@@ -1457,6 +1513,32 @@ def oracle_sql() -> dict[str, str]:
     o.update(_oracles_round3d())
     o.update(_oracles_round3e())
     o.update(_oracles_round3f())
+
+    # seasonality_strength: the decompose oracle as a CTE, then the
+    # identical integer-µ moment algebra (k = component·1e6 exact on
+    # the 1e-6-quantized outputs; Σk/Σk² via HUGEINT→DOUBLE matches
+    # Spark's DECIMAL(38,0)→DOUBLE).
+    _svar = lambda c: f"(CAST(SUM(CAST({c} * {c} AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - (CAST(SUM(CAST({c} AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * (CAST(SUM(CAST({c} AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))"  # noqa: E731,E501
+    o["seasonality_strength"] = f"""
+        WITH dec AS ({o["seasonal_decompose_24h"]}),
+        kd AS (
+          SELECT event_type,
+                 CAST(floor(resid * 1e6 + 0.5) AS BIGINT) AS kr,
+                 CAST(floor(seasonal * 1e6 + 0.5) AS BIGINT)
+                   + CAST(floor(resid * 1e6 + 0.5) AS BIGINT) AS ksr,
+                 CAST(floor(trend * 1e6 + 0.5) AS BIGINT)
+                   + CAST(floor(resid * 1e6 + 0.5) AS BIGINT) AS ktr
+          FROM dec
+          WHERE trend IS NOT NULL AND seasonal IS NOT NULL
+            AND resid IS NOT NULL)
+        SELECT event_type,
+               greatest(0.0, round(1.0 - {_svar('kr')} / {_svar('ksr')}, 6))
+                 AS f_seasonal,
+               greatest(0.0, round(1.0 - {_svar('kr')} / {_svar('ktr')}, 6))
+                 AS f_trend,
+               COUNT(*) AS n
+        FROM kd GROUP BY 1
+    """
     return o
 
 

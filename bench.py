@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "dup_size_histogram",
     "tokenizer_fertility",
     "interval_coverage_daily",
+    "seasonality_strength",
 ]
 
 
