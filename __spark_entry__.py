@@ -604,52 +604,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # runs all 159 queries against DuckDB locally and gates every
     # commit (ADVICE r2); queries outside the driver window are
     # exactly the long-stable rows green in CORRECTNESS_r01/r02.
-    # Round-3 priority: (a) queries that have never had a driver value
-    # check (new ops + the two that just gained real oracles),
-    # (b) queries whose implementation changed this round
-    # (distributed_rank bounds pinning, prefix-sum dtype, crossJoin
-    # guard, auto_band_shape midpoint, sink paths), (c) re-verify
-    # rows last seen green in round 1 so a regression since then
-    # is visible to the driver again.
+    # Round-4 priority (VERDICT r3 next-round #1): front-load exactly
+    # the 47 queries that have never had a driver CORRECTNESS row in
+    # r1∪r2∪r3 (list derived from CORRECTNESS_r0{1,2,3}.json keys vs
+    # queries(); reproduce with scripts/window_report.py), plus 3
+    # re-checks for implementations that change this round: pq_topk
+    # (ADC codegen restructure), fit_lowess and linear_trend (the two
+    # regressed bench lines being bisected). A green r4 window makes
+    # every registered query driver-certified at least once.
     front = [
-        # (a) never value-checked by the driver / oracle upgraded r3
-        "dtw_click_view", "fft_lowpass", "substring_dedup", "pii_flags",
-        "ewm_corr_span12", "repetition_flags", "vocab_topk",
-        "stratified_sample", "butterworth_lowpass", "bigram_logprob",
-        "peak_parabola", "ols_hour_dow", "pca_covariance",
-        "pq_topk", "text_normalize", "convert_units_mixed", "mad_outliers",
-        "interval_join_day_windows", "cusum_changepoints",
-        "seasonal_decompose_24h", "incremental_rollup_refresh",
-        "bm25_topk", "theilsen_trend", "dominant_period_acf",
-        "upsample_linear_15m", "tier_quantiles_hist",
-        "tier_distinct_users_1d", "ddsketch_quantiles_daily",
-        "counter_agg_hourly", "heartbeat_gaps", "tier_top_values",
-        "semdedup", "m4_downsample", "funnel_3step", "retention_weekly",
-        "ccf_click_view", "twa_linear_hourly", "media_sniff", "token_entropy",
-        "holt_winters_24h", "shard_assign_16",
-        "ljung_box_10", "ar2_yule_walker", "forecast_accuracy_holt",
-        # (a') later round-3 families, one representative each — the
-        # rest of each family stays under the local 173-query gate
-        # (kept inside over 4 Holt variants / duplicate samplers whose
-        # siblings already occupy window slots)
-        "kalman_level_hourly", "granger_click_view", "bpe_learn_3",
-        "state_durations_1d", "cms_user_counts", "bloom_membership",
-        # (b) implementation changed this round
-        "rank_average", "normalization_pct_rank", "spearman_lag1",
-        "fdc_weibull", "fdc_norm_ppf", "chunk_pack_64",
-        "embedding_near_dup", "minhash_lsh_dedup", "dedup_clusters",
-        "stdtozrxp_format", "tier_cascade_1m_1h",
-        # (c) green in round 1, unseen since — re-verify
-        "agg_hourly", "agg_daily_median", "agg_all",
-        "agg_months_across_years", "agg_ohlc_daily", "describe",
-        "date_slice", "round_index_15min_floor", "clean_dedup",
-        "rolling_24row_sum_mean", "rolling_6h_time_window",
-        "expanding_cumsum_cummax", "lag_lead", "pct_change",
-        "fill_ffill", "fill_linear", "fill_value", "clip_convert",
-        "normalization_zscore", "normalization_minmax",
-        "convert_index_unix", "date_offset_3h", "stack_unpivot",
-        "unstack_pivot", "gof_bias", "autocorr_lag1",
-        "peak_detection_rel2", "linear_trend", "regularize_hourly_grid",
+        # (a) the 47 never driver-checked (late round-3 families)
+        "canonical_docs", "dup_size_histogram", "peak_sine",
+        "holt_level_trend", "holt_winters_mul_24h", "holt_forecast_24h",
+        "holt_winters_forecast_36h", "mixture_sample_weighted",
+        "psi_value_halves", "ks_click_view", "chi2_event_mix",
+        "adf_value_hourly", "mann_kendall_hourly",
+        "engle_granger_click_view", "lomb_scargle_periods",
+        "pack_bins_2048", "vocab_remap_16", "dsir_weights", "pacf_3",
+        "sax_daily_8", "kn_bigram_logprob", "sliding_chunks_32_8",
+        "tier_trimmed_mean", "source_overlap", "span_corrupt_3",
+        "byte_stats", "integrate_trapz", "corpus_split",
+        "state_runs_user", "backtest_folds_4", "tier_winsorized_mean",
+        "drawdown_daily", "vwap_monthly", "quantile_normalize_value",
+        "tier_cdf_thresholds", "staleness_sources", "zipf_alpha_source",
+        "gap_density_hourly", "packing_efficiency", "benford_digits",
+        "iqr_outliers_monthly", "corr_matrix_hourly", "rolling_p90_24",
+        "funnel_latency_p50", "tokenizer_fertility",
+        "interval_coverage_daily", "seasonality_strength",
+        # (b) re-checks: implementation changes this round
+        "pq_topk", "fit_lowess", "linear_trend",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})

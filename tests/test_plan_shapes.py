@@ -227,6 +227,36 @@ def test_pq_scan_reads_codes_not_floats(spark, tmp_path):
     assert "TakeOrderedAndProject" in plan  # k-row ordered take, no sort
 
 
+def test_pq_inline_encode_stays_inside_codegen(spark):
+    """VERDICT r3 #3: the inline-encode pq_topk path used to unroll
+    m*k*dsub distance terms into one projection, blowing janino's
+    64 KB method limit and dropping the whole ANN scan stage to
+    interpreted execution. The HOF rewrite (constant-folded codebook
+    literal + transform/aggregate loops) must keep every generated
+    method small enough to compile AND to JIT (8000-byte HotSpot
+    huge-method threshold)."""
+    import re
+
+    from tstoolbox_spark.textops.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    rows = emb.orderBy("vec_id").limit(16).collect()
+    dsub = len(rows[0]["embedding"]) // 8
+    books = [
+        [[float(x) for x in r["embedding"][m * dsub:(m + 1) * dsub]]
+         for r in rows]
+        for m in range(8)
+    ]
+    q = [float(x) for x in rows[0]["embedding"]]
+    out = pq_topk(emb, q, books, k=10)  # codes derived inline
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "codegen")
+    txt = out._jdf.queryExecution().explainString(jmode)
+    sizes = [int(x) for x in re.findall(r"maxMethodCodeSize:(\d+)", txt)]
+    assert sizes, "codegen explain produced no compiled subtree sizes"
+    assert max(sizes) < 8000, f"generated method too large: {sizes}"
+
+
 def test_hist_tier_cascade_is_partial_agg_over_partials(spark):
     """Histogram tier reads never rescan raw: the quantile read's scan
     schema is the partial schema, every groupBy map-side combines, and
