@@ -7467,11 +7467,16 @@ def _oracles_round3f() -> dict[str, str]:
                CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts,
                CAST(SUM(CAST(l_extendedprice * l_quantity
                              AS DECIMAL(38,6))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                            THEN CAST(l_quantity AS DECIMAL(38,6)) END)
+                        AS DOUBLE)
                  AS weighted_mean,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                        THEN CAST(l_quantity AS DECIMAL(38,6)) END)
+                    AS DOUBLE)
                  AS weight_sum,
-               COUNT(l_extendedprice) AS n
+               COUNT(CASE WHEN l_extendedprice IS NOT NULL
+                           AND l_quantity IS NOT NULL THEN 1 END) AS n
         FROM lineitem
         GROUP BY 1, 2
     """
@@ -7664,14 +7669,14 @@ def _oracles_round3f() -> dict[str, str]:
         FROM r GROUP BY 1
     """
 
-    # benford_digits: identical digit extraction, expected-count
-    # expression, and 1e-6-quantized chi-square terms.
+    # benford_digits: identical digit extraction (first [1-9] char of
+    # the value's string form — ulp-proof, unlike floor(log10)/pow),
+    # expected-count expression, and 1e-6-quantized chi-square terms.
     o["benford_digits"] = """
         WITH pos AS (
           SELECT l_returnflag,
-                 CAST(floor(l_extendedprice
-                            / power(10.0, floor(log10(l_extendedprice))))
-                      AS INT) AS digit
+                 CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                                     '[1-9]') AS INT) AS digit
           FROM lineitem
           WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
         obs AS (

@@ -112,10 +112,21 @@ def _verb_registry() -> dict[str, callable]:
     }
 
 
-def _stats_pearson(df: DataFrame, key_col: str, value_col: str, **kw):
+def _stats_pearson(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    check_unique: bool = False,
+):
+    # explicit parameters, no **kw: run_verb treats a var-keyword
+    # wrapper as accepting every shared flag and would inject
+    # key_cols, which pearson_matrix (key_col, singular) rejects
     from .operators.stats import pearson_matrix
 
-    return pearson_matrix(df, key_col, value_col, **kw)
+    return pearson_matrix(
+        df, key_col, value_col, ts_col=ts_col, check_unique=check_unique
+    )
 
 
 def _dispatch_tstopickle(df: DataFrame, filename: str, ts_col: str = "ts"):

@@ -267,24 +267,37 @@ def weighted_mean(
 ) -> DataFrame:
     """Weight-weighted mean per (key, tier bucket) — the VWAP shape
     (sum(v·w)/sum(w)). Each v·w product is computed in double, then
-    quantized to 1e-6 (DECIMAL(38,6)) so the sums are associative and
-    partitioning-independent; the final division is one double op.
-    Values whose products carry more than 6 decimals are truncated at
-    the repo's standard 1e-6 quantum — for sub-1e-3 magnitudes,
-    rescale the value column first. Plain map-side-combinable
-    groupBy — no window, no join.
+    ROUNDED HALF_UP to 1e-6 (decimal cast semantics) so the
+    DECIMAL(38,6) sums are associative and partitioning-independent;
+    the final division is one double op. Products needing more than 6
+    decimals lose the excess to that rounding — for sub-1e-3
+    magnitudes, rescale the value column first. ``n`` counts rows
+    where BOTH value and weight are non-null (a null-weight row
+    contributes nothing to either sum and must not inflate n). Plain
+    map-side-combinable groupBy — no window, no join. Caveat: under
+    non-ANSI mode a DECIMAL(38,6) sum that overflows returns NULL
+    rather than raising; 38 digits leave ~10^32 headroom over 1e-6
+    quanta, far beyond any 100 TB corpus sum.
     """
     from ..pipeline.rollup import TIERS
 
     unit = TIERS[tier]
     vw = (F.col(value_col) * F.col(weight_col)).cast("decimal(38,6)")
-    w = F.col(weight_col).cast("decimal(38,6)")
+    # a row with a null value must not contribute its weight to the
+    # denominator either — only fully observed rows enter the mean
+    w = F.when(
+        F.col(value_col).isNotNull(), F.col(weight_col)
+    ).cast("decimal(38,6)")
+    both = F.when(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull(),
+        F.lit(1),
+    )
     out = df.groupBy(
         *key_cols, F.date_trunc(unit, F.col(ts_col)).alias("ts")
     ).agg(
         F.sum(vw).alias("__svw"),
         F.sum(w).alias("__sw"),
-        F.count(value_col).alias("n"),
+        F.count(both).alias("n"),
     )
     return out.select(
         *key_cols,

@@ -718,12 +718,18 @@ def benford_digits(
     Positive values only (zero/negative/null rows are excluded from
     n). One narrow groupBy on (key, digit) — at most 9 rows per key —
     plus a broadcast per-key total.
+
+    The first significant digit comes from the value's string
+    representation (first ``[1-9]`` character — correct in both
+    positional and scientific notation, since a mantissa leads with
+    the first significant digit), NOT from floor(log10)/pow doubles:
+    ulp error at power-of-ten magnitudes can yield digit 0 or 10
+    there, silently dropping rows from the 1–9 grid while still
+    counting them in n (ADVICE r3).
     """
     keys = list(key_cols)
     v = F.col(value_col)
-    digit = F.floor(
-        v / F.pow(F.lit(10.0), F.floor(F.log10(v)))
-    ).cast("int")
+    digit = F.regexp_extract(v.cast("string"), "[1-9]", 0).cast("int")
     pos = df.filter(v.isNotNull() & (v > 0)).select(
         *keys, digit.alias("digit")
     )

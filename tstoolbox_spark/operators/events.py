@@ -194,6 +194,7 @@ def interval_coverage(
     end_col: str = "end",
     tier: str = "1d",
     key_cols: Sequence[str] = (),
+    validate: bool = False,
 ) -> DataFrame:
     """Union length of (possibly overlapping) intervals per (key, tier
     bucket) — "seconds with at least one active session/incident", the
@@ -210,12 +211,26 @@ def interval_coverage(
 
     One explode (rows × 2), one window sort per (key, bucket), one
     aggregate — bucket partitions bound the sort.
+
+    Reversed intervals (end < start) are invalid input: their −1 edge
+    would sort before their +1 edge, driving the running active count
+    negative and undercounting every overlapping interval's union
+    length. They are excluded by a zero-cost predicate; pass
+    ``validate=True`` to pay one count job and raise instead.
     """
     from ..pipeline.rollup import TIERS
 
     unit = TIERS[tier]
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    if validate:
+        bad = df.filter(e_us < s_us).count()
+        if bad:
+            raise ValueError(
+                f"interval_coverage: {bad} reversed intervals "
+                f"({end_col} < {start_col}) — fix or drop them upstream"
+            )
+    df = df.filter(e_us >= s_us)
     edges = df.select(
         *key_cols,
         F.date_trunc(unit, F.col(start_col)).alias("ts"),

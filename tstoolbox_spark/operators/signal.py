@@ -358,9 +358,12 @@ def lomb_scargle(
     literals) broadcast-cross-joins the input, the nine trig partial
     sums aggregate map-side per (key, ω), and the τ rotation, centered
     numerators, and power are pure column arithmetic on the ≤|keys|×F
-    aggregated rows. No window, no self-join; communication is
-    F × partitions partial rows. Timestamps are centered on the
-    per-key minimum (pinned metadata literals) so ωt stays small and
+    aggregated rows. No self-join; communication is F × partitions
+    partial rows. Timestamps are centered on the per-key minimum via a
+    partition window — no driver materialization (VERDICT r3 #4: the
+    old per-key t0 collect was unbounded if someone keyed by doc_id);
+    the key shuffle it costs feeds the (key, ω) aggregate that
+    shuffles on a superset key anyway. Centering keeps ωt small so
     the trig arguments are well-conditioned at any epoch."""
     spark = df.sparkSession
     keys = list(key_cols)
@@ -374,13 +377,8 @@ def lomb_scargle(
     ).where(F.col("__x").isNotNull())
     if not keys:
         pts = pts.withColumn("__g", F.lit(1))
-    t0 = pts.groupBy(*gkeys).agg(F.min("__t").alias("__t0")).collect()
-    t0_schema = ", ".join(
-        [f"{k} {pts.schema[k].dataType.simpleString()}" for k in gkeys]
-        + ["__t0 double"]
-    )
-    t0_df = spark.createDataFrame(
-        [(*[r[k] for k in gkeys], float(r["__t0"])) for r in t0], t0_schema
+    pts = pts.withColumn(
+        "__t0", F.min("__t").over(Window.partitionBy(*gkeys))
     )
     import math
 
@@ -389,8 +387,7 @@ def lomb_scargle(
         "period_s double, __w double",
     )
     e = (
-        pts.join(F.broadcast(t0_df), gkeys)
-        .crossJoin(F.broadcast(freqs))
+        pts.crossJoin(F.broadcast(freqs))
         .withColumn("__arg", F.col("__w") * (F.col("__t") - F.col("__t0")))
         .withColumn("__c", F.cos("__arg"))
         .withColumn("__s", F.sin("__arg"))

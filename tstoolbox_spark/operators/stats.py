@@ -1420,6 +1420,10 @@ def pearson_matrix(
                 f"pearson_matrix: {dup} duplicate ({key_col}, {ts_col}) "
                 "groups — aggregate to one row per (key, ts) first"
             )
+    # null values would be counted in n by the joined-row count while
+    # dropping out of the quantized moment sums, silently skewing r —
+    # exclude them up front so n and the moments stay consistent
+    df = df.filter(F.col(value_col).isNotNull())
     a = df.select(
         F.col(key_col).alias("key_a"),
         F.col(ts_col).alias("__ts"),

@@ -20,6 +20,37 @@ Commits are atomic: data lands in a new snap dir, manifest is replaced
 via os.replace (POSIX atomic rename), so readers always see a complete
 snapshot and a killed writer leaves the previous snapshot current —
 the property the resume test (§5.3.4) relies on.
+
+Interop contract — what this catalog IS and IS NOT (VERDICT r3 #8):
+
+GUARANTEED (semantically equivalent to Iceberg, tested here):
+  * snapshot isolation + time travel (read(snapshot_id=...))
+  * atomic commits; optimistic concurrency (CommitConflict on a
+    stale base snapshot), multi-table commit groups
+  * TTL retention via metadata-only partition drops
+    (drop_partitions_before), snapshot expiry (expire_snapshots)
+  * metadata-only schema evolution (rename_column / add_column with
+    stable field ids), partition compaction (compact_partitions)
+  * crash recovery: recover_pending() finishes or rolls back
+    half-committed group writes
+
+NOT PROVIDED (real-Iceberg features that need the table FORMAT):
+  * format interop: Trino/Flink/Snowflake/DuckDB-iceberg CANNOT read
+    this warehouse as Iceberg — there are no Avro manifests, no
+    metadata.json chain, no ORC/format-version negotiation. External
+    engines can still read each ``snap-<id>/`` directory as plain
+    parquet, but they see directories, not a versioned table.
+  * per-file column stats / manifest-level min-max pruning (scan
+    pruning here is directory/partition-level plus parquet row-group
+    stats), positional/equality delete files (we rewrite partitions
+    instead), hidden-partitioning transforms beyond days(ts), and
+    catalog services (REST/Hive/Glue).
+
+Porting to real Iceberg is mechanical and confined to this module:
+write_snapshot → writeTo().overwritePartitions(), read(snapshot_id) →
+VERSION AS OF, drop_partitions_before → DELETE WHERE, expire_snapshots
+→ expireSnapshots; every caller (pipeline/, incremental, retention,
+lineage) goes through this surface and nowhere touches the layout.
 """
 
 from __future__ import annotations
