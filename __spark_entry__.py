@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_queries_round3d())
     q.update(_queries_round3e())
     q.update(_queries_round3f())
+    q.update(_queries_round4())
 
     _q_sd = q["seasonal_decompose_24h"]
 
@@ -1496,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_oracles_round3d())
     o.update(_oracles_round3e())
     o.update(_oracles_round3f())
+    o.update(_oracles_round4())
 
     # seasonality_strength: the decompose oracle as a CTE, then the
     # identical integer-µ moment algebra (k = component·1e6 exact on
@@ -7875,6 +7877,141 @@ def _oracles_round3f() -> dict[str, str]:
                              THEN nxt - t ELSE 0 END) AS BIGINT)
                  AS covered_us
         FROM sw GROUP BY 1, 2
+    """
+
+    return o
+
+
+# --------------------------------------------------------------------------
+# round-4 additions: scipy-free natural cubic spline gap-fill
+# --------------------------------------------------------------------------
+
+
+def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    def q_spline(s, d):
+        """Natural cubic spline gap-fill (operators/spline.py — closes
+        the reference's scipy interpolation gap, ref fill.py:279-298,
+        without scipy): daily means punctured at days-of-month divisible by 5,
+        refilled by the C² natural spline through the surviving knots.
+        Oracle: the SAME tridiagonal system solved by TWO recursive
+        CTEs (Thomas forward sweep, back substitution) — every
+        arithmetic step written in the identical form, so values match
+        to FP association (ROUND 6)."""
+        from tstoolbox_spark.operators.spline import spline_fill
+
+        ev = _events(s, d)
+        hm = ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("ts")
+        ).agg(
+            (_dsum("value").cast("double") / F.count("value")).alias("vm")
+        )
+        t = hm.select(
+            "event_type", "ts",
+            F.when(F.dayofmonth("ts") % 5 != 0, F.col("vm")).alias("v"),
+        )
+        out = spline_fill(t, ["v"], key_cols=["event_type"])
+        return out.select(
+            "event_type", "ts",
+            F.round("v_spline", 6).alias("value_spline"),
+        )
+
+    q["fill_spline_natural"] = q_spline
+
+    return q
+
+
+def _oracles_round4() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    # fill_spline_natural: natural-BC tridiagonal solve as recursive
+    # CTEs (forward Thomas sweep ascending j, back substitution
+    # descending j), then the bracketing-knot windows and the cubic
+    # evaluation polynomial in the exact operator form.
+    o["fill_spline_natural"] = """
+        WITH RECURSIVE hm AS MATERIALIZED (
+          SELECT event_type, date_trunc('day', ts) AS ts,
+                 CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                   / COUNT(value) AS vm
+          FROM events GROUP BY 1, 2),
+        t AS MATERIALIZED (
+          SELECT event_type, ts,
+                 CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS x,
+                 CASE WHEN (CAST(extract(day FROM ts) AS INT) % 5) <> 0
+                      THEN vm END AS v
+          FROM hm),
+        k AS MATERIALIZED (
+          SELECT event_type, x, v AS y,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY x) - 1 AS i,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM t WHERE v IS NOT NULL),
+        tri AS MATERIALIZED (
+          SELECT k1.event_type, k1.i - 1 AS j,
+                 (k1.x - k0.x) AS a,
+                 2.0 * ((k1.x - k0.x) + (k2.x - k1.x)) AS b,
+                 (k2.x - k1.x) AS c,
+                 6.0 * ((k2.y - k1.y) / (k2.x - k1.x)
+                        - (k1.y - k0.y) / (k1.x - k0.x)) AS d,
+                 k0.n - 2 AS m
+          FROM k k1
+          JOIN k k0 ON k0.event_type = k1.event_type AND k0.i = k1.i - 1
+          JOIN k k2 ON k2.event_type = k1.event_type AND k2.i = k1.i + 1),
+        fwd AS (
+          SELECT event_type, j, c / b AS cp, d / b AS dp, m
+          FROM tri WHERE j = 0
+          UNION ALL
+          SELECT tri.event_type, tri.j,
+                 tri.c / (tri.b - tri.a * fwd.cp) AS cp,
+                 (tri.d - tri.a * fwd.dp) / (tri.b - tri.a * fwd.cp) AS dp,
+                 tri.m
+          FROM tri JOIN fwd
+            ON fwd.event_type = tri.event_type AND tri.j = fwd.j + 1),
+        bwd AS (
+          SELECT event_type, j, dp AS u FROM fwd WHERE j = m - 1
+          UNION ALL
+          SELECT f.event_type, f.j, f.dp - f.cp * bwd.u AS u
+          FROM fwd f JOIN bwd
+            ON bwd.event_type = f.event_type AND f.j = bwd.j - 1),
+        km AS MATERIALIZED (
+          SELECT k.event_type, k.x, k.y,
+                 CASE WHEN k.i = 0 OR k.i = k.n - 1 THEN 0.0
+                      ELSE bwd.u END AS mm
+          FROM k LEFT JOIN bwd
+            ON bwd.event_type = k.event_type AND bwd.j = k.i - 1),
+        fullt AS MATERIALIZED (
+          SELECT t.event_type, t.ts, t.x, t.v, km.mm
+          FROM t LEFT JOIN km
+            ON km.event_type = t.event_type AND km.x = t.x),
+        br AS (
+          SELECT event_type, ts, x, v,
+                 last_value(CASE WHEN v IS NOT NULL THEN x END
+                            IGNORE NULLS) OVER wp AS px,
+                 last_value(v IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN mm END
+                            IGNORE NULLS) OVER wp AS pm,
+                 first_value(CASE WHEN v IS NOT NULL THEN x END
+                             IGNORE NULLS) OVER wn AS nx,
+                 first_value(v IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN mm END
+                             IGNORE NULLS) OVER wn AS nm
+          FROM fullt
+          WINDOW wp AS (PARTITION BY event_type ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, ts,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                     WHEN px IS NOT NULL AND nx IS NOT NULL THEN
+                       pm * ((nx - x) * (nx - x) * (nx - x))
+                         / (6.0 * (nx - px))
+                       + nm * ((x - px) * (x - px) * (x - px))
+                         / (6.0 * (nx - px))
+                       + (pv / (nx - px) - pm * (nx - px) / 6.0) * (nx - x)
+                       + (nv / (nx - px) - nm * (nx - px) / 6.0) * (x - px)
+                     END, 6) AS value_spline
+        FROM br
     """
 
     return o

@@ -158,3 +158,18 @@ def test_semdedup_no_cross_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_semdedup_precomputed_cells_match_default(spark):
+    """Passing materialized (id, cell) assignments must reproduce the
+    default path exactly — the shared-assignment reuse contract."""
+    from tstoolbox_spark.textops.similarity import assign_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.filter("vec_id < 4").orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    cells = assign_cells(emb, cents).select("vec_id", "cell")
+    a = semdedup(emb, cents, threshold=0.35).orderBy("vec_id").collect()
+    b = semdedup(emb, cents, threshold=0.35, cells=cells).orderBy(
+        "vec_id").collect()
+    assert a == b
