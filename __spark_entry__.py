@@ -7919,6 +7919,34 @@ def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fill_spline_natural"] = q_spline
 
+    def q_pchip(s, d):
+        """PCHIP monotone-cubic gap-fill (operators/spline.pchip_fill,
+        Fritsch-Carlson 1980 — the scipy/pandas method='pchip'
+        algorithm, scipy-free): the same punctured daily means as
+        fill_spline_natural, refilled overshoot-free. Derivatives are
+        knot-LOCAL, so both engines compute them as plain window
+        lag/lead expressions — no recursion anywhere; ROUND(6)
+        absorbs FP association."""
+        from tstoolbox_spark.operators.spline import pchip_fill
+
+        ev = _events(s, d)
+        hm = ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("ts")
+        ).agg(
+            (_dsum("value").cast("double") / F.count("value")).alias("vm")
+        )
+        t = hm.select(
+            "event_type", "ts",
+            F.when(F.dayofmonth("ts") % 5 != 0, F.col("vm")).alias("v"),
+        )
+        out = pchip_fill(t, ["v"], key_cols=["event_type"])
+        return out.select(
+            "event_type", "ts",
+            F.round("v_pchip", 6).alias("value_pchip"),
+        )
+
+    q["fill_pchip_monotone"] = q_pchip
+
     return q
 
 
@@ -8012,6 +8040,99 @@ def _oracles_round4() -> dict[str, str]:
                        + (nv / (nx - px) - nm * (nx - px) / 6.0) * (x - px)
                      END, 6) AS value_spline
         FROM br
+    """
+
+    # fill_pchip_monotone: FC-1980 derivatives as knot lag/lead window
+    # expressions (no recursion), Hermite-basis evaluation — each
+    # formula written in the operator's exact arithmetic form.
+    _h0, _h1 = "(x - xp)", "(xn - x)"
+    _d0, _d1 = "((y - yp) / (x - xp))", "((yn - y) / (xn - x))"
+    _w1 = f"(2.0 * {_h1} + {_h0})"
+    _w2 = f"({_h1} + 2.0 * {_h0})"
+    _interior = (
+        f"CASE WHEN {_d0} * {_d1} <= 0.0 THEN 0.0 "
+        f"ELSE ({_w1} + {_w2}) / ({_w1} / {_d0} + {_w2} / {_d1}) END"
+    )
+
+    def _edge_sql(ha: str, hb: str, da: str, db: str) -> str:
+        e = f"(((2.0 * {ha} + {hb}) * {da} - {ha} * {db}) / ({ha} + {hb}))"
+        return (
+            f"CASE WHEN {e} * {da} <= 0.0 THEN 0.0 "
+            f"WHEN ({da} * {db} < 0.0) AND (abs({e}) > 3.0 * abs({da})) "
+            f"THEN 3.0 * {da} ELSE {e} END"
+        )
+
+    _left = _edge_sql(_h1, "(x2n - xn)", _d1, "((y2n - yn) / (x2n - xn))")
+    _right = _edge_sql(_h0, "(xp - x2p)", _d0, "((yp - y2p) / (xp - x2p))")
+    _hermite = (
+        "pv * (2.0 * (tt * tt * tt) - 3.0 * (tt * tt) + 1.0)"
+        " + (nx - px) * pd * ((tt * tt * tt) - 2.0 * (tt * tt) + tt)"
+        " + nv * (-2.0 * (tt * tt * tt) + 3.0 * (tt * tt))"
+        " + (nx - px) * nd * ((tt * tt * tt) - (tt * tt))"
+    )
+    o["fill_pchip_monotone"] = f"""
+        WITH hm AS (
+          SELECT event_type, date_trunc('day', ts) AS ts,
+                 CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                   / COUNT(value) AS vm
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, ts,
+                 CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS x,
+                 CASE WHEN (CAST(extract(day FROM ts) AS INT) % 5) <> 0
+                      THEN vm END AS v
+          FROM hm),
+        k AS (SELECT event_type, x, v AS y FROM t WHERE v IS NOT NULL),
+        kd AS (
+          SELECT event_type, x, y,
+                 lag(x) OVER w AS xp, lag(y) OVER w AS yp,
+                 lead(x) OVER w AS xn, lead(y) OVER w AS yn,
+                 lead(x, 2) OVER w AS x2n, lead(y, 2) OVER w AS y2n,
+                 lag(x, 2) OVER w AS x2p, lag(y, 2) OVER w AS y2p
+          FROM k WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+        kder AS (
+          SELECT event_type, x, y,
+                 CASE
+                   WHEN xp IS NOT NULL AND xn IS NOT NULL THEN {_interior}
+                   WHEN xp IS NULL AND xn IS NOT NULL
+                        AND x2n IS NOT NULL THEN {_left}
+                   WHEN xn IS NULL AND xp IS NOT NULL
+                        AND x2p IS NOT NULL THEN {_right}
+                   WHEN xp IS NULL AND xn IS NULL THEN 0.0
+                   ELSE CASE WHEN xp IS NULL THEN {_d1} ELSE {_d0} END
+                 END AS dd
+          FROM kd),
+        fullt AS (
+          SELECT t.event_type, t.ts, t.x, t.v, kder.dd
+          FROM t LEFT JOIN kder
+            ON kder.event_type = t.event_type AND kder.x = t.x),
+        br AS (
+          SELECT event_type, ts, x, v,
+                 last_value(CASE WHEN v IS NOT NULL THEN x END
+                            IGNORE NULLS) OVER wp AS px,
+                 last_value(v IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN dd END
+                            IGNORE NULLS) OVER wp AS pd,
+                 first_value(CASE WHEN v IS NOT NULL THEN x END
+                             IGNORE NULLS) OVER wn AS nx,
+                 first_value(v IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN dd END
+                             IGNORE NULLS) OVER wn AS nd
+          FROM fullt
+          WINDOW wp AS (PARTITION BY event_type ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        ev AS (
+          SELECT event_type, ts, v, px, pv, pd, nx, nv, nd,
+                 (x - px) / (nx - px) AS tt
+          FROM br)
+        SELECT event_type, ts,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                          WHEN px IS NOT NULL AND nx IS NOT NULL
+                          THEN {_hermite}
+                     END, 6) AS value_pchip
+        FROM ev
     """
 
     return o

@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "interval_coverage_daily",
     "seasonality_strength",
+    # round-4 additions
+    "fill_spline_natural",
+    "fill_pchip_monotone",
 ]
 
 

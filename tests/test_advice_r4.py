@@ -178,3 +178,23 @@ def test_lomb_scargle_no_driver_collect(spark):
     assert rowsout[86400.0] > 10 * rowsout[43200.0]  # daily cycle dominates
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "window" in plan.lower()
+
+
+def test_fill_verb_routes_pchip_and_spline(spark):
+    """fill(method='pchip'/'spline') serves the reference's scipy
+    methods natively — knots kept, gaps filled, edges left null."""
+    from tstoolbox_spark.operators.fill import fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(hours=i) for i in range(9)]
+    vals = [0.0, None, 0.0, None, 0.0, None, 10.0, None, 10.0]
+    df = spark.createDataFrame(list(zip(ts, vals)),
+                               "ts timestamp, value double")
+    for method in ("pchip", "spline", "cubicspline"):
+        out = {r.ts: r.value
+               for r in fill(df, method, ["value"]).collect()}
+        assert out[ts[0]] == 0.0 and out[ts[8]] == 10.0
+        assert out[ts[3]] is not None  # gap filled
+    # pchip stays in [0, 10] on this step; natural spline does not
+    pch = {r.ts: r.value for r in fill(df, "pchip", ["value"]).collect()}
+    assert all(-1e-12 <= v <= 10 + 1e-12 for v in pch.values())

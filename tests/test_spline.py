@@ -125,3 +125,129 @@ def test_spline_no_python_row_path(spark):
     df = spline_fill(_frame(spark, ts, vals), ["value"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+# ---------------------------------------------------------------------------
+# PCHIP (Fritsch-Carlson monotone cubic) — independent numpy reference
+# ---------------------------------------------------------------------------
+
+
+def _pchip_derivs_ref(x, y):
+    """Independent FC-1980 derivative computation (numpy)."""
+    n = len(x)
+    h = np.diff(x)
+    delta = np.diff(y) / h
+    d = np.zeros(n)
+    if n == 1:
+        return d
+    if n == 2:
+        d[:] = delta[0]
+        return d
+    for i in range(1, n - 1):
+        if delta[i - 1] * delta[i] <= 0:
+            d[i] = 0.0
+        else:
+            w1 = 2 * h[i] + h[i - 1]
+            w2 = h[i] + 2 * h[i - 1]
+            d[i] = (w1 + w2) / (w1 / delta[i - 1] + w2 / delta[i])
+
+    def edge(h0, h1, d0, d1):
+        e = ((2 * h0 + h1) * d0 - h0 * d1) / (h0 + h1)
+        if e * d0 <= 0:
+            return 0.0
+        if d0 * d1 < 0 and abs(e) > 3 * abs(d0):
+            return 3 * d0
+        return e
+
+    d[0] = edge(h[0], h[1], delta[0], delta[1])
+    d[-1] = edge(h[-1], h[-2], delta[-1], delta[-2])
+    return d
+
+
+def _pchip_eval_ref(xk, yk, xq):
+    d = _pchip_derivs_ref(xk, yk)
+    out = []
+    for x in xq:
+        i = min(max(np.searchsorted(xk, x) - 1, 0), len(xk) - 2)
+        h = xk[i + 1] - xk[i]
+        t = (x - xk[i]) / h
+        h00 = 2 * t**3 - 3 * t**2 + 1
+        h10 = t**3 - 2 * t**2 + t
+        h01 = -2 * t**3 + 3 * t**2
+        h11 = t**3 - t**2
+        out.append(yk[i] * h00 + h * d[i] * h10
+                   + yk[i + 1] * h01 + h * d[i + 1] * h11)
+    return np.array(out)
+
+
+def test_pchip_matches_independent_reference(spark):
+    from tstoolbox_spark.operators.spline import pchip_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(hours=i) for i in range(14)]
+    rng = np.random.default_rng(11)
+    full = np.cumsum(rng.normal(0, 2, 14))  # wandering series
+    gaps = {1, 4, 5, 6, 9, 12}
+    vals = [None if i in gaps else float(full[i]) for i in range(14)]
+    out = pchip_fill(_frame(spark, ts, vals), ["value"]).orderBy("ts")
+    got = np.array([r.value_pchip for r in out.collect()], dtype=float)
+    epoch0 = ts[0].replace(tzinfo=dt.timezone.utc).timestamp()
+    xk = np.array([epoch0 + i * 3600.0 for i in range(14) if i not in gaps])
+    yk = np.array([full[i] for i in range(14) if i not in gaps])
+    xq = np.array([epoch0 + i * 3600.0 for i in range(14)])
+    want = _pchip_eval_ref(xk, yk, xq)
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_pchip_monotone_no_overshoot(spark):
+    """The FC property the natural spline lacks: between two knots the
+    interpolant stays inside [y_left, y_right] for monotone data."""
+    from tstoolbox_spark.operators.spline import pchip_fill, spline_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(hours=i) for i in range(9)]
+    # step-like monotone data: natural splines overshoot the riser
+    # (dense solve gives -1.004 at h3 and 11.27 at h7 for these knots)
+    y = [0.0, None, 0.0, None, 0.0, None, 10.0, None, 10.0]
+    df = _frame(spark, ts, y)
+    pch = {r.ts: r.value_pchip for r in pchip_fill(df, ["value"]).collect()}
+    assert all(v is not None and -1e-12 <= v <= 10.0 + 1e-12
+               for v in pch.values())
+    nat = {r.ts: r.value_spline
+           for r in spline_fill(df, ["value"]).collect()}
+    assert any(v < -1e-9 or v > 10.0 + 1e-9 for v in nat.values()), (
+        "sanity: the natural spline should overshoot this step"
+    )
+
+
+def test_pchip_line_knots_edges_and_small_n(spark):
+    from tstoolbox_spark.operators.spline import pchip_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(hours=i) for i in range(8)]
+    lin = [float(3 * i + 2) if i % 3 == 0 else None for i in range(8)]
+    out = {r.ts: r.value_pchip
+           for r in pchip_fill(_frame(spark, ts, lin), ["value"]).collect()}
+    for i in range(7):
+        assert out[ts[i]] == pytest.approx(3 * i + 2, abs=1e-9)
+    assert out[ts[7]] is None  # beyond last knot
+    two = [5.0, None, None, 11.0, None]
+    got = [r.value_pchip
+           for r in pchip_fill(_frame(spark, ts[:5], two), ["value"])
+           .orderBy("ts").collect()]
+    assert got[:4] == pytest.approx([5.0, 7.0, 9.0, 11.0], abs=1e-9)
+    assert got[4] is None
+
+
+def test_pchip_is_pure_jvm(spark):
+    """No Python stage anywhere: derivatives are knot-window
+    expressions, evaluation is a projection."""
+    from tstoolbox_spark.operators.spline import pchip_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(hours=i) for i in range(10)]
+    vals = [float(i) if i % 2 == 0 else None for i in range(10)]
+    df = pchip_fill(_frame(spark, ts, vals), ["value"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -5,8 +5,10 @@ Reference semantics: /root/reference/tstoolbox/functions/fill.py
 rows), fill nulls by method:
 
 - ``ffill`` / ``bfill`` with optional ``limit`` (fill.py:277-278)
-- ``linear`` / ``nearest`` interpolation (fill.py:279-298 subset; the
-  scipy spline family is served by ``fill_pandas`` below)
+- ``linear`` / ``nearest`` interpolation (fill.py:279-298 subset)
+- ``pchip`` / ``spline`` / ``cubicspline`` native scipy-free cubics
+  (operators/spline.py; the remaining scipy-only exotics go through
+  ``fill_pandas`` below, which raises loudly when scipy is absent)
 - ``mean`` / ``median`` / ``max`` / ``min`` column-statistic fill
   (fill.py:299-306)
 - ``from`` donor-column coalesce (fill.py:307-314)
@@ -37,6 +39,9 @@ FILL_METHODS = (
     "bfill",
     "linear",
     "nearest",
+    "pchip",
+    "spline",
+    "cubicspline",
     "mean",
     "median",
     "max",
@@ -142,6 +147,24 @@ def fill(
         for c in value_cols:
             out = out.withColumn(c, F.coalesce(F.col(c), agg(F.col(c)).over(wk)))
         return out
+    if method in ("pchip", "spline", "cubicspline"):
+        # scipy-free native implementations (operators/spline.py):
+        # natural cubic spline (global tridiagonal solve over knots)
+        # and Fritsch-Carlson monotone cubic (pure window expressions).
+        # Edge rows outside the knot range stay null — no sentinel
+        # machinery (a cubic through a synthetic mean row would
+        # manufacture curvature, unlike ffill/linear).
+        from .spline import pchip_fill, spline_fill
+
+        fn = pchip_fill if method == "pchip" else spline_fill
+        suffix = "_pchip" if method == "pchip" else "_spline"
+        res = fn(out, value_cols, ts_col=ts_col, key_cols=keys)
+        for c in value_cols:
+            res = res.withColumn(
+                c,
+                F.coalesce(F.col(c).cast("double"), F.col(f"{c}{suffix}")),
+            ).drop(f"{c}{suffix}")
+        return res
     if method not in ("ffill", "bfill", "linear", "nearest"):
         raise ValueError(f"unknown fill method {method!r}; choose from {FILL_METHODS}")
 
