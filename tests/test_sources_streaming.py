@@ -540,3 +540,31 @@ def test_streaming_bloom_matches_batch(spark, tmp_path):
         .count()
     )
     assert misses == 0
+
+
+def test_read_csv_lenient_dates_and_file_url(spark, tmp_path):
+    """Reference read_iso_ts parity (tsutils.py:606-641): URL sources
+    and non-ISO timestamp formats both ingest."""
+    from tstoolbox_spark.sources.csv import read_timeseries_csv
+
+    p = tmp_path / "fuzzy.csv"
+    p.write_text(
+        "Datetime,flow\n"
+        "2024-01-01 00:00:00,1.0\n"       # ISO
+        "2024/01/01 01:00,2.0\n"          # slashed, minute precision
+        "01/02/2024,3.0\n"                # MDY → Jan 2
+        "\"Jan 3, 2024\",4.0\n"           # month name (quoted comma)
+        "15.01.2024,5.0\n"                # dotted DMY
+    )
+    df = read_timeseries_csv(spark, str(p))
+    rows = {r.flow: r.ts for r in df.collect()}
+    import datetime as dt
+    assert rows[1.0] == dt.datetime(2024, 1, 1, 0, 0)
+    assert rows[2.0] == dt.datetime(2024, 1, 1, 1, 0)
+    assert rows[3.0] == dt.datetime(2024, 1, 2)
+    assert rows[4.0] == dt.datetime(2024, 1, 3)
+    assert rows[5.0] == dt.datetime(2024, 1, 15)
+    # file:// URL path (offline-safe URL ingest)
+    df2 = read_timeseries_csv(spark, f"file://{p}")
+    assert df2.count() == 5
+    assert {r.flow for r in df2.collect()} == {1.0, 2.0, 3.0, 4.0, 5.0}

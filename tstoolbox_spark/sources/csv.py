@@ -51,6 +51,47 @@ def _sniff_sep(path: str) -> str:
     return best if counts[best] > 0 else ","
 
 
+#: lenient timestamp formats tried IN ORDER after the ISO parse (the
+#: reference's dateparser fallback, tsutils.py:606-641). Ambiguous
+#: xx/xx dates resolve month-first (the pandas/dateparser default);
+#: documented, not configurable — pass pre-parsed timestamps for
+#: other locales.
+_LENIENT_TS_FORMATS = (
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd HH:mm",
+    "yyyy/MM/dd",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy HH:mm",
+    "MM/dd/yyyy",
+    "dd.MM.yyyy HH:mm:ss",
+    "dd.MM.yyyy",
+    "MMM d, yyyy HH:mm:ss",
+    "MMM d, yyyy",
+    "d MMM yyyy HH:mm:ss",
+    "d MMM yyyy",
+)
+
+_URL_SCHEMES = ("http://", "https://", "ftp://", "file://")
+
+
+def _fetch_url(path: str) -> str:
+    """Reference parity (tsutils.py:606-641: read_iso_ts accepts
+    URLs): download to a temp file on the driver and read that. A
+    URL source is inherently single-stream — fine for the CLI/fixture
+    surface this serves; at scale the input is parquet on shared
+    storage, never a URL."""
+    import tempfile
+    import urllib.request
+
+    suffix = ".csv.gz" if path.endswith(".gz") else ".csv"
+    with urllib.request.urlopen(path) as r:  # noqa: S310 (explicit opt-in surface)
+        data = r.read()
+    f = tempfile.NamedTemporaryFile("wb", suffix=suffix, delete=False)
+    f.write(data)
+    f.close()
+    return f.name
+
+
 def read_timeseries_csv(
     spark: SparkSession,
     path: str,
@@ -63,7 +104,12 @@ def read_timeseries_csv(
     """Read CSV/TSV into the engine's long-form shape: ``ts`` timestamp
     (or ``idx`` double for ``index_type='number'``) + double value
     columns. Whitespace-only cells become null (tsutils.py:1830-1835).
+    URLs (http/https/ftp/file) download to a temp file first; fuzzy
+    timestamp formats fall back through ``_LENIENT_TS_FORMATS`` after
+    the ISO parse.
     """
+    if path.startswith(_URL_SCHEMES):
+        path = _fetch_url(path)
     sep = sep or _sniff_sep(path)
     reader = (
         spark.read.option("header", header)
@@ -92,7 +138,12 @@ def read_timeseries_csv(
         F.trim(F.col(c))
     )
     if index_type == "datetime":
-        idx = F.to_timestamp(blank_to_null(first)).alias(ts_col)
+        raw = blank_to_null(first)
+        idx = F.coalesce(
+            F.try_to_timestamp(raw),
+            *[F.try_to_timestamp(raw, F.lit(fmt))
+              for fmt in _LENIENT_TS_FORMATS],
+        ).alias(ts_col)
     elif index_type == "number":
         idx = blank_to_null(first).cast("double").alias("idx")
     else:
