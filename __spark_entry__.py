@@ -7947,6 +7947,33 @@ def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fill_pchip_monotone"] = q_pchip
 
+    def q_akima(s, d):
+        """Akima-1970 gap-fill (operators/spline.akima_fill — the
+        scipy/pandas method='akima' algorithm, scipy-free): the same
+        punctured daily means, refilled wiggle-resistant. Derivatives
+        are four local segment slopes with quadratic-extrapolated edge
+        slopes — window lag/leads in both engines, no recursion;
+        ROUND(6) absorbs FP association."""
+        from tstoolbox_spark.operators.spline import akima_fill
+
+        ev = _events(s, d)
+        hm = ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("ts")
+        ).agg(
+            (_dsum("value").cast("double") / F.count("value")).alias("vm")
+        )
+        t = hm.select(
+            "event_type", "ts",
+            F.when(F.dayofmonth("ts") % 5 != 0, F.col("vm")).alias("v"),
+        )
+        out = akima_fill(t, ["v"], key_cols=["event_type"])
+        return out.select(
+            "event_type", "ts",
+            F.round("v_akima", 6).alias("value_akima"),
+        )
+
+    q["fill_akima"] = q_akima
+
     return q
 
 
@@ -8132,6 +8159,85 @@ def _oracles_round4() -> dict[str, str]:
                           WHEN px IS NOT NULL AND nx IS NOT NULL
                           THEN {_hermite}
                      END, 6) AS value_pchip
+        FROM ev
+    """
+
+    # fill_akima: Akima-1970 derivatives — four segment slopes with
+    # quadratic-extrapolated edges, the weight rule (|s4−s3|·s2 +
+    # |s2−s1|·s3)/(|s4−s3|+|s2−s1|) — each form identical to the
+    # operator's; evaluation shares the Hermite basis.
+    o["fill_akima"] = f"""
+        WITH hm AS (
+          SELECT event_type, date_trunc('day', ts) AS ts,
+                 CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+                   / COUNT(value) AS vm
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, ts,
+                 CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS x,
+                 CASE WHEN (CAST(extract(day FROM ts) AS INT) % 5) <> 0
+                      THEN vm END AS v
+          FROM hm),
+        k AS (SELECT event_type, x, v AS y FROM t WHERE v IS NOT NULL),
+        ks AS (
+          SELECT event_type, x, y,
+                 (lead(y) OVER w - y) / (lead(x) OVER w - x) AS s3r
+          FROM k WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+        kk AS (
+          SELECT event_type, x, y, s3r,
+                 lag(s3r) OVER w AS s2r,
+                 lag(s3r, 2) OVER w AS s1r,
+                 lead(s3r) OVER w AS s4r
+          FROM ks WINDOW w AS (PARTITION BY event_type ORDER BY x)),
+        kr AS (
+          SELECT *, COALESCE(s3r, 2.0 * s2r - s1r) AS s3 FROM kk),
+        kr2 AS (
+          SELECT *, COALESCE(s2r, 2.0 * s3 - s4r) AS s2 FROM kr),
+        kr3 AS (
+          SELECT *, COALESCE(s4r, 2.0 * s3 - s2) AS s4,
+                    COALESCE(s1r, 2.0 * s2 - s3) AS s1 FROM kr2),
+        kder AS (
+          SELECT event_type, x, y,
+                 CASE WHEN s1r IS NULL AND s4r IS NULL
+                           AND (s3r IS NULL OR s2r IS NULL)
+                      THEN COALESCE(s3r, s2r)
+                      ELSE CASE
+                        WHEN abs(s4 - s3) + abs(s2 - s1) = 0.0
+                        THEN (s2 + s3) / 2.0
+                        ELSE (abs(s4 - s3) * s2 + abs(s2 - s1) * s3)
+                             / (abs(s4 - s3) + abs(s2 - s1)) END
+                 END AS dd
+          FROM kr3),
+        fullt AS (
+          SELECT t.event_type, t.ts, t.x, t.v, kder.dd
+          FROM t LEFT JOIN kder
+            ON kder.event_type = t.event_type AND kder.x = t.x),
+        br AS (
+          SELECT event_type, ts, x, v,
+                 last_value(CASE WHEN v IS NOT NULL THEN x END
+                            IGNORE NULLS) OVER wp AS px,
+                 last_value(v IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN dd END
+                            IGNORE NULLS) OVER wp AS pd,
+                 first_value(CASE WHEN v IS NOT NULL THEN x END
+                             IGNORE NULLS) OVER wn AS nx,
+                 first_value(v IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN dd END
+                             IGNORE NULLS) OVER wn AS nd
+          FROM fullt
+          WINDOW wp AS (PARTITION BY event_type ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        ev AS (
+          SELECT event_type, ts, v, px, pv, pd, nx, nv, nd,
+                 (x - px) / (nx - px) AS tt
+          FROM br)
+        SELECT event_type, ts,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                          WHEN px IS NOT NULL AND nx IS NOT NULL
+                          THEN {_hermite}
+                     END, 6) AS value_akima
         FROM ev
     """
 

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     # round-4 additions
     "fill_spline_natural",
     "fill_pchip_monotone",
+    "fill_akima",
 ]
 
 

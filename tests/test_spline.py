@@ -251,3 +251,98 @@ def test_pchip_is_pure_jvm(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Akima 1970 — independent numpy reference
+# ---------------------------------------------------------------------------
+
+
+def _akima_derivs_ref(x, y):
+    n = len(x)
+    m = np.diff(y) / np.diff(x)
+    if n == 2:
+        return np.array([m[0], m[0]])
+    # extended slopes with Akima's quadratic extrapolation
+    ext = np.empty(n + 3)
+    ext[2:n + 1] = m
+    ext[1] = 2 * ext[2] - ext[3]
+    ext[0] = 2 * ext[1] - ext[2]
+    ext[n + 1] = 2 * ext[n] - ext[n - 1]
+    ext[n + 2] = 2 * ext[n + 1] - ext[n]
+    d = np.empty(n)
+    for i in range(n):
+        s1, s2, s3, s4 = ext[i], ext[i + 1], ext[i + 2], ext[i + 3]
+        w1, w2 = abs(s4 - s3), abs(s2 - s1)
+        d[i] = ((s2 + s3) / 2 if w1 + w2 == 0
+                else (w1 * s2 + w2 * s3) / (w1 + w2))
+    return d
+
+
+def _akima_eval_ref(xk, yk, xq):
+    d = _akima_derivs_ref(xk, yk)
+    out = []
+    for x in xq:
+        i = min(max(np.searchsorted(xk, x) - 1, 0), len(xk) - 2)
+        h = xk[i + 1] - xk[i]
+        t = (x - xk[i]) / h
+        h00 = 2 * t**3 - 3 * t**2 + 1
+        h10 = t**3 - 2 * t**2 + t
+        h01 = -2 * t**3 + 3 * t**2
+        h11 = t**3 - t**2
+        out.append(yk[i] * h00 + h * d[i] * h10
+                   + yk[i + 1] * h01 + h * d[i + 1] * h11)
+    return np.array(out)
+
+
+def test_akima_matches_independent_reference(spark):
+    from tstoolbox_spark.operators.spline import akima_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(hours=i) for i in range(16)]
+    rng = np.random.default_rng(23)
+    full = np.cumsum(rng.normal(0, 3, 16))
+    gaps = {1, 2, 5, 8, 11, 13, 14}
+    vals = [None if i in gaps else float(full[i]) for i in range(16)]
+    out = akima_fill(_frame(spark, ts, vals), ["value"]).orderBy("ts")
+    got = np.array([r.value_akima for r in out.collect()], dtype=float)
+    epoch0 = ts[0].replace(tzinfo=dt.timezone.utc).timestamp()
+    xk = np.array([epoch0 + i * 3600.0 for i in range(16) if i not in gaps])
+    yk = np.array([full[i] for i in range(16) if i not in gaps])
+    xq = np.array([epoch0 + i * 3600.0 for i in range(16)])
+    want = _akima_eval_ref(xk, yk, xq)
+    assert np.allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
+def test_akima_flat_region_stays_flat(spark):
+    """Akima's signature property (the 1970 paper's motivating
+    example): a locally flat stretch stays exactly flat — natural
+    splines ring there."""
+    from tstoolbox_spark.operators.spline import akima_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(hours=i) for i in range(11)]
+    y = [1.0, None, 1.0, None, 1.0, None, 1.0, 4.0, None, 9.0, 10.0]
+    out = {r.ts: r.value_akima
+           for r in akima_fill(_frame(spark, ts, y), ["value"]).collect()}
+    for i in (1, 3, 5):  # gaps inside the flat run
+        assert out[ts[i]] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_akima_line_small_n_and_pure_jvm(spark):
+    from tstoolbox_spark.operators.spline import akima_fill
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [t0 + dt.timedelta(hours=i) for i in range(6)]
+    lin = [4.0, None, None, 10.0, None, 14.0]
+    df = akima_fill(_frame(spark, ts, lin), ["value"])
+    got = [r.value_akima for r in df.orderBy("ts").collect()]
+    assert got == pytest.approx([4.0, 6.0, 8.0, 10.0, 12.0, 14.0], abs=1e-9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Pandas" not in plan and "Python" not in plan
+    two = [5.0, None, None, None, 13.0, None]
+    got2 = [r.value_akima
+            for r in akima_fill(_frame(spark, ts, two), ["value"])
+            .orderBy("ts").collect()]
+    assert got2[:5] == pytest.approx([5.0, 7.0, 9.0, 11.0, 13.0], abs=1e-9)
+    assert got2[5] is None

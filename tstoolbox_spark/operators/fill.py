@@ -6,7 +6,7 @@ rows), fill nulls by method:
 
 - ``ffill`` / ``bfill`` with optional ``limit`` (fill.py:277-278)
 - ``linear`` / ``nearest`` interpolation (fill.py:279-298 subset)
-- ``pchip`` / ``spline`` / ``cubicspline`` native scipy-free cubics
+- ``pchip`` / ``spline`` / ``cubicspline`` / ``akima`` native scipy-free cubics
   (operators/spline.py; the remaining scipy-only exotics go through
   ``fill_pandas`` below, which raises loudly when scipy is absent)
 - ``mean`` / ``median`` / ``max`` / ``min`` column-statistic fill
@@ -42,6 +42,7 @@ FILL_METHODS = (
     "pchip",
     "spline",
     "cubicspline",
+    "akima",
     "mean",
     "median",
     "max",
@@ -147,17 +148,19 @@ def fill(
         for c in value_cols:
             out = out.withColumn(c, F.coalesce(F.col(c), agg(F.col(c)).over(wk)))
         return out
-    if method in ("pchip", "spline", "cubicspline"):
+    if method in ("pchip", "spline", "cubicspline", "akima"):
         # scipy-free native implementations (operators/spline.py):
-        # natural cubic spline (global tridiagonal solve over knots)
-        # and Fritsch-Carlson monotone cubic (pure window expressions).
-        # Edge rows outside the knot range stay null — no sentinel
-        # machinery (a cubic through a synthetic mean row would
-        # manufacture curvature, unlike ffill/linear).
-        from .spline import pchip_fill, spline_fill
+        # natural cubic spline (global tridiagonal solve over knots),
+        # Fritsch-Carlson monotone cubic, and Akima 1970 (both pure
+        # window expressions). Edge rows outside the knot range stay
+        # null — no sentinel machinery (a cubic through a synthetic
+        # mean row would manufacture curvature, unlike ffill/linear).
+        from .spline import akima_fill, pchip_fill, spline_fill
 
-        fn = pchip_fill if method == "pchip" else spline_fill
-        suffix = "_pchip" if method == "pchip" else "_spline"
+        fn = {"pchip": pchip_fill, "akima": akima_fill}.get(
+            method, spline_fill)
+        suffix = {"pchip": "_pchip", "akima": "_akima"}.get(
+            method, "_spline")
         res = fn(out, value_cols, ts_col=ts_col, key_cols=keys)
         for c in value_cols:
             res = res.withColumn(

@@ -284,3 +284,105 @@ def pchip_fill(
         )
         out = j.withColumn(f"{c}_pchip", filled).drop("__d")
     return out.drop("__x")
+
+
+def akima_fill(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fill null gaps with Akima's 1970 spline (J. ACM 17(4) — the
+    scipy.interpolate.Akima1DInterpolator / pandas method='akima'
+    algorithm). Appends ``<col>_akima``. Akima derivatives weigh the
+    two adjacent segment slopes by how non-linear the OTHER side is —
+    wiggle-resistant like PCHIP but C¹-smooth through inflections.
+
+    Same 100-TB shape as :func:`pchip_fill`: derivatives are LOCAL
+    (four segment slopes around each knot, the edge slopes synthesized
+    by Akima's quadratic extrapolation m₋₁ = 2m₀ − m₁), so the whole
+    operator is knot lag/lead window expressions + the bracketing
+    carry + a Hermite projection. No Python anywhere.
+
+    Weight rule (ties per the paper): with segment slopes
+    s1=m_{i-2}, s2=m_{i-1}, s3=m_i, s4=m_{i+1},
+    w1=|s4−s3|, w2=|s2−s1| → d_i = (w1·s2 + w2·s3)/(w1+w2),
+    falling back to (s2+s3)/2 when w1+w2 == 0. n==2 → linear,
+    n==1 → nothing fillable; outside the knot range stays null.
+    """
+    keys = list(key_cols)
+    order = [ts_col, *order_cols]
+    x_expr = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6))
+    out = df.withColumn("__x", x_expr)
+    w_prev = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    for c in value_cols:
+        knots = out.filter(F.col(c).isNotNull()).select(
+            *keys, F.col("__x").alias("__kx"),
+            F.col(c).cast("double").alias("__ky"),
+        )
+        kw = Window.partitionBy(*keys).orderBy("__kx")
+        xk, yk = F.col("__kx"), F.col("__ky")
+        xn, yn = F.lead("__kx").over(kw), F.lead("__ky").over(kw)
+        slope = (yn - yk) / (xn - xk)       # m_i: slope RIGHT of knot i
+        k2 = knots.withColumn("__s3r", slope)
+        s3r = F.col("__s3r")
+        s2r = F.lag("__s3r").over(kw)       # m_{i-1}
+        s1r = F.lag("__s3r", 2).over(kw)    # m_{i-2}
+        s4r = F.lag("__s3r", -1).over(kw)   # m_{i+1}
+        # resolve virtual edge slopes (Akima: m_{-1} = 2m0 - m1, and
+        # mirrored on the right); order matters — s3, then s2/s4/s1
+        s3 = F.coalesce(s3r, F.lit(2.0) * s2r - s1r)
+        s2 = F.coalesce(s2r, F.lit(2.0) * s3 - s4r)
+        s4 = F.coalesce(s4r, F.lit(2.0) * s3 - s2)
+        s1 = F.coalesce(s1r, F.lit(2.0) * s2 - s3)
+        w1 = F.abs(s4 - s3)
+        w2 = F.abs(s2 - s1)
+        akima = F.when(
+            w1 + w2 == F.lit(0.0), (s2 + s3) / F.lit(2.0)
+        ).otherwise((w1 * s2 + w2 * s3) / (w1 + w2))
+        # n <= 2: the lone slope on whichever side exists (linear)
+        deriv = F.when(
+            s1r.isNull() & s4r.isNull()
+            & (s3r.isNull() | s2r.isNull()),
+            F.coalesce(s3r, s2r),
+        ).otherwise(akima)
+        solved = k2.withColumn("__d", deriv).select(
+            *keys, F.col("__kx").alias("__x"), F.col("__d"),
+        )
+        j = out.join(solved, [*keys, "__x"], "left")
+        knot = F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.col("__x").alias("x"),
+                F.col(c).cast("double").alias("y"),
+                F.col("__d").alias("d"),
+            ),
+        )
+        p = F.last(knot, ignorenulls=True).over(w_prev)
+        q = F.first(knot, ignorenulls=True).over(w_next)
+        h = q["x"] - p["x"]
+        t = (F.col("__x") - p["x"]) / h
+        t2 = t * t
+        t3 = t2 * t
+        h00 = F.lit(2.0) * t3 - F.lit(3.0) * t2 + F.lit(1.0)
+        h10 = t3 - F.lit(2.0) * t2 + t
+        h01 = F.lit(-2.0) * t3 + F.lit(3.0) * t2
+        h11 = t3 - t2
+        s = (
+            p["y"] * h00 + h * p["d"] * h10
+            + q["y"] * h01 + h * q["d"] * h11
+        )
+        filled = (
+            F.when(F.col(c).isNotNull(), F.col(c).cast("double"))
+            .when(p.isNotNull() & q.isNotNull(), s)
+        )
+        out = j.withColumn(f"{c}_akima", filled).drop("__d")
+    return out.drop("__x")
