@@ -609,9 +609,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 47 queries that have never had a driver CORRECTNESS row in
     # r1∪r2∪r3 (list derived from CORRECTNESS_r0{1,2,3}.json keys vs
     # queries(); reproduce with scripts/window_report.py), plus 3
-    # re-checks for implementations that change this round: pq_topk
-    # (ADC codegen restructure), fit_lowess and linear_trend (the two
-    # regressed bench lines being bisected). A green r4 window makes
+    # queries that are NEW this round and would otherwise wait a full
+    # round for certification: the scipy-free cubic gap-fill trio
+    # (natural spline / PCHIP / Akima, operators/fill.py). The three
+    # re-check slots initially reserved for pq_topk / fit_lowess /
+    # linear_trend were released once those closed locally (pq_topk's
+    # restructured plan is hash-identical and gated per commit; the
+    # fit_lowess/linear_trend "regressions" were window noise,
+    # BENCH/BASELINE.md round-4 roll #2). A green r4 window makes
     # every registered query driver-certified at least once.
     front = [
         # (a) the 47 never driver-checked (late round-3 families)
@@ -632,8 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers_monthly", "corr_matrix_hourly", "rolling_p90_24",
         "funnel_latency_p50", "tokenizer_fertility",
         "interval_coverage_daily", "seasonality_strength",
-        # (b) re-checks: implementation changes this round
-        "pq_topk", "fit_lowess", "linear_trend",
+        # (b) new-this-round cubic gap-fill trio (never driver-checked)
+        "fill_spline_natural", "fill_pchip_monotone", "fill_akima",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
