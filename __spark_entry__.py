@@ -7979,6 +7979,33 @@ def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fill_akima"] = q_akima
 
+    def q_phll(s, d):
+        """Portable-HLL distinct users per (event_type, day) from
+        hourly register partials (pipeline/hll.py phll_* — Flajolet
+        et al. 2007 with the repo's 60-bit md5 hash and a sparse
+        register RELATION instead of an opaque binary). The cascade is
+        register-wise MAX — associative/idempotent like every tier
+        partial — and all sketch state is exact integers (a shift
+        ladder for the leading-zero count, a 2^33-scaled harmonic
+        sum), so the DuckDB oracle rebuilds it bit-for-bit; the only
+        floats are the estimate division and the small-range log,
+        rounded at the edge. registers_present / inv_sum_scaled expose
+        the exact integer state the hash compares."""
+        from tstoolbox_spark.pipeline.hll import (
+            phll_cascade,
+            phll_estimate,
+            phll_partial,
+        )
+
+        ev = _events(s, d)
+        hourly = phll_partial(
+            ev, "1h", key_cols=("event_type",), value_col="user_id"
+        )
+        daily = phll_cascade(hourly, "1d", key_cols=("event_type",))
+        return phll_estimate(daily, key_cols=("event_type",))
+
+    q["phll_distinct_daily"] = q_phll
+
     return q
 
 
@@ -8244,6 +8271,60 @@ def _oracles_round4() -> dict[str, str]:
                           THEN {_hermite}
                      END, 6) AS value_akima
         FROM ev
+    """
+
+    # phll_distinct_daily: rebuild the identical sparse register
+    # relation — same 60-bit md5 hash, idx = low 8 bits, w = next 32
+    # bits, the same 16/8/4/2/1 halving ladder for bitlen, rho =
+    # 33 - bitlen — then the same exact-integer harmonic sum and the
+    # same estimate formula with the SAME inlined numerator constant.
+    from tstoolbox_spark.pipeline.hll import PHLL_NUM as _PN
+
+    o["phll_distinct_daily"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('day', ts) AS ts,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT)::BIGINT AS hv
+          FROM events WHERE user_id IS NOT NULL),
+        r0 AS (
+          SELECT event_type, ts, CAST(hv % 256 AS INT) AS idx,
+                 (hv >> 8) & 4294967295 AS w
+          FROM h),
+        l1 AS (SELECT event_type, ts, idx,
+                      CASE WHEN w >= 65536 THEN 16 ELSE 0 END AS b16,
+                      CASE WHEN w >= 65536 THEN w >> 16 ELSE w END AS w1
+               FROM r0),
+        l2 AS (SELECT *, CASE WHEN w1 >= 256 THEN 8 ELSE 0 END AS b8,
+                      CASE WHEN w1 >= 256 THEN w1 >> 8 ELSE w1 END AS w2
+               FROM l1),
+        l3 AS (SELECT *, CASE WHEN w2 >= 16 THEN 4 ELSE 0 END AS b4,
+                      CASE WHEN w2 >= 16 THEN w2 >> 4 ELSE w2 END AS w3
+               FROM l2),
+        l4 AS (SELECT *, CASE WHEN w3 >= 4 THEN 2 ELSE 0 END AS b2,
+                      CASE WHEN w3 >= 4 THEN w3 >> 2 ELSE w3 END AS w4
+               FROM l3),
+        l5 AS (SELECT *, CASE WHEN w4 >= 2 THEN 1 ELSE 0 END AS b1,
+                      CASE WHEN w4 >= 2 THEN w4 >> 1 ELSE w4 END AS w5
+               FROM l4),
+        reg AS (
+          SELECT event_type, ts, idx,
+                 MAX(33 - (b16 + b8 + b4 + b2 + b1 + w5)) AS rho
+          FROM l5 GROUP BY 1, 2, 3),
+        agg AS (
+          SELECT event_type, ts,
+                 COUNT(*) AS registers_present,
+                 CAST(SUM((1::BIGINT) << (33 - rho))
+                      + (256 - COUNT(*)) * ((1::BIGINT) << 33)
+                      AS BIGINT) AS inv_sum_scaled
+          FROM reg GROUP BY 1, 2)
+        SELECT event_type, ts, registers_present, inv_sum_scaled,
+               ROUND(CASE WHEN ({_PN!r} / CAST(inv_sum_scaled AS DOUBLE))
+                            <= 640.0 AND registers_present < 256
+                          THEN 256.0 * ln(256.0 /
+                               CAST(256 - registers_present AS DOUBLE))
+                          ELSE {_PN!r} / CAST(inv_sum_scaled AS DOUBLE)
+                     END, 4) AS approx_distinct
+        FROM agg
     """
 
     return o

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "fill_spline_natural",
     "fill_pchip_monotone",
     "fill_akima",
+    "phll_distinct_daily",
 ]
 
 

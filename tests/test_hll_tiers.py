@@ -93,3 +93,99 @@ def test_sketch_partial_agg_in_plan(spark):
     # map-side combine of sketches before the single shuffle
     assert "partial_hll_sketch_agg" in plan
     assert plan.count("Exchange") == 1
+
+
+# --------------------------------------------------------------------------
+# Portable HLL (sparse register relation, engine-reproducible)
+# --------------------------------------------------------------------------
+
+from tstoolbox_spark.pipeline.hll import (  # noqa: E402
+    PHLL_M,
+    phll_cascade,
+    phll_estimate,
+    phll_partial,
+)
+
+
+def test_phll_cascade_registers_exactly_equal_direct(spark):
+    """Register-wise MAX is associative + idempotent, so hour→day
+    cascade must equal sketching the day directly REGISTER-FOR-
+    REGISTER (not just within error — this is the exact contract the
+    DuckDB oracle certifies)."""
+    df = spark.createDataFrame(_events()).repartition(7)
+    direct = phll_partial(df, "1d").orderBy("source", "ts", "idx")
+    via_hour = phll_cascade(phll_partial(df, "1h"), "1d").orderBy(
+        "source", "ts", "idx"
+    )
+    assert direct.exceptAll(via_hour).count() == 0
+    assert via_hour.exceptAll(direct).count() == 0
+
+
+def test_phll_estimate_within_error(spark):
+    """m=256 → RSE ≈ 6.5%; allow 3σ plus linear-counting slack."""
+    pdf = _events()
+    df = spark.createDataFrame(pdf)
+    est = phll_estimate(phll_cascade(phll_partial(df, "1h"), "1d")).toPandas()
+    exact = (
+        pdf.assign(day=pdf.ts.dt.floor("D"))
+        .groupby(["source", "day"])["user_id"]
+        .nunique()
+    )
+    for r in est.itertuples():
+        true = exact[(r.source, pd.Timestamp(r.ts))]
+        assert abs(r.approx_distinct - true) / true < 0.20, (
+            r.source, r.ts, r.approx_distinct, true,
+        )
+
+
+def test_phll_partition_independent_and_null_safe(spark):
+    """Registers are a pure function of the value set: shuffling the
+    layout or injecting null ids must not change a single row."""
+    pdf = _events(seed=5, n=5_000)
+    pdf.loc[::50, "user_id"] = None
+    a = phll_partial(spark.createDataFrame(pdf).coalesce(1), "1d")
+    b = phll_partial(spark.createDataFrame(pdf).repartition(13), "1d")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # bounded state: at most m register rows per (source, day)
+    top = (
+        a.groupBy("source", "ts").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert top <= PHLL_M
+
+
+def test_phll_rho_ladder_matches_numpy(spark):
+    """The 5-step shift ladder must equal a reference leading-zero
+    rho on the same 60-bit md5 hashes."""
+    import hashlib
+
+    vals = list(range(200))
+    pdf = pd.DataFrame(
+        {
+            "source": "a",
+            "ts": [dt.datetime(2024, 3, 1)] * len(vals),
+            "user_id": vals,
+        }
+    )
+    out = phll_partial(spark.createDataFrame(pdf), "1d").collect()
+    got = {(r.idx): r.rho for r in out}
+    expect = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx = h % PHLL_M
+        w = (h >> 8) & 0xFFFFFFFF
+        rho = 33 - w.bit_length()
+        expect[idx] = max(expect.get(idx, 0), rho)
+    assert got == expect
+
+
+def test_phll_partial_agg_in_plan(spark):
+    """Register MAX combines map-side; one shuffle for the partial."""
+    df = spark.createDataFrame(_events(n=2_000))
+    plan = (
+        phll_partial(df, "1h")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1

@@ -568,3 +568,64 @@ def test_read_csv_lenient_dates_and_file_url(spark, tmp_path):
     df2 = read_timeseries_csv(spark, f"file://{p}")
     assert df2.count() == 5
     assert {r.flow for r in df2.collect()} == {1.0, 2.0, 3.0, 4.0, 5.0}
+
+
+def test_streaming_phll_matches_batch(spark, tmp_path):
+    """continuous_phll: streamed register partials equal the batch
+    phll_partial cells they cover (register MAX is idempotent — safe
+    under the two-phase resume), and a cascaded global estimate reads
+    identically from either side."""
+    from tstoolbox_spark.pipeline.hll import (
+        phll_estimate,
+        phll_partial,
+    )
+    from tstoolbox_spark.streaming import continuous_phll
+
+    seq = generate_sequences(spark, 20_000)
+    in_dir = tmp_path / "phll_in"
+    with_ts = with_time_axis(seq)
+    cutoff = with_ts.agg(F.percentile_approx("ts", 0.8)).collect()[0][0]
+    with_ts.filter(F.col("ts") <= F.lit(cutoff)).drop("ts").write.mode(
+        "overwrite"
+    ).parquet(str(in_dir))
+    continuous_phll(
+        spark, str(in_dir), str(tmp_path / "ptier"), str(tmp_path / "pck"),
+    ).awaitTermination(120)
+    with_ts.filter(F.col("ts") > F.lit(cutoff)).drop("ts").write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    continuous_phll(
+        spark, str(in_dir), str(tmp_path / "ptier"), str(tmp_path / "pck"),
+    ).awaitTermination(180)
+
+    streamed = spark.read.parquet(str(tmp_path / "ptier"))
+    n = streamed.count()
+    assert n > 0
+    # exactly-once: one row per (ts, idx)
+    assert (
+        streamed.groupBy("ts", "idx")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    # register parity vs the batch partial on the emitted buckets
+    batch = phll_partial(
+        with_time_axis(seq), "1m", key_cols=(), value_col="doc_id"
+    )
+    joined = streamed.alias("s").join(
+        batch.alias("b"), ["ts", "idx"], "inner"
+    )
+    assert joined.count() == n
+    assert joined.filter(F.col("s.rho") != F.col("b.rho")).count() == 0
+    # global estimate folded over the emitted buckets matches batch
+    emitted = streamed.select("ts").distinct()
+    fold = lambda df: (
+        df.groupBy("idx").agg(F.max("rho").alias("rho"))
+        .withColumn("ts", F.lit("all"))
+    )
+    ea = phll_estimate(fold(streamed), key_cols=()).collect()
+    eb = phll_estimate(
+        fold(batch.join(emitted, "ts")), key_cols=()
+    ).collect()
+    assert sorted(map(tuple, ea)) == sorted(map(tuple, eb))

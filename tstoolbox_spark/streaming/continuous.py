@@ -329,3 +329,49 @@ def continuous_bloom(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def continuous_phll(
+    spark: SparkSession,
+    input_dir: str,
+    tier_dir: str,
+    checkpoint_dir: str,
+    tier: str = "1m",
+    key_col: str = "doc_id",
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+):
+    """Streaming portable-HLL register partials — the incremental-
+    ingest mode of ``pipeline.hll.phll_partial``: per closed tier
+    bucket, the sparse (idx, rho) register relation for the ids seen
+    in that bucket. ``phll_cascade`` folds any set of buckets
+    (register-wise MAX, idempotent — safe under replay), so "distinct
+    ids ingested in range X" stays answerable while data streams in,
+    at ≤256 rows of state per open bucket whatever the id cardinality.
+
+    Exactly-once via the file-sink transaction log, resume via the
+    checkpoint — identical contract to the CMS/Bloom ingest twins.
+    """
+    from ..pipeline.hll import phll_register_rows
+
+    unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
+    stream = spark.readStream.schema(SEQ_SCHEMA).parquet(input_dir)
+    seq = with_time_axis(stream)
+    rows = phll_register_rows(
+        seq.select("ts", key_col), key_col, carry_cols=("ts",)
+    )
+    agg = (
+        rows.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", unit).alias("w"), F.col("idx"))
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("w.start").alias("ts"), "idx", "rho")
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
