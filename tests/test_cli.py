@@ -156,3 +156,29 @@ def test_cli_tstopickle_sink(spark, csv_path, tmp_path):
     assert out.count() == 0  # sink verb: nothing on stdout
     back = pd.read_pickle(out_path)
     assert len(back) == 48 and "flow" in back.columns
+
+
+def test_cli_approx_distinct_verb(spark, csv_path):
+    """approx_distinct dispatches the portable-HLL partial+estimate;
+    at fixture cardinalities the m=256 sketch sits deep in its linear-
+    counting regime and must land within the sketch error of exact."""
+    from pyspark.sql import functions as F
+
+    from tstoolbox_spark.sources.csv import read_timeseries_csv
+
+    out = run_verb(
+        spark, "approx_distinct",
+        {"input_ts": csv_path, "value_col": "flow", "tier": "1d"},
+    )
+    assert {"ts", "approx_distinct", "registers_present"} <= set(out.columns)
+    rows = {r["ts"]: r["approx_distinct"] for r in out.collect()}
+    assert len(rows) == 2  # two days in the fixture
+    exact = {
+        r["ts"]: r["n"]
+        for r in read_timeseries_csv(spark, csv_path)
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.countDistinct("flow").alias("n"))
+        .collect()
+    }
+    for ts, est in rows.items():
+        assert abs(est - exact[ts]) / exact[ts] < 0.2, (ts, est, exact[ts])

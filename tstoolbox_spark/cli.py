@@ -98,6 +98,10 @@ def _verb_registry() -> dict[str, callable]:
         "null_profile": core.null_profile,
         "benford": _drift.benford_digits,
         "pearson_matrix": _stats_pearson,
+        # portable-HLL distinct estimate per tier bucket: partial →
+        # cascade happens upstream in the pipeline; the verb runs the
+        # one-shot partial+estimate on a raw frame.
+        "approx_distinct": _phll_verb,
         # sink verb (ref functions/tstopickle.py): common pipeline
         # runs first, then the frame is pickled; stdout stays empty
         # (header-only) like the reference.
@@ -127,6 +131,24 @@ def _stats_pearson(
     return pearson_matrix(
         df, key_col, value_col, ts_col=ts_col, check_unique=check_unique
     )
+
+
+def _phll_verb(
+    df: DataFrame,
+    value_col: str,
+    tier: str = "1d",
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+):
+    # explicit parameters (the _stats_pearson convention): run_verb
+    # injects only flags the wrapper names
+    from .pipeline.hll import phll_estimate, phll_partial
+
+    keys = tuple(key_cols or ())
+    reg = phll_partial(
+        df, tier, key_cols=keys, value_col=value_col, ts_col=ts_col
+    )
+    return phll_estimate(reg, key_cols=keys)
 
 
 def _dispatch_tstopickle(df: DataFrame, filename: str, ts_col: str = "ts"):
