@@ -100,3 +100,102 @@ def test_date_slice_inserts_missing_boundaries(spark):
         df, "2024-01-01 01:00:00", "2024-01-01 02:00:00", insert_boundaries=True
     )
     assert out2.count() == 2
+
+
+@pytest.fixture(scope="module")
+def sketch_tiered(spark, tmp_path_factory):
+    """hist_* and phll_* sketch tiers committed next to the value
+    tiers — the holistic-aggregate materializations the router serves
+    quantile/distinct queries from."""
+    from tstoolbox_spark.pipeline.hll import phll_cascade, phll_partial
+
+    root = tmp_path_factory.mktemp("sketch_tiers")
+    seq = with_time_axis(generate_sequences(spark, 20_000))
+    cat = ParquetSnapshotCatalog(str(root))
+    hh = rollup.hist_base(seq, "1h", ("source",))
+    cat.write_snapshot(hh, "hist_1h")
+    cat.write_snapshot(
+        rollup.hist_cascade(cat.read(spark, "hist_1h"), "1d", ("source",)),
+        "hist_1d",
+    )
+    ph = phll_partial(seq, "1h", ("source",), value_col="doc_id")
+    cat.write_snapshot(ph, "phll_1h")
+    cat.write_snapshot(
+        phll_cascade(cat.read(spark, "phll_1h"), "1d", ("source",)),
+        "phll_1d",
+    )
+    return seq, cat
+
+
+def test_routed_quantiles_equal_direct(spark, sketch_tiered):
+    """6H quantiles served from the 1h hist tier must equal exact
+    percentile_disc over raw rows."""
+    from tstoolbox_spark.plans import route_quantile_query
+
+    seq, cat = sketch_tiered
+    routed, tier = route_quantile_query(spark, cat, "6H", qs=(0.5, 0.9))
+    assert tier == "1h"
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / (6 * 3600)) * (6 * 3600)
+    ).alias("ts")
+    direct = seq.groupBy("source", bucket).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tok)").alias("p90"),
+    )
+    j = routed.alias("r").join(direct.alias("d"), ["source", "ts"], "full")
+    assert j.filter(F.col("r.p50").isNull() | F.col("d.p50").isNull()).count() == 0
+    assert (
+        j.filter(
+            (F.col("r.p50") != F.col("d.p50"))
+            | (F.col("r.p90") != F.col("d.p90"))
+        ).count()
+        == 0
+    )
+
+
+def test_routed_distinct_matches_sketch_and_bounds(spark, sketch_tiered):
+    """2D distinct served from the phll_1d tier must equal building
+    the sketch straight from raw rows at that grid (register-MAX
+    losslessness through the catalog roundtrip), and sit within the
+    sketch error of exact."""
+    from tstoolbox_spark.pipeline.hll import phll_estimate, phll_partial
+    from tstoolbox_spark.plans import route_distinct_query
+
+    seq, cat = sketch_tiered
+    routed, tier = route_distinct_query(spark, cat, "2D")
+    assert tier == "1d"
+    secs = 2 * 86400
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / secs) * secs
+    ).alias("ts")
+    direct = phll_estimate(
+        phll_partial(
+            seq.select("source", bucket, "doc_id"),
+            "1m",  # ts already floored to the 2D grid; 1m trunc is identity
+            ("source",),
+            value_col="doc_id",
+        ),
+        key_cols=("source",),
+    )
+    assert routed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(routed).count() == 0
+    exact = seq.groupBy("source", bucket).agg(
+        F.countDistinct("doc_id").alias("n")
+    )
+    j = routed.join(exact, ["source", "ts"])
+    bad = j.filter(
+        F.abs(F.col("approx_distinct") - F.col("n")) / F.col("n") > 0.2
+    )
+    assert bad.count() == 0
+
+
+def test_route_quantile_prefers_coarsest(spark, sketch_tiered):
+    from tstoolbox_spark.plans import route_distinct_query, route_quantile_query
+
+    _, cat = sketch_tiered
+    assert route_quantile_query(spark, cat, "2D")[1] == "1d"
+    assert route_distinct_query(spark, cat, "6H")[1] == "1h"
+    with pytest.raises(LookupError):
+        route_quantile_query(spark, cat, "90T")  # no hist_1m committed
+    with pytest.raises(LookupError):
+        route_distinct_query(spark, cat, "45T")

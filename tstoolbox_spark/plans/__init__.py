@@ -1,1 +1,5 @@
-from .router import route_tier_query  # noqa: F401
+from .router import (  # noqa: F401
+    route_distinct_query,
+    route_quantile_query,
+    route_tier_query,
+)

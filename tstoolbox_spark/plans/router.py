@@ -77,3 +77,104 @@ def route_tier_query(
     if with_mean:
         out = out.withColumn("n_tok_mean", F.col("n_tok_sum") / F.col("n_tok_count"))
     return out, tier
+
+
+def _freq_bucket(freq: str):
+    """(bucket expression, human tier description) for a target
+    frequency — calendar units via date_trunc, fixed via exact
+    epoch-second flooring (the route_tier_query convention)."""
+    unit, secs = parse_freq(freq)
+    if unit in ("month", "year"):
+        return F.date_trunc(unit, F.col("ts")).alias("ts"), None
+    return (
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / secs) * secs
+        ).alias("ts"),
+        secs,
+    )
+
+
+def route_quantile_query(
+    spark: SparkSession,
+    catalog: ParquetSnapshotCatalog,
+    freq: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    key_cols: tuple[str, ...] = ("source",),
+) -> tuple[DataFrame, str]:
+    """EXACT quantiles at ``freq`` from the coarsest sufficient
+    histogram tier (``hist_<tier>`` tables: keys, ts, v, cnt).
+
+    Quantiles are holistic — they cannot be finalized then re-merged —
+    but histogram partials compose by adding counts, so any coarser
+    grid re-aggregates losslessly and the scan is bounded by
+    |domain| rows per bucket instead of raw rows: the same 3-4
+    order-of-magnitude reduction route_tier_query buys for means.
+    """
+    from ..pipeline.rollup import hist_quantiles
+
+    bucket, secs = _freq_bucket(freq)
+    if secs is None:
+        if not catalog.exists("hist_1d"):
+            raise LookupError("calendar quantiles need the hist_1d tier")
+        tier = "1d"
+    else:
+        tier = next(
+            (
+                t
+                for t in _PREFERENCE
+                if TIER_SECONDS[t] <= secs
+                and secs % TIER_SECONDS[t] == 0
+                and catalog.exists(f"hist_{t}")
+            ),
+            None,
+        )
+        if tier is None:
+            raise LookupError(f"no materialized hist tier divides {freq!r}")
+    hist = catalog.read(spark, f"hist_{tier}")
+    merged = hist.groupBy(*key_cols, bucket, "v").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return hist_quantiles(merged, qs, key_cols=key_cols), tier
+
+
+def route_distinct_query(
+    spark: SparkSession,
+    catalog: ParquetSnapshotCatalog,
+    freq: str,
+    key_cols: tuple[str, ...] = ("source",),
+) -> tuple[DataFrame, str]:
+    """Approximate distinct counts at ``freq`` from the coarsest
+    sufficient portable-HLL register tier (``phll_<tier>`` tables:
+    keys, ts, idx, rho).
+
+    Distinct is holistic (a day's distinct is NOT the sum of its
+    hours'), but HLL registers compose by register-wise MAX, so any
+    coarser grid re-unions losslessly and a bucket costs ≤ m=256
+    register rows whatever the id cardinality — the sketch-tier
+    answer to COUNT(DISTINCT) at the 10^12-sequence design point.
+    """
+    from ..pipeline.hll import phll_estimate
+
+    bucket, secs = _freq_bucket(freq)
+    if secs is None:
+        if not catalog.exists("phll_1d"):
+            raise LookupError("calendar distinct needs the phll_1d tier")
+        tier = "1d"
+    else:
+        tier = next(
+            (
+                t
+                for t in _PREFERENCE
+                if TIER_SECONDS[t] <= secs
+                and secs % TIER_SECONDS[t] == 0
+                and catalog.exists(f"phll_{t}")
+            ),
+            None,
+        )
+        if tier is None:
+            raise LookupError(f"no materialized phll tier divides {freq!r}")
+    reg = catalog.read(spark, f"phll_{tier}")
+    merged = reg.groupBy(*key_cols, bucket, "idx").agg(
+        F.max("rho").alias("rho")
+    )
+    return phll_estimate(merged, key_cols=key_cols), tier
