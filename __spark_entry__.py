@@ -8006,6 +8006,72 @@ def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phll_distinct_daily"] = q_phll
 
+    def q_phll_growth(s, d):
+        """Cumulative distinct-user growth curve from the portable-HLL
+        register tiers (pipeline/hll.phll_running_union): register-
+        wise MAX over all buckets <= ts gives the exact union sketch
+        of the prefix, so the corpus growth / dedup-rate-over-time
+        curve reads at sketch cost — never a raw re-scan. new_est is
+        the per-day first difference of the (rounded) estimate. The
+        oracle rebuilds the same dense (bucket x register) grid and
+        window MAX in SQL."""
+        from tstoolbox_spark.pipeline.hll import (
+            phll_estimate,
+            phll_partial,
+            phll_running_union,
+        )
+
+        ev = _events(s, d)
+        daily = phll_partial(ev, "1d", key_cols=(), value_col="user_id")
+        cum = phll_running_union(daily, key_cols=())
+        est = phll_estimate(cum, key_cols=())
+        from pyspark.sql import Window as W
+
+        lagw = W.orderBy("ts")
+        return est.select(
+            "ts", "registers_present", "inv_sum_scaled", "approx_distinct",
+            F.round(
+                F.col("approx_distinct")
+                - F.coalesce(
+                    F.lag("approx_distinct").over(lagw), F.lit(0.0)
+                ),
+                4,
+            ).alias("new_est"),
+        )
+
+    q["phll_growth_daily"] = q_phll_growth
+
+    def q_phll_overlap(s, d):
+        """Audience overlap between click and view user sets by
+        sketch inclusion-exclusion (pipeline/hll.phll_overlap):
+        |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union sketch a
+        register-wise MAX — exact at the register level, so the only
+        approximation is HLL's own. No id-level join anywhere: three
+        bounded estimates instead of a distinct-set intersection."""
+        from tstoolbox_spark.pipeline.hll import (
+            phll_overlap,
+            phll_register_rows,
+        )
+
+        ev = _events(s, d)
+        t0 = F.lit("2024-01-01").cast("timestamp")
+
+        def global_reg(etype):
+            rows = phll_register_rows(
+                ev.filter(F.col("event_type") == etype), "user_id"
+            )
+            return (
+                rows.groupBy("idx")
+                .agg(F.max("rho").alias("rho"))
+                .withColumn("ts", t0)
+            )
+
+        return phll_overlap(
+            global_reg("click"), global_reg("view"), key_cols=()
+        )
+
+    q["phll_overlap_click_view"] = q_phll_overlap
+
     return q
 
 
@@ -8325,6 +8391,145 @@ def _oracles_round4() -> dict[str, str]:
                           ELSE {_PN!r} / CAST(inv_sum_scaled AS DOUBLE)
                      END, 4) AS approx_distinct
         FROM agg
+    """
+
+    # Shared SQL fragments for the phll set-algebra oracles: the same
+    # register relation (60-bit md5 hash, 16/8/4/2/1 shift ladder) and
+    # the same exact-integer estimate formula as phll_distinct_daily,
+    # parameterized by a row filter.
+    def _phll_reg_cte(name: str, where: str) -> str:
+        return f"""
+        {name}_h AS (
+          SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT)::BIGINT AS hv
+          FROM events WHERE user_id IS NOT NULL {where}),
+        {name}_r0 AS (
+          SELECT CAST(hv % 256 AS INT) AS idx,
+                 (hv >> 8) & 4294967295 AS w
+          FROM {name}_h),
+        {name}_l AS (
+          SELECT idx, w5 + b16 + b8 + b4 + b2 + b1 AS bitlen FROM (
+            SELECT idx, b16, b8, b4, b2,
+                   CASE WHEN w4 >= 2 THEN 1 ELSE 0 END AS b1,
+                   CASE WHEN w4 >= 2 THEN w4 >> 1 ELSE w4 END AS w5
+            FROM (SELECT idx, b16, b8, b4,
+                         CASE WHEN w3 >= 4 THEN 2 ELSE 0 END AS b2,
+                         CASE WHEN w3 >= 4 THEN w3 >> 2 ELSE w3 END AS w4
+            FROM (SELECT idx, b16, b8,
+                         CASE WHEN w2 >= 16 THEN 4 ELSE 0 END AS b4,
+                         CASE WHEN w2 >= 16 THEN w2 >> 4 ELSE w2 END AS w3
+            FROM (SELECT idx, b16,
+                         CASE WHEN w1 >= 256 THEN 8 ELSE 0 END AS b8,
+                         CASE WHEN w1 >= 256 THEN w1 >> 8 ELSE w1 END AS w2
+            FROM (SELECT idx,
+                         CASE WHEN w >= 65536 THEN 16 ELSE 0 END AS b16,
+                         CASE WHEN w >= 65536 THEN w >> 16 ELSE w END AS w1
+                  FROM {name}_r0))))) ),
+        {name}_reg AS (
+          SELECT idx, MAX(33 - bitlen) AS rho FROM {name}_l GROUP BY 1)
+        """
+
+    def _phll_est_scalar(reg: str) -> str:
+        """Scalar subquery: the rounded HLL estimate of one register
+        relation — identical integer state + formula as above."""
+        return f"""(
+          SELECT ROUND(CASE
+                   WHEN ({_PN!r} / CAST(inv_sum AS DOUBLE)) <= 640.0
+                    AND present < 256
+                   THEN 256.0 * ln(256.0 / CAST(256 - present AS DOUBLE))
+                   ELSE {_PN!r} / CAST(inv_sum AS DOUBLE) END, 4)
+          FROM (SELECT COUNT(*) AS present,
+                       CAST(SUM((1::BIGINT) << (33 - rho))
+                            + (256 - COUNT(*)) * ((1::BIGINT) << 33)
+                            AS BIGINT) AS inv_sum
+                FROM {reg}))"""
+
+    # phll_growth_daily: same daily register relation as
+    # phll_distinct_daily (no keys), densified to the (bucket x
+    # seen-register) grid, prefix-MAX per register, estimate per
+    # bucket, first difference of the rounded estimates.
+    o["phll_growth_daily"] = f"""
+        WITH h AS (
+          SELECT date_trunc('day', ts) AS ts,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT)::BIGINT AS hv
+          FROM events WHERE user_id IS NOT NULL),
+        r0 AS (
+          SELECT ts, CAST(hv % 256 AS INT) AS idx,
+                 (hv >> 8) & 4294967295 AS w
+          FROM h),
+        l1 AS (SELECT ts, idx,
+                      CASE WHEN w >= 65536 THEN 16 ELSE 0 END AS b16,
+                      CASE WHEN w >= 65536 THEN w >> 16 ELSE w END AS w1
+               FROM r0),
+        l2 AS (SELECT *, CASE WHEN w1 >= 256 THEN 8 ELSE 0 END AS b8,
+                      CASE WHEN w1 >= 256 THEN w1 >> 8 ELSE w1 END AS w2
+               FROM l1),
+        l3 AS (SELECT *, CASE WHEN w2 >= 16 THEN 4 ELSE 0 END AS b4,
+                      CASE WHEN w2 >= 16 THEN w2 >> 4 ELSE w2 END AS w3
+               FROM l2),
+        l4 AS (SELECT *, CASE WHEN w3 >= 4 THEN 2 ELSE 0 END AS b2,
+                      CASE WHEN w3 >= 4 THEN w3 >> 2 ELSE w3 END AS w4
+               FROM l3),
+        l5 AS (SELECT *, CASE WHEN w4 >= 2 THEN 1 ELSE 0 END AS b1,
+                      CASE WHEN w4 >= 2 THEN w4 >> 1 ELSE w4 END AS w5
+               FROM l4),
+        reg AS (
+          SELECT ts, idx, MAX(33 - (b16 + b8 + b4 + b2 + b1 + w5)) AS rho
+          FROM l5 GROUP BY 1, 2),
+        grid AS (
+          SELECT b.ts, r.idx
+          FROM (SELECT DISTINCT ts FROM reg) b
+          CROSS JOIN (SELECT DISTINCT idx FROM reg) r),
+        dense AS (
+          SELECT grid.ts, grid.idx, reg.rho
+          FROM grid LEFT JOIN reg USING (ts, idx)),
+        cum AS (
+          SELECT ts, idx,
+                 MAX(rho) OVER (PARTITION BY idx ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS rho
+          FROM dense),
+        agg AS (
+          SELECT ts, COUNT(*) AS registers_present,
+                 CAST(SUM((1::BIGINT) << (33 - rho))
+                      + (256 - COUNT(*)) * ((1::BIGINT) << 33)
+                      AS BIGINT) AS inv_sum_scaled
+          FROM cum WHERE rho IS NOT NULL GROUP BY 1),
+        est AS (
+          SELECT ts, registers_present, inv_sum_scaled,
+                 ROUND(CASE WHEN ({_PN!r} / CAST(inv_sum_scaled AS DOUBLE))
+                              <= 640.0 AND registers_present < 256
+                            THEN 256.0 * ln(256.0 /
+                                 CAST(256 - registers_present AS DOUBLE))
+                            ELSE {_PN!r} / CAST(inv_sum_scaled AS DOUBLE)
+                       END, 4) AS approx_distinct
+          FROM agg)
+        SELECT ts, registers_present, inv_sum_scaled, approx_distinct,
+               ROUND(approx_distinct
+                     - COALESCE(LAG(approx_distinct) OVER (ORDER BY ts),
+                                0.0), 4) AS new_est
+        FROM est
+    """
+
+    # phll_overlap_click_view: three estimates by inclusion-exclusion
+    # over the same register scheme; the union sketch is the
+    # register-wise MAX of the two sides.
+    o["phll_overlap_click_view"] = f"""
+        WITH {_phll_reg_cte("a", "AND event_type = 'click'")},
+        {_phll_reg_cte("b", "AND event_type = 'view'")},
+        u_reg AS (
+          SELECT idx, MAX(rho) AS rho
+          FROM (SELECT * FROM a_reg UNION ALL SELECT * FROM b_reg)
+          GROUP BY 1),
+        vals AS (
+          SELECT {_phll_est_scalar("a_reg")} AS est_a,
+                 {_phll_est_scalar("b_reg")} AS est_b,
+                 {_phll_est_scalar("u_reg")} AS est_union)
+        SELECT TIMESTAMP '2024-01-01' AS ts, est_a, est_b, est_union,
+               ROUND(GREATEST(est_a + est_b - est_union, 0.0), 4)
+                 AS est_intersection
+        FROM vals
     """
 
     return o

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",
     "simhash",
     "similarity_topk",
+    "pq_topk",
     "quality_score",
     "chunk_pack_64",
     "peak_minmax",
@@ -122,6 +123,7 @@ BENCH_QUERIES = [
     "fill_pchip_monotone",
     "fill_akima",
     "phll_distinct_daily",
+    "phll_growth_daily",
 ]
 
 

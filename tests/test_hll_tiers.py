@@ -189,3 +189,59 @@ def test_phll_partial_agg_in_plan(spark):
     )
     assert "partial_max" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_phll_running_union_equals_prefix_sketch(spark):
+    """The cumulative register at bucket T must equal the sketch
+    built directly from all raw rows with ts <= T — register for
+    register (prefix-union losslessness)."""
+    from tstoolbox_spark.pipeline.hll import phll_running_union
+
+    pdf = _events(seed=9, n=8_000)
+    df = spark.createDataFrame(pdf)
+    daily = phll_partial(df, "1d", key_cols=("source",))
+    cum = phll_running_union(daily, key_cols=("source",))
+    days = sorted(pdf.ts.dt.floor("D").unique())
+    probe = pd.Timestamp(days[1])
+    prefix = pdf[pdf.ts.dt.floor("D") <= probe].assign(
+        ts=pd.Timestamp(days[0])  # collapse to one bucket
+    )
+    direct = phll_partial(
+        spark.createDataFrame(prefix), "1d", key_cols=("source",)
+    ).drop("ts")
+    got = cum.filter(F.col("ts") == probe).drop("ts")
+    assert got.exceptAll(direct).count() == 0
+    assert direct.exceptAll(got).count() == 0
+
+
+def test_phll_overlap_within_error_of_exact(spark):
+    """Inclusion-exclusion intersection estimate lands within the
+    combined sketch error of the true overlap."""
+    from tstoolbox_spark.pipeline.hll import (
+        phll_overlap,
+        phll_register_rows,
+    )
+
+    rng = np.random.default_rng(11)
+    a_ids = set(range(0, 2_000))
+    b_ids = set(range(1_200, 3_200))  # overlap = 800
+    t0 = dt.datetime(2024, 3, 1)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            pd.DataFrame({"user_id": sorted(ids), "ts": t0})
+        )
+
+    def reg(ids):
+        rows = phll_register_rows(frame(ids), "user_id")
+        return (
+            rows.groupBy("idx")
+            .agg(F.max("rho").alias("rho"))
+            .withColumn("ts", F.lit(t0))
+        )
+
+    out = phll_overlap(reg(a_ids), reg(b_ids), key_cols=()).collect()[0]
+    true = len(a_ids & b_ids)
+    # intersection error compounds ~3 sketch errors; allow a wide band
+    assert abs(out["est_intersection"] - true) < 0.5 * true + 200
+    assert abs(out["est_union"] - len(a_ids | b_ids)) / len(a_ids | b_ids) < 0.2

@@ -226,3 +226,80 @@ def phll_estimate(
         inv_sum.alias("inv_sum_scaled"),
         F.round(est, 4).alias("approx_distinct"),
     )
+
+
+def phll_running_union(
+    reg: DataFrame, key_cols: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Registers → CUMULATIVE registers: row (keys, ts, idx, rho)
+    where rho is the register-wise MAX over all buckets ≤ ts. Feeding
+    the result to :func:`phll_estimate` yields the distinct-growth
+    curve — cumulative cardinality per bucket — without ever touching
+    raw rows (corpus growth / dedup-rate-over-time at 10^12 ids).
+
+    A register absent at ts must still carry its older value forward,
+    so the sparse relation is first densified to the per-key
+    (bucket × seen-register) grid — both sides are bounded (buckets
+    per key × ≤256 registers), so the grid join is metadata-scale
+    next to the raw data. The window MAX then runs per (keys, idx):
+    at most one sort of ≤ #buckets rows per register.
+    """
+    from pyspark.sql import Window
+
+    buckets = reg.select(*key_cols, "ts").distinct()
+    regs = reg.select(*key_cols, "idx").distinct()
+    grid = buckets.join(regs, list(key_cols)) if key_cols else (
+        buckets.crossJoin(regs)
+    )
+    dense = grid.join(reg, [*key_cols, "ts", "idx"], "left")
+    w = (
+        Window.partitionBy(*key_cols, "idx")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn("rho", F.max("rho").over(w))
+    return cum.where(F.col("rho").isNotNull())
+
+
+def phll_overlap(
+    reg_a: DataFrame,
+    reg_b: DataFrame,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct-set OVERLAP of two register relations by
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    the union sketch is the register-wise MAX — exact at the register
+    level, so the only approximation is HLL's own. The classic
+    audience-overlap / cross-corpus-contamination read at sketch
+    cost: three bounded estimates, no id-level join anywhere.
+
+    Inputs must share the grouping columns (e.g. both collapsed to
+    one global bucket, or both per-day). Output: one row per group
+    with est_a / est_b / est_union / est_intersection (clamped ≥ 0).
+    """
+    a = phll_estimate(reg_a, key_cols=key_cols).select(
+        *key_cols, "ts", F.col("approx_distinct").alias("est_a")
+    )
+    b = phll_estimate(reg_b, key_cols=key_cols).select(
+        *key_cols, "ts", F.col("approx_distinct").alias("est_b")
+    )
+    union_reg = (
+        reg_a.unionByName(reg_b)
+        .groupBy(*key_cols, "ts", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    u = phll_estimate(union_reg, key_cols=key_cols).select(
+        *key_cols, "ts", F.col("approx_distinct").alias("est_union")
+    )
+    keys = [*key_cols, "ts"]
+    out = a.join(b, keys).join(u, keys)
+    return out.withColumn(
+        "est_intersection",
+        F.round(
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0.0),
+            ),
+            4,
+        ),
+    )
