@@ -1529,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n
         FROM kd GROUP BY 1
     """
+    o.update(_oracles_round4b(o))
     return o
 
 
@@ -8072,6 +8073,43 @@ def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phll_overlap_click_view"] = q_phll_overlap
 
+    def q_anomaly(s, d):
+        """Seasonal-residual anomaly flags (stats.robust_anomaly_flags
+        — Hampel identifier |resid − median| > 3·MAD): the monitoring
+        read over the SAME 1e-6-quantized decomposition as
+        seasonal_decompose_24h. Residuals enter as exact integers
+        (kr = floor(resid·1e6 + 0.5)), median and MAD come from the
+        distributed rank components, and every comparison stays on
+        exact ints — engine-portable, no float-ordering hazard."""
+        from tstoolbox_spark.operators.stats import (
+            robust_anomaly_flags,
+            seasonal_decompose,
+        )
+
+        hm = _q_agg_hourly(_events(s, d)).select(
+            "event_type", "ts", "value_mean"
+        )
+        dec = seasonal_decompose(
+            hm, "value_mean", period=24,
+            key_cols=["event_type"], exact_decimal="decimal(38,12)",
+        ).filter(F.col("resid").isNotNull())
+        kd = dec.select(
+            "event_type", "ts",
+            F.floor(F.col("resid") * 1e6 + 0.5).cast("long").alias("kr"),
+        )
+        out = robust_anomaly_flags(
+            kd, "kr", key_cols=("event_type",), k=3.0
+        )
+        return out.select(
+            "event_type", "ts",
+            (F.col("kr") / F.lit(1e6)).alias("resid"),
+            F.col("median").alias("kmedian"),
+            F.col("mad").alias("kmad"),
+            "is_anomaly",
+        )
+
+    q["anomaly_flags_hourly"] = q_anomaly
+
     return q
 
 
@@ -8532,4 +8570,57 @@ def _oracles_round4() -> dict[str, str]:
         FROM vals
     """
 
+    return o
+
+
+def _oracles_round4b(base: dict[str, str]) -> dict[str, str]:
+    """Oracles that wrap other oracles as CTEs — ``base`` is the
+    assembled dict so far (the seasonality_strength convention)."""
+    o: dict[str, str] = {}
+
+    # anomaly_flags_hourly: decompose oracle as a CTE, residuals
+    # quantized to exact ints, then median/MAD via the SAME
+    # percentile_disc rank convention as exact_quantiles (smallest
+    # value whose cumulative count reaches ceil(q*n); under ties the
+    # tie-group's max row_number is its cumulative count, so the
+    # row_number formulation below selects the identical value).
+    o["anomaly_flags_hourly"] = f"""
+        WITH dec AS ({base["seasonal_decompose_24h"]}),
+        kd AS (
+          SELECT event_type, ts,
+                 CAST(floor(resid * 1e6 + 0.5) AS BIGINT) AS kr
+          FROM dec WHERE resid IS NOT NULL),
+        r1 AS (
+          SELECT event_type, ts, kr,
+                 row_number() OVER (PARTITION BY event_type ORDER BY kr)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM kd),
+        med AS (
+          SELECT event_type,
+                 MIN(CASE WHEN rn >= greatest(CAST(ceil(0.5 * n) AS BIGINT),
+                                              1)
+                          THEN kr END) AS kmedian
+          FROM r1 GROUP BY 1),
+        d2 AS (
+          SELECT kd.event_type, kd.ts, kd.kr, med.kmedian,
+                 abs(kd.kr - med.kmedian) AS adev
+          FROM kd JOIN med USING (event_type)),
+        r2 AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY adev) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d2),
+        mad AS (
+          SELECT event_type,
+                 MIN(CASE WHEN rn >= greatest(CAST(ceil(0.5 * n) AS BIGINT),
+                                              1)
+                          THEN adev END) AS kmad
+          FROM r2 GROUP BY 1)
+        SELECT d2.event_type, d2.ts, d2.kr / 1e6 AS resid,
+               d2.kmedian, mad.kmad,
+               CASE WHEN abs(d2.kr - d2.kmedian) > 3.0 * mad.kmad
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM d2 JOIN mad USING (event_type)
+    """
     return o

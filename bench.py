@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "fill_akima",
     "phll_distinct_daily",
     "phll_growth_daily",
+    "anomaly_flags_hourly",
 ]
 
 

@@ -275,3 +275,54 @@ def test_exact_quantiles_matches_numpy_disc(spark, vals, q):
     expect = srt[max(math.ceil(q * len(vals)), 1) - 1]
     col = f"p{str(q).replace('0.', '').ljust(2, '0')}"
     assert out[col] == expect and out["n"] == len(vals)
+
+
+def test_robust_anomaly_flags_hand_case(spark):
+    """Hampel identifier on a hand-checkable series: median/MAD from
+    exact percentile_disc, |x − med| > 3·MAD flags only the spike."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tstoolbox_spark.operators.stats import robust_anomaly_flags
+
+    vals = [10, 11, 9, 10, 12, 10, 9, 11, 10, 100]  # med=10, MAD=1
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "k": "a",
+            "ts": [t0 + dt.timedelta(hours=i) for i in range(len(vals))],
+            "x": vals,
+        }
+    )
+    out = robust_anomaly_flags(
+        spark.createDataFrame(pdf), "x", key_cols=("k",), k=3.0
+    )
+    rows = {r["x"]: r for r in out.collect()}
+    assert rows[100]["is_anomaly"] == 1
+    assert sum(r["is_anomaly"] for r in rows.values()) == 1
+    assert rows[100]["median"] == 10 and rows[100]["mad"] == 1
+
+
+def test_robust_anomaly_flags_zero_mad(spark):
+    """A constant series (MAD=0) flags exactly the deviating values."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tstoolbox_spark.operators.stats import robust_anomaly_flags
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [5, 5, 5, 5, 5, 5, 7]
+    pdf = pd.DataFrame(
+        {
+            "k": "a",
+            "ts": [t0 + dt.timedelta(hours=i) for i in range(len(vals))],
+            "x": vals,
+        }
+    )
+    out = robust_anomaly_flags(
+        spark.createDataFrame(pdf), "x", key_cols=("k",), k=3.0
+    ).collect()
+    flagged = [r["x"] for r in out if r["is_anomaly"] == 1]
+    assert flagged == [7]

@@ -1491,3 +1491,46 @@ def exact_quantiles(
         )
     grp = comps.groupBy(*keys) if keys else comps.groupBy()
     return grp.agg(F.max("__n").alias("n"), *aggs)
+
+
+def robust_anomaly_flags(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier flags per key — the monitoring read
+    over decomposition residuals (x is anomalous when
+    |x − median| > k·MAD, the Hampel identifier; k=3 ≈ 4.5σ under
+    normality since MAD ≈ 0.6745σ).
+
+    Both location and scale come from :func:`exact_quantiles`
+    (range-partitioned rank components — no single-task sort, exact
+    percentile_disc semantics), and the per-key stats broadcast back,
+    so the whole read is two distributed ranking passes + two
+    broadcast joins regardless of key cardinality. Feeding a
+    pre-quantized integer column (the seasonal_decompose convention)
+    keeps every comparison on exact integers — engine-portable with
+    no float-ordering hazard.
+
+    Adds ``median``, ``mad``, ``is_anomaly`` (int; a zero-MAD key
+    flags only values different from the median).
+    """
+    keys = list(key_cols)
+
+    def _stat(frame, col, name):
+        s = exact_quantiles(frame, col, (0.5,), keys).select(
+            *keys, F.col("p50").alias(name)
+        )
+        return F.broadcast(s)
+
+    med = _stat(df, value_col, "median")
+    j = df.join(med, keys) if keys else df.crossJoin(med)
+    dev = j.withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("median"))
+    )
+    mad = _stat(dev, "__absdev", "mad")
+    out = dev.join(mad, keys) if keys else dev.crossJoin(mad)
+    # a zero-MAD key degenerates to flagging any deviation (> k·0)
+    flag = (F.col("__absdev") > F.lit(float(k)) * F.col("mad")).cast("int")
+    return out.withColumn("is_anomaly", flag).drop("__absdev")
