@@ -248,7 +248,11 @@ def test_pq_inline_encode_stays_inside_codegen(spark):
         for m in range(8)
     ]
     q = [float(x) for x in rows[0]["embedding"]]
-    out = pq_topk(emb, q, books, k=10)  # codes derived inline
+    # the pure-expression encode path (vectorized=False): kept for
+    # runners without Python workers, and the codegen contract below
+    # is its regression lock. The default path is the Arrow-batched
+    # numpy encode (bit-identical codes, ~30x faster scan).
+    out = pq_topk(emb, q, books, k=10, vectorized=False)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "codegen")
     txt = out._jdf.queryExecution().explainString(jmode)
