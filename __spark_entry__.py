@@ -8116,6 +8116,37 @@ def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anomaly_flags_hourly"] = q_anomaly
 
+    def q_ivfpq(s, d):
+        """IVFADC (Jegou et al. 2011 §IV — non-exhaustive PQ search):
+        coarse L2 cells pinned to vec_id<4, residual codebooks pinned
+        to vec_id<16 subvectors, query = vec 0, nprobe 2 of 4 cells.
+        Every distance on both engines is the same explicit
+        ascending-index left-assoc term sum, so cells, codes, per-cell
+        ADC tables and the final ordering are bit-exact."""
+        from tstoolbox_spark.textops.similarity import ivfpq_topk
+
+        emb = _emb(s, d)
+        rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        dim = len(rows[0]["embedding"])
+        m, dsub = 8, dim // 8
+        cents = [[float(x) for x in rows[i]["embedding"]] for i in range(4)]
+        books = [
+            [[float(x) for x in r["embedding"][mi * dsub:(mi + 1) * dsub]]
+             for r in rows]
+            for mi in range(m)
+        ]
+        qvec = [float(x) for x in rows[0]["embedding"]]
+        out = ivfpq_topk(
+            emb.filter(F.col("vec_id") > 0), qvec, cents, books,
+            k=10, nprobe=2,
+        )
+        return out.select(
+            "vec_id", F.col("cell").cast("long").alias("cell"),
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+
+    q["ivfpq_topk"] = q_ivfpq
+
     return q
 
 
@@ -8574,6 +8605,81 @@ def _oracles_round4() -> dict[str, str]:
                ROUND(GREATEST(est_a + est_b - est_union, 0.0), 4)
                  AS est_intersection
         FROM vals
+    """
+
+    # ivfpq_topk: coarse cells = vec_id<4, residual codebooks =
+    # vec_id<16 subvectors, query = vec 0, nprobe=2 (similarity.py
+    # ivfpq_index/ivfpq_topk). All three distance kinds — coarse
+    # assignment, residual encode argmin, per-cell ADC table — are the
+    # same explicit ascending-index left-assoc term sums the Spark
+    # side folds, so the chain is bit-exact end to end.
+    def _l2_64(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+            for i in range(1, 65)
+        )
+
+    def _l2_res(vexpr: str, centexpr: str, cbexpr: str) -> str:
+        # sum_i ((v[off+i] - cent[off+i]) - cb[i])^2, i = 1..8
+        return " + ".join(
+            f"(({vexpr}[cb.off + {i}] - {centexpr}[cb.off + {i}]) - {cbexpr}[{i}])"
+            f" * (({vexpr}[cb.off + {i}] - {centexpr}[cb.off + {i}]) - {cbexpr}[{i}])"
+            for i in range(1, 9)
+        )
+
+    _adc_sum4 = " + ".join(f"d{mi}" for mi in range(8))
+    _adc_piv4 = ", ".join(
+        f"MAX(CASE WHEN enc.m = {mi} THEN dq END) AS d{mi}"
+        for mi in range(8)
+    )
+    o["ivfpq_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 4),
+        probe AS (
+          SELECT cell FROM c, q
+          ORDER BY {_l2_64('cv', 'qv')} ASC, cell ASC
+          LIMIT 2),
+        ms AS (SELECT unnest(range(8)) AS m),
+        cb AS (
+          SELECT cbv.vec_id AS code, ms.m,
+                 list_slice(cbv.v, ms.m*8 + 1, ms.m*8 + 8) AS cv,
+                 ms.m*8 AS off
+          FROM e cbv CROSS JOIN ms WHERE cbv.vec_id < 16),
+        assigned AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT cell FROM c
+                  ORDER BY {_l2_64('c.cv', 'e.v')} ASC, cell ASC
+                  LIMIT 1) AS cell
+          FROM e WHERE e.vec_id > 0),
+        pruned AS (
+          SELECT a.vec_id, a.v, a.cell, cc.cv AS centv
+          FROM assigned a JOIN c cc ON cc.cell = a.cell
+          WHERE a.cell IN (SELECT cell FROM probe)),
+        corpsub AS (
+          SELECT p.vec_id, p.cell, cb.m, cb.code,
+                 {_l2_res('p.v', 'p.centv', 'cb.cv')} AS dst
+          FROM pruned p CROSS JOIN cb),
+        enc AS (
+          SELECT vec_id, cell, m, code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                       ORDER BY dst ASC, code ASC) AS rn
+            FROM corpsub) WHERE rn = 1),
+        tq AS (
+          SELECT pc.cell, cb.m, cb.code,
+                 {_l2_res('q.qv', 'pc.cv', 'cb.cv')} AS dq
+          FROM (SELECT cc.cell, cc.cv FROM c cc
+                WHERE cc.cell IN (SELECT cell FROM probe)) pc
+          CROSS JOIN cb CROSS JOIN q),
+        piv AS (
+          SELECT enc.vec_id, enc.cell, {_adc_piv4}
+          FROM enc JOIN tq ON tq.cell = enc.cell AND tq.m = enc.m
+                          AND tq.code = enc.code
+          GROUP BY enc.vec_id, enc.cell)
+        SELECT vec_id, cell, ROUND({_adc_sum4}, 6) AS adc_dist
+        FROM piv
+        ORDER BY {_adc_sum4} ASC, vec_id ASC
+        LIMIT 10
     """
 
     return o

@@ -477,3 +477,37 @@ def test_backtest_bounds_row_is_broadcast(spark):
     plan = _plan(rolling_origin_folds(ev, n_folds=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_index_scan_prunes_cells_and_reads_codes_only(spark, tmp_path):
+    """IVFADC's scale claim: a query over a materialized ivfpq_index
+    is a codes-only scan (ReadSchema has cell + pq_code, never the
+    float embeddings) with the probe's cell predicate PUSHED to the
+    parquet source, scored by literal-table lookups — no join, and
+    the only 'sort' is the k-row ordered take."""
+    from tstoolbox_spark.textops.similarity import ivfpq_index, ivfpq_topk
+
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    rows = emb.orderBy("vec_id").limit(16).collect()
+    dim = len(rows[0]["embedding"])
+    dsub = dim // 8
+    cents = [[float(x) for x in rows[i]["embedding"]] for i in range(4)]
+    books = [
+        [[float(x) for x in r["embedding"][m * dsub:(m + 1) * dsub]]
+         for r in rows]
+        for m in range(8)
+    ]
+    idx_path = str(tmp_path / "ivfpq_idx")
+    ivfpq_index(emb, cents, books).write.partitionBy("cell").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    q = [float(x) for x in rows[0]["embedding"]]
+    plan = _plan(ivfpq_topk(None, q, cents, books, k=10, nprobe=2, index=idx))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_code" in read_schema and "embedding" not in read_schema
+    # cell is a partition column of the index layout: the isin filter
+    # must show up as partition pruning, not a post-scan Filter
+    assert "PartitionFilters: [cell" in plan.replace("\n", " ") or (
+        "PartitionFilters" in plan and "cell IN" in plan
+    )
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -530,3 +530,102 @@ def test_source_overlap_exact_jaccard(spark):
     r = out[("s1", "s2")]
     assert r["inter"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
     assert r["jaccard"] == round(1 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (ivfpq_index / ivfpq_topk)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_manual(vecs, centroids, books):
+    """Numpy twin of ivfpq_index: L2 cell (ties to lower), residual,
+    per-subspace argmin codes (ties to lower)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    m, dsub = len(books), len(books[0][0])
+    cells, codes = [], []
+    for x in np.asarray(vecs, dtype=np.float64):
+        d2 = ((cents - x) ** 2).sum(axis=1)
+        cell = int(np.argmin(d2))
+        r = x - cents[cell]
+        row = []
+        for mi in range(m):
+            sub = r[mi * dsub:(mi + 1) * dsub]
+            dd = ((np.asarray(books[mi], dtype=np.float64) - sub) ** 2).sum(axis=1)
+            row.append(int(np.argmin(dd)))
+        cells.append(cell)
+        codes.append(row)
+    return cells, codes
+
+
+def test_ivfpq_index_matches_manual(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs)})
+    sdf = spark.createDataFrame(pdf)
+    centroids = [[float(x) for x in vecs[i]] for i in range(3)]
+    books = [
+        [[float(x) for x in vecs[i][mi * 4:(mi + 1) * 4]] for i in range(5)]
+        for mi in range(4)
+    ]
+    out = (similarity.ivfpq_index(sdf, centroids, books)
+           .orderBy("vec_id").toPandas())
+    cells, codes = _ivfpq_manual(vecs, centroids, books)
+    assert out["cell"].tolist() == cells
+    assert [list(c) for c in out["pq_code"]] == codes
+
+
+def test_ivfpq_topk_recall_and_probe_restriction(spark):
+    """IVFADC over clustered data: probed-cell ADC top-R must contain
+    the exact top-10, and every returned row's cell must be probed."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(5, 16) * 4
+    vecs = np.vstack([
+        centers[i % 5] + 0.25 * rng.randn(16) for i in range(300)
+    ]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})
+    sdf = spark.createDataFrame(pdf)
+    centroids = similarity.train_centroids(sdf, k=5, iters=4, metric="l2")
+    # codebooks trained on the RESIDUALS (the IVFADC contract)
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    resid_df = similarity.assign_cells(sdf, centroids, metric="l2").select(
+        "vec_id",
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   F.element_at(cents, F.col("cell") + 1),
+                   lambda a, b: a - b).alias("embedding"),
+    )
+    books = similarity.pq_train(resid_df, m=4, k=8, iters=3)
+    q = [float(x) for x in vecs[0]]
+    got = similarity.ivfpq_topk(
+        sdf.filter("vec_id > 0"), q, centroids, books, k=40, nprobe=2
+    ).toPandas()
+    # probe restriction: cells in the result are the 2 closest to q
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    probe = set(np.argsort(((cents_np - np.asarray(q)) ** 2).sum(axis=1))[:2].tolist())
+    assert set(got["cell"].tolist()) <= probe
+    X = vecs.astype(np.float64)
+    exact = np.argsort(((X - X[0]) ** 2).sum(axis=1))[1:11]
+    recall = len(set(got["vec_id"]) & set(int(i) for i in exact)) / 10
+    assert recall >= 0.8
+    d = got["adc_dist"].values
+    assert (d >= 0).all() and (np.diff(d) >= 0).all()
+
+
+def test_ivfpq_topk_precomputed_index_identical(spark):
+    """The codes-only scan over a materialized index must equal the
+    inline encode path bit-for-bit."""
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": list(vecs)})
+    sdf = spark.createDataFrame(pdf)
+    centroids = [[float(x) for x in vecs[i]] for i in range(4)]
+    books = [
+        [[float(x) for x in vecs[i][mi * 4:(mi + 1) * 4]] for i in range(6)]
+        for mi in range(4)
+    ]
+    q = [float(x) for x in vecs[2]]
+    inline = similarity.ivfpq_topk(sdf, q, centroids, books, k=15,
+                                   nprobe=3).toPandas()
+    idx = similarity.ivfpq_index(sdf, centroids, books)
+    via_idx = similarity.ivfpq_topk(None, q, centroids, books, k=15,
+                                    nprobe=3, index=idx).toPandas()
+    pd.testing.assert_frame_equal(inline, via_idx)
