@@ -242,21 +242,32 @@ def minhash_signature(
     return ex.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_explode(
     signatures: DataFrame, id_col: str = "doc_id",
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
 ) -> DataFrame:
-    """LSH banding: docs agreeing on ALL rows of ≥1 band become a
-    candidate pair. Output distinct (doc_a < doc_b)."""
+    """Long-form LSH band table ``(doc, band, bh)`` from a minhash
+    signature frame — the unit of LSH state: a doc's band hashes are
+    all an incremental dedup run ever needs to re-candidate it against
+    future batches (pipeline/incremental_dedup.py)."""
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("bh"))
         )
-    exploded = signatures.select(
+    return signatures.select(
         F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bandrec")
     ).select("doc", F.col("bandrec.band").alias("band"), F.col("bandrec.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id",
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of ≥1 band become a
+    candidate pair. Output distinct (doc_a < doc_b)."""
+    exploded = band_explode(signatures, id_col, bands, rows)
     a, b_ = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b_, ["band", "bh"])
@@ -307,6 +318,17 @@ def minhash_lsh_dedup(
         bands, rows = auto_band_shape(k, threshold)
     sig = minhash_signature(df, text_col, id_col, k, n)
     cand = lsh_candidate_pairs(sig, id_col, bands, rows).persist()
+    return verify_candidates(df, cand, text_col, id_col, n, threshold)
+
+
+def verify_candidates(
+    df: DataFrame, cand: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 2, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs ``(doc_a,
+    doc_b)`` against the docs in ``df`` — the verify half of
+    :func:`minhash_lsh_dedup`, exposed so incremental runs can verify
+    new×old candidates against the committed corpus."""
     ex = _exploded_shingles(df, text_col, id_col, n)
     # verify only candidate DOCS' shingles: the posting-list self-join
     # over the full corpus squares on hot shingles (a stopword bigram
@@ -409,6 +431,48 @@ def simhash_pairs(
     )
 
 
+def hashmin_propagate(
+    labels: DataFrame, pairs: DataFrame, max_iter: int = 15,
+) -> DataFrame:
+    """Min-label propagation (HashMin) over an undirected pair graph:
+    ``labels`` is ``(doc, label)`` seed rows (a fresh run seeds
+    label = doc; an incremental run seeds old docs with their
+    committed cluster id so only the touched subgraph iterates);
+    ``pairs`` is ``(doc_a, doc_b)``. Converges in O(graph diameter)
+    rounds; each round is one join + one groupBy on the label frame,
+    never on payloads, with ``localCheckpoint`` truncating the
+    iterative lineage. Returns the converged ``(doc, label)``."""
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                F.col("doc"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "__chg"
+                ),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def near_dup_clusters(
     df: DataFrame,
     text_col: str = "text",
@@ -433,36 +497,10 @@ def near_dup_clusters(
     """
     if pairs is None:
         pairs = minhash_lsh_dedup(df, text_col, id_col, n=n, threshold=threshold)
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
     labels = (
         df.select(F.col(id_col).alias("doc")).distinct().withColumn("label", F.col("doc"))
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
-            .select(
-                F.col("doc"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "__chg"
-                ),
-            )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("__chg")).count()
-        labels = new_labels.drop("__chg")
-        if changed == 0:
-            break
-    edges.unpersist()
+    )
+    labels = hashmin_propagate(labels, pairs, max_iter)
     return labels.select(
         F.col("doc").alias(id_col),
         F.col("label").alias("cluster"),
