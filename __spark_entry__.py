@@ -8147,6 +8147,40 @@ def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_topk"] = q_ivfpq
 
+    def q_zorder(s, d):
+        """Z-order (Morton) layout key over (time, value)
+        (pipeline/layout.py quantize + morton_interleave — the
+        OPTIMIZE ZORDER BY analog). Grid bounds are fixed literals
+        (2020..2030 epoch-us, value 0..100, 16 bits/dim), all
+        arithmetic is the same floor/clamp/shift chain in both
+        engines, so the 32-bit-interleaved BIGINT key is exact."""
+        from tstoolbox_spark.pipeline.layout import morton_interleave, quantize
+
+        lo_t, hi_t = 1577836800000000.0, 1893456000000000.0
+        ev = (
+            _events(s, d)
+            .filter(F.col("value").isNotNull())
+            .select(
+                "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("t"),
+                F.col("value").cast("double").alias("v"),
+            )
+        )
+        key = morton_interleave(
+            [
+                quantize(F.col("t"), lo_t, hi_t, 16),
+                quantize(F.col("v"), 0.0, 100.0, 16),
+            ],
+            16,
+        )
+        return (
+            ev.select("event_id", key)
+            .orderBy(F.col("zkey").asc(), F.col("event_id").asc())
+            .limit(20)
+        )
+
+    q["zorder_key_top"] = q_zorder
+
     return q
 
 
@@ -8680,6 +8714,36 @@ def _oracles_round4() -> dict[str, str]:
         FROM piv
         ORDER BY {_adc_sum4} ASC, vec_id ASC
         LIMIT 10
+    """
+
+    # zorder_key_top: identical quantizers (floor((x-lo)/span*65536)
+    # clamped to [0, 65535] — lo/hi/span all exactly double-
+    # representable) and the same 32 shift/and/or interleave terms
+    # (t in the LSB lane, v in the next), so the BIGINT key matches
+    # bit-for-bit (pipeline/layout.py quantize/morton_interleave).
+    def _q16(x: str, lo: float, span: float) -> str:
+        return (
+            f"LEAST(GREATEST(CAST(floor(({x} - {lo!r}) / {span!r} * 65536.0)"
+            " AS BIGINT), 0), 65535)"
+        )
+
+    _zterms = " | ".join(
+        f"(((q{j} >> {b}) & 1) << {b * 2 + j})"
+        for b in range(16) for j in (0, 1)
+    )
+    o["zorder_key_top"] = f"""
+        WITH e AS (
+          SELECT event_id, epoch_us(ts)::DOUBLE AS t, value::DOUBLE AS v
+          FROM events WHERE value IS NOT NULL),
+        q AS (
+          SELECT event_id,
+                 {_q16('t', 1577836800000000.0, 315619200000000.0)} AS q0,
+                 {_q16('v', 0.0, 100.0)} AS q1
+          FROM e)
+        SELECT event_id, ({_zterms}) AS zkey
+        FROM q
+        ORDER BY zkey ASC, event_id ASC
+        LIMIT 20
     """
 
     return o

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "phll_distinct_daily",
     "phll_growth_daily",
     "anomaly_flags_hourly",
+    "ivfpq_topk",
 ]
 
 
