@@ -122,10 +122,32 @@ def main() -> int:
     env = dict(os.environ)
     if args.pipeline_only:
         env["SPARK_GRAFT_BENCH_SKIP_QUERIES"] = "1"
+
+    # MID-RUN probe sampler: end probes alone once certified a run
+    # whose middle third was throttled 3-6x (2026-08-21 roll — a
+    # contiguous stretch of the query list slowed while both end
+    # probes read >10 GB/s). One 64 MB memcpy every 45 s costs ~10 ms
+    # of bandwidth and records the floor the run actually saw.
+    import threading
+
+    mid_samples: list[float] = []
+    stop = threading.Event()
+
+    def _sampler():
+        while not stop.wait(45.0):
+            try:
+                mid_samples.append(round(probe_gbps(), 2))
+            except Exception:  # noqa: BLE001 - sampling must not kill the run
+                pass
+
+    th = threading.Thread(target=_sampler, daemon=True)
+    th.start()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, cwd=REPO, env=env,
     )
+    stop.set()
+    th.join(timeout=5)
     wall = time.time() - t0
     after = probe_gbps()
     m = re.findall(r'\{"metric".*\}', proc.stdout)
@@ -136,6 +158,8 @@ def main() -> int:
         "probe_agg_gbps_before": round(agg_before, 2),
         "probe_agg_gbps_after": round(probe_aggregate_gbps(), 2),
         "probe_gbps_after": round(after, 2),
+        "probe_gbps_mid": mid_samples,
+        "probe_gbps_mid_min": min(mid_samples) if mid_samples else None,
         "wall_s": round(wall, 1),
         "rc": proc.returncode,
         "bench": json.loads(m[-1]) if m else None,
@@ -144,7 +168,8 @@ def main() -> int:
     with open(out, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps({k: rec[k] for k in
-                      ("probe_gbps_before", "probe_gbps_after", "wall_s")}))
+                      ("probe_gbps_before", "probe_gbps_mid_min",
+                       "probe_gbps_after", "wall_s")}))
     if rec["bench"]:
         print("headline:", rec["bench"]["value"], rec["bench"]["unit"])
     return proc.returncode
