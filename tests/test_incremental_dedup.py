@@ -190,3 +190,70 @@ def test_commit_group_state_and_lineage(spark, tmp_path, corpus):
     rows = {r["unit"]: r["rows_out"] for r in lin.collect()}
     assert set(rows) == {"batch-1", "batch-2"}
     assert rows["batch-2"] == len(corpus)
+
+
+def test_continuous_near_dup_clusters(spark, tmp_path, corpus):
+    """Streaming twin: micro-batches (maxFilesPerTrigger=1) fold into
+    the committed state; final clusters == full rebuild; a restart
+    with the same checkpoint processes only newly-arrived files; a
+    full replay under a fresh checkpoint is a lineage-keyed no-op."""
+    import os
+
+    from tstoolbox_spark.pipeline.incremental_dedup import (
+        CORPUS_TABLE,
+        continuous_near_dup_clusters,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    cat = ParquetSnapshotCatalog(str(tmp_path / "state"))
+    ck = str(tmp_path / "ck")
+
+    first, second, third = corpus[0:6], corpus[6:12], corpus[12:]
+    _mk(spark, first).coalesce(1).write.parquet(in_dir + "/f1")
+    _mk(spark, second).coalesce(1).write.parquet(in_dir + "/f2")
+
+    # streaming file source wants a flat dir of parquet files
+    # (subdirs per batch keep the writes atomic); publish = copy in
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+
+    def publish(sub):
+        for f in glob.glob(in_dir + f"/{sub}/*.parquet"):
+            shutil.copy(f, flat)
+
+    publish("f1")
+    publish("f2")
+    q = continuous_near_dup_clusters(
+        spark, flat, cat, ck, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = _clusters_pdf(cat.read(spark, CLUSTERS_TABLE))
+    oracle = _clusters_pdf(near_dup_clusters(_mk(spark, first + second)))
+    pd.testing.assert_frame_equal(got, oracle)
+
+    # resume with the SAME checkpoint: only the new file is processed
+    _mk(spark, third).coalesce(1).write.parquet(in_dir + "/f3")
+    publish("f3")
+    lineage_before = cat.read(spark, "lineage").count()
+    q = continuous_near_dup_clusters(spark, flat, cat, ck,
+                                     max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = _clusters_pdf(cat.read(spark, CLUSTERS_TABLE))
+    oracle = _clusters_pdf(near_dup_clusters(_mk(spark, corpus)))
+    pd.testing.assert_frame_equal(got, oracle)
+    assert cat.read(spark, CORPUS_TABLE).count() == len(corpus)
+    lineage_after = cat.read(spark, "lineage").count()
+    assert lineage_after > lineage_before
+
+    # full replay under a LOST (fresh) checkpoint: every micro-batch
+    # unit already has a lineage row, so the fold is a no-op and the
+    # state snapshots do not advance
+    snap_c = cat.current_snapshot("dedup_clusters")["id"]
+    q = continuous_near_dup_clusters(spark, flat, cat, str(tmp_path / "ck2"),
+                                     max_files_per_trigger=1)
+    q.awaitTermination(180)
+    assert cat.current_snapshot("dedup_clusters")["id"] == snap_c

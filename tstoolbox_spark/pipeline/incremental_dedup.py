@@ -67,6 +67,7 @@ from . import lineage as _lineage
 
 BANDS_TABLE = "dedup_bands"
 CLUSTERS_TABLE = "dedup_clusters"
+CORPUS_TABLE = "dedup_corpus"
 
 
 def batch_band_hashes(
@@ -232,13 +233,24 @@ def commit_dedup_state(
     clusters: DataFrame,
     batch_unit: str,
     id_col: str = "doc_id",
+    corpus_append: DataFrame | None = None,
 ) -> dict[str, str]:
     """Atomically commit one batch's dedup state: the band table grows
     by the batch's rows, the cluster table swaps to the updated
-    version, and a lineage row records the batch — all-or-nothing via
-    the catalog's two-phase ``commit_group`` (a reader never sees new
-    bands with stale clusters or vice versa). Returns
-    {table: snapshot_id}."""
+    version, optionally the corpus table grows by the batch's docs
+    (the streaming twin owns its corpus; callers with an external
+    corpus omit it), and a lineage row records the batch —
+    all-or-nothing via the catalog's two-phase ``commit_group``
+    (a reader never sees new bands with stale clusters or vice
+    versa). Returns {table: snapshot_id}.
+
+    Scale note: the sandbox catalog's snapshot primitive is a full
+    table write, so the band/corpus "append" here re-materializes the
+    table; on the real Iceberg format both are appendFiles — a
+    metadata-only manifest commit. The incremental COMPUTE (candidates,
+    verify, touched-subgraph propagation) is what this module buys;
+    append I/O is the table format's job (tables.py header documents
+    the divergence)."""
     if catalog.exists(BANDS_TABLE):
         prev = catalog.read(spark, BANDS_TABLE)
         all_bands = prev.unionByName(new_band_rows)
@@ -247,12 +259,23 @@ def commit_dedup_state(
     else:
         all_bands = new_band_rows
         expected_b = expected_c = None
-    snaps = catalog.commit_group([
+    writes = [
         {"df": all_bands, "table": BANDS_TABLE,
          "expected_current": expected_b},
         {"df": clusters, "table": CLUSTERS_TABLE,
          "expected_current": expected_c},
-    ])
+    ]
+    if corpus_append is not None:
+        if catalog.exists(CORPUS_TABLE):
+            all_corpus = catalog.read(spark, CORPUS_TABLE).unionByName(
+                corpus_append
+            )
+            expected_cr = catalog.current_snapshot(CORPUS_TABLE)["id"]
+        else:
+            all_corpus, expected_cr = corpus_append, None
+        writes.append({"df": all_corpus, "table": CORPUS_TABLE,
+                       "expected_current": expected_cr})
+    snaps = catalog.commit_group(writes)
     lin = clusters.agg(
         F.count("*").alias("rows_out")
     ).select(
@@ -263,3 +286,69 @@ def commit_dedup_state(
     )
     _lineage.append_lineage(catalog, spark, lin)
     return snaps
+
+
+def continuous_near_dup_clusters(
+    spark: SparkSession,
+    input_dir: str,
+    catalog: ParquetSnapshotCatalog,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: str = "doc_id string, text string",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    **dedup_kw,
+):
+    """Streaming twin: every micro-batch of documents folds into the
+    committed dedup state through :func:`incremental_near_dup_update`
+    + :func:`commit_dedup_state` inside ``foreachBatch``. The corpus
+    table is owned by the stream (each batch's docs append in the same
+    atomic commit group), so verify always has the history text.
+
+    Exactly-once WITHOUT relying on sink transactionality (foreachBatch
+    is at-least-once): the lineage unit is ``stream:<batch_id>`` — a
+    replayed batch after a crash finds its unit already in lineage and
+    skips, and because state + lineage commit in one snapshot swap, a
+    batch is either fully folded with its lineage row or absent.
+    Returns the StreamingQuery.
+    """
+    from . import lineage as _lineage
+
+    def _fold(batch_df, batch_id: int):
+        unit = f"stream:{batch_id}"
+        done = _lineage.completed_units(
+            catalog, spark, f"dedup:{CLUSTERS_TABLE}"
+        )
+        if done is not None and done.filter(F.col("unit") == unit).count():
+            return  # crash-replayed batch: already committed
+        batch = batch_df.select(id_col, text_col).localCheckpoint()
+        if not batch.take(1):
+            return
+        if catalog.exists(CLUSTERS_TABLE):
+            old_docs = catalog.read(spark, CORPUS_TABLE)
+            old_bands = catalog.read(spark, BANDS_TABLE)
+            old_clusters = catalog.read(spark, CLUSTERS_TABLE)
+        else:
+            old_docs = old_bands = old_clusters = None
+        nb, cl = incremental_near_dup_update(
+            batch, old_docs=old_docs, old_bands=old_bands,
+            old_clusters=old_clusters, text_col=text_col, id_col=id_col,
+            **dedup_kw,
+        )
+        commit_dedup_state(
+            spark, catalog, nb, cl, batch_unit=unit, id_col=id_col,
+            corpus_append=batch,
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
