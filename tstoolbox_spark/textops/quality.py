@@ -119,13 +119,18 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_quality_flags(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 50, max_words: int = 100_000,
+    min_stopword_hits: int = 2, stopwords: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
     the public MassiveWeb filter heuristics), as pure column
     expressions: word-count bounds, mean-word-length band, symbol/word
     ratio, alphabetic-word ratio, stopword requirement, plus the
-    composite ``keep``. One narrow pass, no shuffle."""
+    composite ``keep``. One narrow pass, no shuffle. Defaults are the
+    paper's; the bounds/stopword knobs exist because real pipelines
+    tune them per corpus and language (the paper's English stopword
+    rule zeroes a non-English or domain-vocabulary corpus)."""
     t = F.col(text_col)
     w = words(t)
     n_words = F.size(w)
@@ -140,13 +145,14 @@ def gopher_quality_flags(
     symbol_ratio = (hash_count + ellipsis_count).cast("double") / n_words
     alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
     alpha_ratio = alpha_words.cast("double") / n_words
-    stop_hits = F.size(F.array_distinct(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))))
+    sw = stopwords if stopwords is not None else GOPHER_STOPWORDS
+    stop_hits = F.size(F.array_distinct(F.filter(w, lambda x: x.isin(*sw))))
     flags = {
-        "flag_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "flag_word_count": (n_words >= min_words) & (n_words <= max_words),
         "flag_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
         "flag_symbol_ratio": symbol_ratio <= 0.1,
         "flag_alpha_ratio": alpha_ratio >= 0.8,
-        "flag_stopwords": stop_hits >= 2,
+        "flag_stopwords": stop_hits >= min_stopword_hits,
     }
     keep = None
     for c in flags.values():
