@@ -159,12 +159,29 @@ def incremental_near_dup_update(
             new_docs.select(id_col, text_col)
         )
     )
+    # restrict to candidate members BEFORE the shingle explode —
+    # verify_candidates semi-joins after exploding, which would still
+    # shingle-explode the entire committed corpus here; the pre-filter
+    # keeps the verify stage linear in candidates, the whole point of
+    # the incremental path
+    cand_members = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs_v = docs_union.join(F.broadcast(cand_members), id_col, "left_semi")
     verified = verify_candidates(
-        docs_union, cand, text_col, id_col, n, threshold
+        docs_v, cand, text_col, id_col, n, threshold
     ).persist()
     edges = verified.select("doc_a", "doc_b")
 
     new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+    # the returned frames are STATE: materialize them (localCheckpoint
+    # is eager) BEFORE unpersisting the candidate/verify intermediates.
+    # Returning the lazy DAG instead re-executes the whole
+    # candidates→verify subtree uncached at every later evaluation —
+    # measured 10-30x fold slowdowns growing with corpus size.
+    new_bands = new_bands.localCheckpoint()
     if old_clusters is None:
         seed = new_ids.withColumn("label", F.col("doc"))
         labels = hashmin_propagate(seed, edges, max_iter)
@@ -172,7 +189,7 @@ def incremental_near_dup_update(
             F.col("doc").alias(id_col),
             F.col("label").alias("cluster"),
             (F.col("doc") == F.col("label")).alias("keeper"),
-        )
+        ).localCheckpoint()
         cand.unpersist()
         verified.unpersist()
         return new_bands, out
@@ -219,7 +236,11 @@ def incremental_near_dup_update(
         F.col("label").alias("cluster"),
         (F.col("doc") == F.col("label")).alias("keeper"),
     )
-    out = untouched.select(id_col, "cluster", "keeper").unionByName(recomputed)
+    out = (
+        untouched.select(id_col, "cluster", "keeper")
+        .unionByName(recomputed)
+        .localCheckpoint()
+    )
     cand.unpersist()
     verified.unpersist()
     affected.unpersist()
