@@ -619,11 +619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BENCH/BASELINE.md round-4 roll #2). A green r4 window makes
     # every registered query driver-certified at least once.
     # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 certifies this
-    # window, the only queries without a driver row are the four
+    # window, the only queries without a driver row are the six
     # added after the r4 freeze — phll_distinct_daily,
     # phll_growth_daily, phll_overlap_click_view,
-    # anomaly_flags_hourly. Swap them in for any four certified rows
-    # below (scripts/window_report.py reproduces the accounting).
+    # anomaly_flags_hourly, ivfpq_topk, zorder_key_top. Swap them in
+    # for any six certified rows below (scripts/window_report.py
+    # reproduces the accounting).
     front = [
         # (a) the 47 never driver-checked (late round-3 families)
         "canonical_docs", "dup_size_histogram", "peak_sine",
