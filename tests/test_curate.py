@@ -107,12 +107,17 @@ def test_curation_funnel(spark, tmp_path, docs, eval_df):
     assert fr["exact_dedup"] == 11 and fr["decontam"] == 8
 
     # resume: a second run recomputes nothing and reports identically
+    # (pass-through stages — here mixture, with no target mixture —
+    # are skipped, not materialized, on every run)
     report2 = curate_corpus(spark, docs, cat, spec, eval_df=eval_df)
     for stage, info in report2.items():
         if stage == "input":
             continue
-        assert info["resumed"], stage
+        assert info.get("resumed") or info.get("skipped"), stage
         assert info["rows"] == report[stage]["rows"]
+    assert report2["mixture"]["skipped"]
+    import os as _os
+    assert not _os.path.exists(str(tmp_path / "curate" / "curate_mixture"))
 
 
 def test_mixture_stage(spark, tmp_path, docs):

@@ -95,31 +95,60 @@ def _stage(
     name: str,
     build,
     report: dict,
+    passthrough_of: DataFrame | None = None,
 ) -> DataFrame:
     """Run (or resume) one curation stage: read the committed table if
-    it exists, else build, commit, and append a lineage row."""
+    it exists, else build and commit the table TOGETHER WITH its
+    lineage funnel row in one atomic commit group (a crash can never
+    leave a committed stage without its funnel row).
+
+    ``passthrough_of``: when the stage is configured off (no eval set,
+    no mixture), pass the input frame — the stage records its funnel
+    row as skipped in the report and is NOT re-materialized (at scale
+    a no-op stage must not rewrite the corpus)."""
+    if passthrough_of is not None:
+        report[name] = {"rows": report[_prev_stage(report)]["rows"],
+                        "resumed": False, "skipped": True}
+        return passthrough_of
     table = f"curate_{name}"
     if catalog.exists(table):
         out = catalog.read(spark, table)
         report[name] = {"rows": out.count(), "resumed": True}
         return out
     df = build()
-    snap = catalog.write_snapshot(df, table)
-    out = catalog.read(spark, table)
-    n = out.count()
+
     # lineage row built off range(1), NOT off the stage data — a stage
     # that (correctly) empties the corpus still records its funnel row
-    _lineage.append_lineage(
-        catalog, spark,
-        spark.range(1).select(
+    def _lin(n: int):
+        return spark.range(1).select(
             F.lit(name).alias("unit"),
             F.lit(f"curate:{name}").alias("stage"),
-            F.lit(snap).alias("snapshot"),
+            F.lit(f"group:curate:{name}").alias("snapshot"),
             F.lit(n).cast("long").alias("rows_out"),
-        ),
-    )
+        )
+
+    df = df.localCheckpoint()
+    n = df.count()
+    lin_new = _lin(n)
+    if catalog.exists(_lineage.LINEAGE_TABLE):
+        all_lin = catalog.read(spark, _lineage.LINEAGE_TABLE).unionByName(
+            lin_new, allowMissingColumns=True
+        )
+        expected_l = catalog.current_snapshot(_lineage.LINEAGE_TABLE)["id"]
+    else:
+        all_lin, expected_l = lin_new, None
+    catalog.commit_group([
+        {"df": df, "table": table, "expected_current": None},
+        {"df": all_lin, "table": _lineage.LINEAGE_TABLE,
+         "expected_current": expected_l},
+    ])
+    out = catalog.read(spark, table)
     report[name] = {"rows": n, "resumed": False}
     return out
+
+
+def _prev_stage(report: dict) -> str:
+    return next(reversed(report))
 
 
 def curate_corpus(
@@ -150,7 +179,9 @@ def curate_corpus(
         keepers = exact_dedup(normalized, text_col, id_col).select(
             F.col("keeper").alias(id_col)
         )
-        return normalized.join(F.broadcast(keepers), id_col, "left_semi")
+        # keepers is ~corpus-sized on a mostly-unique corpus: no
+        # broadcast hint — AQE picks shuffle vs broadcast by size
+        return normalized.join(keepers, id_col, "left_semi")
 
     exact = _stage(spark, catalog, "exact_dedup", _exact, report)
 
@@ -162,7 +193,7 @@ def curate_corpus(
             id_col, F.length(text_col).cast("long").alias("n_chars")
         )
         best = canonical_pick(clusters, scores, id_col, "n_chars").select(id_col)
-        return exact.join(F.broadcast(best), id_col, "left_semi")
+        return exact.join(best, id_col, "left_semi")
 
     near = _stage(spark, catalog, "near_dedup", _near, report)
 
@@ -172,19 +203,17 @@ def curate_corpus(
             keep = gopher_quality_flags(
                 out, text_col, id_col, **spec.gopher_kwargs
             ).filter(F.col("keep")).select(id_col)
-            out = out.join(F.broadcast(keep), id_col, "left_semi")
+            out = out.join(keep, id_col, "left_semi")
         if spec.min_quality_score is not None:
             good = quality_score(out, text_col, id_col).filter(
                 F.col("quality_score") >= spec.min_quality_score
             ).select(id_col)
-            out = out.join(F.broadcast(good), id_col, "left_semi")
+            out = out.join(good, id_col, "left_semi")
         return out
 
     quality = _stage(spark, catalog, "quality", _quality, report)
 
     def _decontam():
-        if eval_df is None:
-            return quality
         flags = ngram_contamination(
             quality, eval_df, n=spec.contamination_ngram,
             text_col=text_col, id_col=id_col,
@@ -195,17 +224,17 @@ def curate_corpus(
         bad = flags.filter(F.col("contaminated")).select(id_col)
         return quality.join(F.broadcast(bad), id_col, "left_anti")
 
-    decontam = _stage(spark, catalog, "decontam", _decontam, report)
+    decontam = _stage(spark, catalog, "decontam", _decontam, report,
+                      passthrough_of=quality if eval_df is None else None)
 
     def _mixture():
-        if spec.mixture is None:
-            return decontam
         return mixture_sample(
             decontam, spec.mixture, strata_col=source_col,
             id_col=id_col, salt=spec.salt,
         )
 
-    mixed = _stage(spark, catalog, "mixture", _mixture, report)
+    mixed = _stage(spark, catalog, "mixture", _mixture, report,
+                   passthrough_of=decontam if spec.mixture is None else None)
 
     def _split():
         return assign_split(mixed, spec.splits, id_col=id_col, salt=spec.salt)

@@ -159,19 +159,11 @@ def incremental_near_dup_update(
             new_docs.select(id_col, text_col)
         )
     )
-    # restrict to candidate members BEFORE the shingle explode —
-    # verify_candidates semi-joins after exploding, which would still
-    # shingle-explode the entire committed corpus here; the pre-filter
-    # keeps the verify stage linear in candidates, the whole point of
-    # the incremental path
-    cand_members = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    docs_v = docs_union.join(F.broadcast(cand_members), id_col, "left_semi")
+    # verify_candidates restricts to candidate members BEFORE its
+    # shingle explode, so the committed corpus text is never
+    # re-shingled — the property the incremental path depends on
     verified = verify_candidates(
-        docs_v, cand, text_col, id_col, n, threshold
+        docs_union, cand, text_col, id_col, n, threshold
     ).persist()
     edges = verified.select("doc_a", "doc_b")
 
@@ -296,17 +288,29 @@ def commit_dedup_state(
             all_corpus, expected_cr = corpus_append, None
         writes.append({"df": all_corpus, "table": CORPUS_TABLE,
                        "expected_current": expected_cr})
-    snaps = catalog.commit_group(writes)
-    lin = clusters.agg(
-        F.count("*").alias("rows_out")
-    ).select(
+    # the lineage row rides IN the commit group: state and its batch
+    # unit land in one atomic swap, so a crash can never leave state
+    # committed without the unit row (the streaming exactly-once skip
+    # depends on exactly this). The snapshot column carries a
+    # deterministic group token — per-table snapshot ids are assigned
+    # inside the commit and are discoverable from the manifests.
+    n_rows = clusters.count()
+    lin_new = spark.range(1).select(
         F.lit(batch_unit).alias("unit"),
         F.lit(f"dedup:{CLUSTERS_TABLE}").alias("stage"),
-        F.lit(snaps[CLUSTERS_TABLE]).alias("snapshot"),
-        "rows_out",
+        F.lit(f"group:{batch_unit}").alias("snapshot"),
+        F.lit(n_rows).cast("long").alias("rows_out"),
     )
-    _lineage.append_lineage(catalog, spark, lin)
-    return snaps
+    if catalog.exists(_lineage.LINEAGE_TABLE):
+        all_lin = catalog.read(spark, _lineage.LINEAGE_TABLE).unionByName(
+            lin_new, allowMissingColumns=True
+        )
+        expected_l = catalog.current_snapshot(_lineage.LINEAGE_TABLE)["id"]
+    else:
+        all_lin, expected_l = lin_new, None
+    writes.append({"df": all_lin, "table": _lineage.LINEAGE_TABLE,
+                   "expected_current": expected_l})
+    return catalog.commit_group(writes)
 
 
 def continuous_near_dup_clusters(

@@ -329,15 +329,16 @@ def verify_candidates(
     doc_b)`` against the docs in ``df`` — the verify half of
     :func:`minhash_lsh_dedup`, exposed so incremental runs can verify
     new×old candidates against the committed corpus."""
-    ex = _exploded_shingles(df, text_col, id_col, n)
     # verify only candidate DOCS' shingles: the posting-list self-join
     # over the full corpus squares on hot shingles (a stopword bigram
-    # touches every doc); restricting both sides to candidate members
-    # first keeps the verify stage linear in |candidates| — 15x on the
-    # sf0.1 corpus, the difference between feasible and not at 100 TB.
+    # touches every doc); restricting to candidate members BEFORE the
+    # shingle explode keeps the verify stage linear in |candidates| —
+    # 15x on the sf0.1 corpus, the difference between feasible and not
+    # at 100 TB — and never re-shingles non-candidate text (the
+    # property the incremental fold depends on).
     cand_docs = (
-        cand.select(F.col("doc_a").alias("doc"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
     # BOUND: broadcasting cand_docs assumes |candidate doc ids| fits the
@@ -345,7 +346,8 @@ def verify_candidates(
     # near-dup rate is a few % of the corpus — the regime LSH targets.
     # If a corpus is mostly duplicates, drop the broadcast hint and let
     # AQE choose a shuffle semi-join instead.
-    ex_c = ex.join(F.broadcast(cand_docs), "doc", "left_semi")
+    df_c = df.join(F.broadcast(cand_docs), id_col, "left_semi")
+    ex_c = _exploded_shingles(df_c, text_col, id_col, n)
     sizes = ex_c.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a, b_ = ex_c.alias("a"), ex_c.alias("b")
     shared = (

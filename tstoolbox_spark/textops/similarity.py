@@ -410,17 +410,11 @@ def pq_topk(
     dsub = len(codebooks[0][0])
     # query-to-code distance table, python floats in the same
     # ascending-index fold order as _sub_l2 -> bit-identical to SQL
-    table = []
-    for mi in range(m):
-        qs = query_vec[mi * dsub:(mi + 1) * dsub]
-        row = []
-        for c in codebooks[mi]:
-            acc = None
-            for qi, ci in zip(qs, c):
-                t = (float(qi) - float(ci)) * (float(qi) - float(ci))
-                acc = t if acc is None else acc + t
-            row.append(acc)
-        table.append(row)
+    table = [
+        [_l2_fold_py(query_vec[mi * dsub:(mi + 1) * dsub], c)
+         for c in codebooks[mi]]
+        for mi in range(m)
+    ]
     scored = df if codes_col else pq_encode(
         df, codebooks, vec_col, "__pq", vectorized=vectorized
     )
