@@ -513,22 +513,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["peak_detection_rel2"] = q_peaks
 
     def q_trend(s, d):
+        # OLS slope/intercept per event_type over (epoch seconds,
+        # value). All moment sums route through EXACT INTEGER
+        # arithmetic — x as BIGINT microseconds, value quantized to
+        # integer micro-units (identical ROUND-away-from-zero of the
+        # same IEEE product on both engines) — because per-row
+        # double→DECIMAL(38,6) casts round DIFFERENTLY in Spark
+        # (exact BigDecimal) vs DuckDB (double multiply), which the
+        # r5 full-precision gate exposed (VERDICT r4 #2). Integer
+        # sums are order-free and bit-identical; the closing
+        # num/den→double casts are correctly rounded on both engines
+        # (verified bit-exact), so slope/intercept hash-match at
+        # %.17g. Units: slope is value per SECOND (µvalue/µs ≡ v/s).
         ev = _events(s, d).select("event_type", "ts", "value")
-        # x relative to 2024-01-01 in seconds (double, deterministic per
-        # row); every SUM routes through DECIMAL(38,6) so aggregation
-        # order cannot perturb the result (hash-stable vs DuckDB).
-        x = (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)).cast("double") / 1e6
-        v = F.col("value")
-        d6 = "decimal(38,6)"
-        n = F.count("*").cast("double")
-        sx = F.sum(x.cast(d6)).cast("double")
-        sy = F.sum(v.cast(DEC)).cast("double")
-        sxy = F.sum((x * v).cast(d6)).cast("double")
-        sxx = F.sum((x * x).cast(d6)).cast("double")
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        intercept = (sy - slope * sx) / n
-        return ev.groupBy("event_type").agg(
-            slope.alias("slope"), intercept.alias("intercept")
+        D38 = "decimal(38,0)"
+        x_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)
+        vq = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
+        agg = ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(x_us.cast(D38)).alias("sx"),
+            F.sum(vq.cast(D38)).alias("sy"),
+            F.sum(x_us.cast(D38) * vq).alias("sxy"),
+            F.sum(x_us.cast(D38) * x_us).alias("sxx"),
+        )
+        nD = F.col("n").cast(D38)
+        num = nD * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = nD * F.col("sxx") - F.col("sx") * F.col("sx")
+        slope = num.cast("double") / den.cast("double")
+        intercept = (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ) / F.lit(1000000.0)
+        return agg.select(
+            "event_type", slope.alias("slope"), intercept.alias("intercept")
         )
 
     q["linear_trend"] = q_trend
@@ -618,34 +635,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fit_lowess/linear_trend "regressions" were window noise,
     # BENCH/BASELINE.md round-4 roll #2). A green r4 window makes
     # every registered query driver-certified at least once.
-    # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 certifies this
-    # window, the only queries without a driver row are the six
-    # added after the r4 freeze — phll_distinct_daily,
-    # phll_growth_daily, phll_overlap_click_view,
-    # anomaly_flags_hourly, ivfpq_topk, zorder_key_top. Swap them in
-    # for any six certified rows below (scripts/window_report.py
-    # reproduces the accounting).
+    # ROUND-5 ROTATION (VERDICT r4 next-round #3): front-load
+    # (a) the 7 queries with no green driver row — the 6 added after
+    # the r4 freeze (phll trio, anomaly_flags_hourly, ivfpq_topk,
+    # zorder_key_top) plus the repaired peak_sine (r4's only red row;
+    # tau now emitted as a small-magnitude offset);
+    # (b) the 2 queries rewritten this round after the %.17g local
+    # gate flushed them (linear_trend, detrend_residuals — per-row
+    # double→decimal casts diverge between engines; now exact-integer
+    # moment sums) and the NEW ivfpq_batch_topk (VERDICT #6);
+    # (c) 40 flagship re-checks spanning every family (rollup verbs,
+    # windows, fill, stats, signal, events, dedup, ANN, quality,
+    # sampling/packing, sketch tiers, incremental refresh) — all
+    # driver-green in r1-r3, re-certified under the tightened gate.
+    # scripts/window_report.py reproduces the accounting.
     front = [
-        # (a) the 47 never driver-checked (late round-3 families)
-        "canonical_docs", "dup_size_histogram", "peak_sine",
-        "holt_level_trend", "holt_winters_mul_24h", "holt_forecast_24h",
-        "holt_winters_forecast_36h", "mixture_sample_weighted",
-        "psi_value_halves", "ks_click_view", "chi2_event_mix",
-        "adf_value_hourly", "mann_kendall_hourly",
-        "engle_granger_click_view", "lomb_scargle_periods",
-        "pack_bins_2048", "vocab_remap_16", "dsir_weights", "pacf_3",
-        "sax_daily_8", "kn_bigram_logprob", "sliding_chunks_32_8",
-        "tier_trimmed_mean", "source_overlap", "span_corrupt_3",
-        "byte_stats", "integrate_trapz", "corpus_split",
-        "state_runs_user", "backtest_folds_4", "tier_winsorized_mean",
-        "drawdown_daily", "vwap_monthly", "quantile_normalize_value",
-        "tier_cdf_thresholds", "staleness_sources", "zipf_alpha_source",
-        "gap_density_hourly", "packing_efficiency", "benford_digits",
-        "iqr_outliers_monthly", "corr_matrix_hourly", "rolling_p90_24",
-        "funnel_latency_p50", "tokenizer_fertility",
-        "interval_coverage_daily", "seasonality_strength",
-        # (b) new-this-round cubic gap-fill trio (never driver-checked)
-        "fill_spline_natural", "fill_pchip_monotone", "fill_akima",
+        # (a)+(b): never-certified / repaired / new
+        "peak_sine", "ivfpq_topk", "ivfpq_batch_topk",
+        "phll_distinct_daily", "phll_growth_daily",
+        "phll_overlap_click_view", "zorder_key_top",
+        "anomaly_flags_hourly", "linear_trend", "detrend_residuals",
+        # (c): flagship re-checks
+        "agg_hourly", "tier_cascade_1m_1h", "agg_ohlc_daily",
+        "agg_7day", "date_slice", "regularize_hourly_grid",
+        "round_index_15min_floor", "rolling_24row_sum_mean",
+        "rolling_6h_time_window", "ewm_mean_span12",
+        "expanding_cumsum_cummax", "fill_linear", "fill_ffill",
+        "upsample_linear_15m", "equation_multi_column", "gof_battery",
+        "theilsen_trend", "pca_covariance", "ols_hour_dow",
+        "fft_lowpass", "butterworth_lowpass", "sessionize_30m",
+        "funnel_3step", "asof_join_hourly", "retention_weekly",
+        "dedup_exact", "minhash_lsh_dedup", "dedup_clusters",
+        "semdedup", "substring_dedup", "similarity_topk", "ivf_topk",
+        "pq_topk", "gopher_quality_flags", "stratified_sample",
+        "chunk_pack_64", "shard_assign_16", "tier_quantiles_hist",
+        "ddsketch_quantiles_daily", "incremental_rollup_refresh",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -924,30 +948,40 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
     def q_detrend(s, d):
         """remove_trend: per-row OLS residual v - (slope*x + intercept)
         per event_type (ref remove_trend.py:111); slope/intercept from
-        the same exact decimal sums as linear_trend, broadcast back over
-        a key window."""
+        the same EXACT-INTEGER moment sums as linear_trend (bigint µs ×
+        micro-quantized value — per-row double→decimal casts diverge
+        between engines, VERDICT r4 #2), broadcast back over the key.
+        Given bit-identical slope/intercept, the per-row residual is
+        the same deterministic IEEE expression on both engines."""
         ev = _events(s, d).select("event_id", "event_type", "ts", "value")
-        x = (
-            F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)
-        ).cast("double") / 1e6
-        v = F.col("value")
-        d6 = "decimal(38,6)"
+        D38 = "decimal(38,0)"
+        x_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)
+        vq = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
         sums = ev.groupBy("event_type").agg(
-            F.count("*").cast("double").alias("n"),
-            F.sum(x.cast(d6)).cast("double").alias("sx"),
-            F.sum(v.cast(DEC)).cast("double").alias("sy"),
-            F.sum((x * v).cast(d6)).cast("double").alias("sxy"),
-            F.sum((x * x).cast(d6)).cast("double").alias("sxx"),
+            F.count("*").alias("n"),
+            F.sum(x_us.cast(D38)).alias("sx"),
+            F.sum(vq.cast(D38)).alias("sy"),
+            F.sum(x_us.cast(D38) * vq).alias("sxy"),
+            F.sum(x_us.cast(D38) * x_us).alias("sxx"),
         )
-        j = ev.join(F.broadcast(sums), "event_type")
-        n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-        sxy, sxx = F.col("sxy"), F.col("sxx")
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        intercept = (sy - slope * sx) / n
+        nD = F.col("n").cast(D38)
+        num = nD * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = nD * F.col("sxx") - F.col("sx") * F.col("sx")
+        slope = num.cast("double") / den.cast("double")
+        intercept = (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ) / F.lit(1000000.0)
+        fit = sums.select(
+            "event_type", slope.alias("__slope"), intercept.alias("__icpt")
+        )
+        j = ev.join(F.broadcast(fit), "event_type")
+        x_s = x_us.cast("double") / F.lit(1000000.0)
         return j.select(
             "event_id",
             "event_type",
-            (v - (slope * x + intercept)).alias("value_detrend"),
+            (F.col("value") - (F.col("__slope") * x_s + F.col("__icpt")))
+            .alias("value_detrend"),
         )
 
     q["detrend_residuals"] = q_detrend
@@ -1477,23 +1511,33 @@ def oracle_sql() -> dict[str, str]:
                wa AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
     """
-    o["linear_trend"] = f"""
+    o["linear_trend"] = """
         WITH b AS (
-          SELECT event_type, value,
-                 CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1e6 AS x
+          SELECT event_type,
+                 CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) AS x_us,
+                 CAST(ROUND(value * 1000000.0) AS HUGEINT) AS vq
           FROM events),
         s AS (
-          SELECT event_type,
-                 CAST(COUNT(*) AS DOUBLE) AS n,
-                 CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-                 CAST(SUM(CAST(value AS {DECS})) AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(x * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-                 CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
-          FROM b GROUP BY event_type)
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(x_us AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(vq AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x_us * vq AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x_us * x_us AS DECIMAL(38,0))) AS sxx
+          FROM b GROUP BY event_type),
+        t AS (
+          SELECT event_type, n, sx, sy,
+                 CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+                 CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
+          FROM s)
         SELECT event_type,
-               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
-        FROM s
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+               ((CAST(sy AS DOUBLE)
+                 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                 / 1000000.0 AS intercept
+        FROM t
     """
     o["equation_expr"] = """
         SELECT event_id, user_id,
@@ -1687,25 +1731,39 @@ def _verb_oracles_round2() -> dict[str, str]:
         WINDOW wk AS (PARTITION BY event_type)
     """
 
-    o["detrend_residuals"] = f"""
+    o["detrend_residuals"] = """
         WITH b AS (
           SELECT event_id, event_type, value,
-                 CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 1e6 AS x
+                 CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) AS x_us,
+                 CAST(ROUND(value * 1000000.0) AS HUGEINT) AS vq
           FROM events),
-        w AS (
-          SELECT event_id, event_type, value, x,
-                 CAST(COUNT(*) OVER wk AS DOUBLE) AS n,
-                 CAST(SUM(CAST(x AS DECIMAL(38,6))) OVER wk AS DOUBLE) AS sx,
-                 CAST(SUM(CAST(value AS {DECS})) OVER wk AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(x * value AS DECIMAL(38,6))) OVER wk AS DOUBLE) AS sxy,
-                 CAST(SUM(CAST(x * x AS DECIMAL(38,6))) OVER wk AS DOUBLE) AS sxx
-          FROM b
-          WINDOW wk AS (PARTITION BY event_type))
-        SELECT event_id, event_type,
-               value - ((n * sxy - sx * sy) / (n * sxx - sx * sx) * x
-                        + (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
-                 AS value_detrend
-        FROM w
+        s AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(x_us AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(vq AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x_us * vq AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x_us * x_us AS DECIMAL(38,0))) AS sxx
+          FROM b GROUP BY event_type),
+        t AS (
+          SELECT event_type,
+                 CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+                 CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+                 sx, sy, n
+          FROM s),
+        f AS (
+          SELECT event_type,
+                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+                 ((CAST(sy AS DOUBLE)
+                   - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                   / 1000000.0 AS icpt
+          FROM t)
+        SELECT b.event_id, b.event_type,
+               b.value - (f.slope * (CAST(b.x_us AS DOUBLE) / 1000000.0)
+                          + f.icpt) AS value_detrend
+        FROM b JOIN f ON f.event_type = b.event_type
     """
 
     o["add_trend_ramp"] = """
@@ -3059,8 +3117,12 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         model A*sin(w*t+phi)+m): refine each strict neighbor-max
         extremum by a closed-form Prony + linear-phase fit (the ref
         uses scipy curve_fit; same model, deterministic estimator —
-        peaks.peak_sine docstring). ROUND(6) absorbs the <=1-ulp
-        sin/acos/atan2 libm differences between the JVM and DuckDB."""
+        peaks.peak_sine docstring). tau is reported as the
+        small-magnitude offset from the raw peak's timestamp so that
+        ROUND(6) stays within double precision — rounding the absolute
+        epoch (~1.7e9) to 6 decimals is ~16 significant digits, which
+        let sub-ulp JVM/DuckDB acos/atan2 drift flip the r4 driver
+        hash (VERDICT r4 what's-wrong #1)."""
         from tstoolbox_spark.operators.peaks import peak_sine
 
         out = peak_sine(
@@ -3069,7 +3131,7 @@ def _verb_queries_round3() -> dict[str, Callable[[SparkSession, str], DataFrame]
         )
         return out.select(
             "event_type", "ts", "peak_raw",
-            F.round("tau_epoch_s", 6).alias("tau_epoch_s"),
+            F.round("tau_offset_s", 6).alias("tau_offset_s"),
             F.round("peak_fitted", 6).alias("peak_fitted"),
         )
 
@@ -3811,10 +3873,9 @@ def _verb_oracles_round3() -> dict[str, str]:
           SELECT *, ({math.pi / 2.0!r}e0 - phi) / th AS tstar
           FROM apex)
         SELECT event_type, ts, y AS peak_raw,
-               ROUND(CAST(epoch(ts) AS DOUBLE)
-                     + (tstar - ({2.0 * math.pi!r}e0 / th)
-                        * FLOOR(tstar * th / {2.0 * math.pi!r}e0 + 0.5))
-                       * step, 6) AS tau_epoch_s,
+               ROUND((tstar - ({2.0 * math.pi!r}e0 / th)
+                      * FLOOR(tstar * th / {2.0 * math.pi!r}e0 + 0.5))
+                     * step, 6) AS tau_offset_s,
                ROUND(m + amp, 6) AS peak_fitted
         FROM tt
     """
@@ -8148,6 +8209,43 @@ def _queries_round4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivfpq_topk"] = q_ivfpq
 
+    def q_ivfpq_batch(s, d):
+        """Batched IVFADC (VERDICT r4 #6): one job resolves a query
+        DataFrame (vec_ids 0/100/200) — per-query probe cells + ADC
+        LUTs as a broadcast table joined onto a codes-only scan,
+        per-query top-k via a partitioned row_number window (no
+        global sort). Same coarse cells / codebooks as ivfpq_topk;
+        every distance is the same ascending-index left-assoc term
+        sum on both engines (similarity.ivfpq_probe_table docstring),
+        so the batch result is bit-identical to three single-query
+        jobs."""
+        from tstoolbox_spark.textops.similarity import ivfpq_topk_batch
+
+        emb = _emb(s, d)
+        rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        dim = len(rows[0]["embedding"])
+        m, dsub = 8, dim // 8
+        cents = [[float(x) for x in rows[i]["embedding"]] for i in range(4)]
+        books = [
+            [[float(x) for x in r["embedding"][mi * dsub:(mi + 1) * dsub]]
+             for r in rows]
+            for mi in range(m)
+        ]
+        queries = emb.filter(F.col("vec_id").isin(0, 100, 200)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivfpq_topk_batch(
+            emb.filter(F.col("vec_id") > 0), queries, cents, books,
+            k=5, nprobe=2,
+        )
+        return out.select(
+            "query_id", "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+
+    q["ivfpq_batch_topk"] = q_ivfpq_batch
+
     def q_zorder(s, d):
         """Z-order (Morton) layout key over (time, value)
         (pipeline/layout.py quantize + morton_interleave — the
@@ -8715,6 +8813,66 @@ def _oracles_round4() -> dict[str, str]:
         FROM piv
         ORDER BY {_adc_sum4} ASC, vec_id ASC
         LIMIT 10
+    """
+
+    # ivfpq_batch_topk: same cells/codebooks, three queries (vec_id
+    # 0/100/200), per-query probe + per-(query,cell) ADC table, top-5
+    # per query via ROW_NUMBER — the SQL twin of the broadcast
+    # probe-table + partitioned-window Spark plan.
+    o["ivfpq_batch_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN (0, 100, 200)),
+        c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 4),
+        probe AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_l2_64('c.cv', 'q.qv')} ASC, c.cell ASC)
+                     AS rn
+            FROM c CROSS JOIN q) WHERE rn <= 2),
+        ms AS (SELECT unnest(range(8)) AS m),
+        cb AS (
+          SELECT cbv.vec_id AS code, ms.m,
+                 list_slice(cbv.v, ms.m*8 + 1, ms.m*8 + 8) AS cv,
+                 ms.m*8 AS off
+          FROM e cbv CROSS JOIN ms WHERE cbv.vec_id < 16),
+        assigned AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT cell FROM c
+                  ORDER BY {_l2_64('c.cv', 'e.v')} ASC, cell ASC
+                  LIMIT 1) AS cell
+          FROM e WHERE e.vec_id > 0),
+        pruned AS (
+          SELECT a.vec_id, a.v, a.cell, cc.cv AS centv
+          FROM assigned a JOIN c cc ON cc.cell = a.cell
+          WHERE a.cell IN (SELECT DISTINCT cell FROM probe)),
+        corpsub AS (
+          SELECT p.vec_id, p.cell, cb.m, cb.code,
+                 {_l2_res('p.v', 'p.centv', 'cb.cv')} AS dst
+          FROM pruned p CROSS JOIN cb),
+        enc AS (
+          SELECT vec_id, cell, m, code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                       ORDER BY dst ASC, code ASC) AS rn
+            FROM corpsub) WHERE rn = 1),
+        tq AS (
+          SELECT pr.query_id, pr.cell, cb.m, cb.code,
+                 {_l2_res('q.qv', 'pc.cv', 'cb.cv')} AS dq
+          FROM probe pr
+          JOIN q ON q.query_id = pr.query_id
+          JOIN c pc ON pc.cell = pr.cell
+          CROSS JOIN cb),
+        piv AS (
+          SELECT tq.query_id, enc.vec_id, enc.cell, {_adc_piv4}
+          FROM enc JOIN tq ON tq.cell = enc.cell AND tq.m = enc.m
+                          AND tq.code = enc.code
+          GROUP BY tq.query_id, enc.vec_id, enc.cell)
+        SELECT query_id, vec_id, cell, ROUND({_adc_sum4}, 6) AS adc_dist
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY {_adc_sum4} ASC, vec_id ASC) AS rn
+          FROM piv) WHERE rn <= 5
     """
 
     # zorder_key_top: identical quantizers (floor((x-lo)/span*65536)

@@ -33,7 +33,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return f"{v:.9g}"
+            # Driver-equivalent precision (VERDICT r4 #2): the round
+            # driver hashes exact values, so the local gate must not
+            # forgive trailing-digit divergence. %.17g is a lossless
+            # round-trip for IEEE doubles (and distinguishes -0.0).
+            return f"{v:.17g}"
         return str(v)
 
     out = df.apply(lambda col: col.map(norm_cell))

@@ -434,6 +434,15 @@ def peak_sine(
         *key_cols,
         F.col(ts_col),
         y.alias("peak_raw"),
+        # tau twice: as the absolute epoch (API parity with
+        # peak_parabola) and as the small-magnitude offset from the
+        # raw peak's own timestamp. Downstream comparisons should use
+        # the offset — an absolute epoch (~1.7e9 s) rounded to 6
+        # decimals is ~16 significant digits, at/beyond double's
+        # mantissa, so sub-ulp libm (acos/atan2) differences between
+        # engines flip the last digit; the offset is O(period) seconds
+        # and ROUND(6) is safely representable (VERDICT r4 #1).
         (ts_s + tw * F.col("__step")).alias("tau_epoch_s"),
+        (tw * F.col("__step")).alias("tau_offset_s"),
         (m + amp).alias("peak_fitted"),
     )

@@ -220,9 +220,13 @@ def curate_corpus(
         )
         # anti-join on the FLAGGED set: docs too short to produce any
         # n-gram are absent from the flags frame entirely and must
-        # survive (a semi-join on the clean set would drop them)
+        # survive (a semi-join on the clean set would drop them).
+        # No broadcast hint (VERDICT r4 #5): realistic contamination
+        # is rare and AQE converts the small case to broadcast at
+        # runtime, but a hard hint would attempt an unbounded
+        # broadcast on an adversarially contaminated corpus.
         bad = flags.filter(F.col("contaminated")).select(id_col)
-        return quality.join(F.broadcast(bad), id_col, "left_anti")
+        return quality.join(bad, id_col, "left_anti")
 
     decontam = _stage(spark, catalog, "decontam", _decontam, report,
                       passthrough_of=quality if eval_df is None else None)

@@ -69,6 +69,20 @@ BANDS_TABLE = "dedup_bands"
 CLUSTERS_TABLE = "dedup_clusters"
 CORPUS_TABLE = "dedup_corpus"
 
+# Rows above which a side is no longer hint-broadcast (VERDICT r4 #5).
+# 2M single-column id rows is well under the default 8 GB broadcast
+# cap; beyond it the join falls back to shuffle and AQE still converts
+# to broadcast if the byte size turns out small.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _bounded_broadcast(df: DataFrame, n_rows: int, what: str) -> DataFrame:
+    """theil_sen-style explicit contract (operators/stats.py:255): the
+    broadcast hint applies only while the side is provably small;
+    a pathological batch degrades to a shuffle join instead of an
+    unbounded broadcast."""
+    return F.broadcast(df) if n_rows <= BROADCAST_ROW_LIMIT else df
+
 
 def batch_band_hashes(
     new_docs: DataFrame,
@@ -188,24 +202,30 @@ def incremental_near_dup_update(
 
     # touched committed clusters: any cluster owning a doc incident to
     # a new edge. Everything else is carried over untouched.
+    # Broadcast bound (VERDICT r4 #5): both sides are batch-candidate
+    # scale in normal operation, but a pathological batch that bridges
+    # very many committed clusters could exceed executor broadcast
+    # limits — so the hint is size-guarded (counts are cheap: the
+    # verified subtree is persisted) and degrades to a shuffle join
+    # that AQE may still convert.
     edge_docs = (
         edges.select(F.col("doc_a").alias("doc"))
         .unionByName(edges.select(F.col("doc_b").alias("doc")))
         .distinct()
-    )
+    ).persist()
+    edge_docs_b = _bounded_broadcast(edge_docs, edge_docs.count(), "edge_docs")
     touched_clusters = (
         old_clusters.join(
-            F.broadcast(edge_docs), old_clusters[id_col] == edge_docs.doc
+            edge_docs_b, old_clusters[id_col] == edge_docs.doc
         )
         .select("cluster")
         .distinct()
-    )
-    affected = old_clusters.join(
-        F.broadcast(touched_clusters), "cluster", "left_semi"
     ).persist()
-    untouched = old_clusters.join(
-        F.broadcast(touched_clusters), "cluster", "left_anti"
+    touched_b = _bounded_broadcast(
+        touched_clusters, touched_clusters.count(), "touched_clusters"
     )
+    affected = old_clusters.join(touched_b, "cluster", "left_semi").persist()
+    untouched = old_clusters.join(touched_b, "cluster", "left_anti")
     # star edges re-attach every affected member to its committed hub
     # (the cluster id is a doc id) so a new min reached anywhere in the
     # component floods it in <= 2 extra rounds.
@@ -235,6 +255,8 @@ def incremental_near_dup_update(
     )
     cand.unpersist()
     verified.unpersist()
+    edge_docs.unpersist()
+    touched_clusters.unpersist()
     affected.unpersist()
     return new_bands, out
 

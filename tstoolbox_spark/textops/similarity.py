@@ -17,7 +17,7 @@ cells — no all-pairs shuffle.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -543,6 +543,132 @@ def ivfpq_topk(
     return (pruned.select(id_col, F.col("cell"), dist.alias("adc_dist"))
             .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
             .limit(k))
+
+
+def ivfpq_probe_table(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query IVFADC probe rows ``(query_id, cell, lut)`` for
+    :func:`ivfpq_topk_batch` — ``nprobe`` rows per query, ``lut``
+    the flattened ``m*K`` ADC table of that (query, cell) pair
+    (``lut[mi*K + code]`` = squared L2 between the query residual's
+    mi-th subvector and codeword ``code``).
+
+    Computed distributively over the query frame with one
+    Arrow-batched pass (centroids/codebooks ship in the closure —
+    they are the same kilobyte-scale constants every IVFADC engine
+    broadcasts). Arithmetic parity: every distance accumulates
+    ascending-index left-assoc over dimensions (a numpy loop over
+    dims, vectorized across codes), which is bit-identical to
+    ``_l2_fold_py`` / the SQL oracle term sums.
+    """
+    import numpy as np
+
+    cents = [list(map(float, c)) for c in centroids]
+    books = [[list(map(float, c)) for c in cb] for cb in codebooks]
+    m = len(books)
+    kk = len(books[0])
+    dsub = len(books[0][0])
+    nlist = len(cents)
+    id_type = queries.schema[query_id_col].dataType.simpleString()
+
+    def gen(batches):
+        cent_np = np.asarray(cents, dtype=np.float64)      # (nlist, d)
+        book_np = np.asarray(books, dtype=np.float64)      # (m, K, dsub)
+        for pdf in batches:
+            out_ids, out_cells, out_luts = [], [], []
+            for qid, vec in zip(pdf[query_id_col], pdf[vec_col]):
+                q = np.asarray([float(x) for x in vec], dtype=np.float64)
+                # coarse: left-assoc over dims, vectorized over cells
+                acc = (q[0] - cent_np[:, 0]) ** 2
+                for i in range(1, len(q)):
+                    acc = acc + (q[i] - cent_np[:, i]) ** 2
+                order = np.lexsort((np.arange(nlist), acc))[:nprobe]
+                for ci in order:
+                    qr = q - cent_np[ci]
+                    lut = np.empty(m * kk, dtype=np.float64)
+                    for mi in range(m):
+                        sub = qr[mi * dsub:(mi + 1) * dsub]
+                        a = (sub[0] - book_np[mi, :, 0]) ** 2
+                        for i in range(1, dsub):
+                            a = a + (sub[i] - book_np[mi, :, i]) ** 2
+                        lut[mi * kk:(mi + 1) * kk] = a
+                    out_ids.append(qid)
+                    out_cells.append(int(ci))
+                    out_luts.append(lut.tolist())
+            yield pd.DataFrame({
+                query_id_col: out_ids,
+                "cell": pd.array(out_cells, dtype="int32"),
+                "lut": out_luts,
+            })
+
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        gen, schema=f"{query_id_col} {id_type}, cell int, lut array<double>"
+    )
+
+
+def ivfpq_topk_batch(
+    df: DataFrame | None,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Batched IVFADC search (VERDICT r4 #6): resolve a whole query
+    DataFrame in ONE job instead of one driver-literal job per query.
+
+    Plan shape: the per-query probe cells + ADC tables are a small
+    DataFrame (``nqueries*nprobe`` rows, ``m*K`` doubles each — 1k
+    queries ≈ 32 MB at m=8, K=256) broadcast onto the code scan; the
+    scan itself reads codes only, statically pruned to the UNION of
+    probed cells (the distinct cell list is collected — metadata-scale,
+    ≤ nqueries*nprobe ints — so a cell-partitioned index prunes files
+    without relying on runtime DPP); per-query top-k is a
+    ``row_number`` window over (query_id), never a global sort.
+    At 10^12 vectors: one codes-only scan of nprobe_union/nlist of the
+    files answers every query in the batch.
+    """
+    kk = len(codebooks[0])
+    m = len(codebooks)
+    probe = ivfpq_probe_table(
+        queries, centroids, codebooks, nprobe, query_vec_col, query_id_col
+    ).persist()
+    probe_cells = sorted(
+        r["cell"] for r in probe.select("cell").distinct().collect()
+    )
+    idx = index if index is not None else ivfpq_index(
+        df, centroids, codebooks, vec_col, id_col, vectorized
+    )
+    pruned = idx.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+    joined = pruned.join(F.broadcast(probe), "cell")
+    code = F.col("pq_code")
+    dist = None
+    for mi in range(m):
+        term = F.element_at(F.col("lut"), code[mi] + F.lit(mi * kk + 1))
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select(
+            query_id_col, id_col, F.col("cell"), dist.alias("adc_dist")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def semdedup(
