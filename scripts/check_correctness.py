@@ -91,7 +91,9 @@ def main() -> None:
             print("  duck :", e[neq].head(3).to_dict("records"))
         else:
             print(f"ok   {name}: rows={len(got)} values match")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    n_run = len([n for n in qs if not only or n in only])
+    print(f"\n{n_run - len(failures)}/{n_run} queries match"
+          + (f" (subset of {len(qs)})" if only else ""))
     if failures:
         sys.exit(1)
 

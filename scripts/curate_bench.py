@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Probe-gated bench for the composed curation funnel (VERDICT r4
+next-round #7): one `curate_corpus` run over the sf documents table
+with per-stage wall times, a crash-mid-funnel resume timing, and a
+fully-committed re-run timing — the same evidence discipline as the
+rollup pipeline's gated rolls.
+
+Usage: python scripts/curate_bench.py [--min-gbps G] [--sf-dir D]
+Appends one JSON line to BENCH/quiet_runs.jsonl tagged
+kind=curate_bench.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quiet_bench import probe_gbps  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-gbps", type=float, default=7.0)
+    ap.add_argument("--max-wait-min", type=float, default=30.0)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--crash-after", type=int, default=4,
+                    help="stages to commit before the simulated crash")
+    args = ap.parse_args()
+
+    deadline = time.time() + args.max_wait_min * 60
+    while True:
+        g = probe_gbps()
+        print(f"probe: {g:.1f} GB/s (need {args.min_gbps})", flush=True)
+        if g >= args.min_gbps:
+            break
+        if time.time() > deadline:
+            print("no quiet window within the wait budget", flush=True)
+            return 3
+        time.sleep(60)
+    before = g
+
+    from pyspark.sql import functions as F
+
+    from tstoolbox_spark.pipeline import curate
+    from tstoolbox_spark.pipeline.curate import CurationSpec, curate_corpus
+    from tstoolbox_spark.session import get_spark
+    from tstoolbox_spark.tables import ParquetSnapshotCatalog
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("curate_bench", parallelism=cpus)
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    # eval set: a deterministic slice of real corpus docs, so the
+    # decontamination stage has genuine 8-gram collisions to flag
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    # gopher knobs tuned for the synthetic hash-vocab corpus (the
+    # paper's English stopword rule zeroes it — the exact per-corpus
+    # tuning the operator's docstring anticipates); keeps ~86% so the
+    # whole funnel, mixture included, exercises realistically
+    spec = CurationSpec(
+        mixture={s: 1.0 / len(sources) for s in sources},
+        gopher_kwargs={"min_words": 20, "min_stopword_hits": 1,
+                       "stopwords": ["a", "the"]},
+    )
+
+    work = tempfile.mkdtemp(prefix="curate_bench_")
+    rec: dict = {"kind": "curate_bench",
+                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                 "sf_dir": args.sf_dir, "cpus": cpus, "n_docs": n_docs,
+                 "probe_before_gbps": round(before, 2)}
+    try:
+        # ---- cold full run --------------------------------------------
+        cat = ParquetSnapshotCatalog(os.path.join(work, "cold"))
+        t0 = time.time()
+        report = curate_corpus(spark, docs, cat, spec, eval_df=eval_df)
+        rec["cold_total_s"] = round(time.time() - t0, 2)
+        rec["stages"] = {k: v for k, v in report.items()}
+
+        # ---- crash after N stage commits, then resume -----------------
+        cat2 = ParquetSnapshotCatalog(os.path.join(work, "crash"))
+        orig_stage = curate._stage
+        built = {"n": 0}
+
+        def crashing_stage(spark_, catalog_, name, build, report_, **kw):
+            out = orig_stage(spark_, catalog_, name, build, report_, **kw)
+            if not report_[name].get("resumed") and not report_[name].get("skipped"):
+                built["n"] += 1
+                if built["n"] >= args.crash_after:
+                    raise RuntimeError("simulated crash")
+            return out
+
+        curate._stage = crashing_stage
+        t0 = time.time()
+        try:
+            curate_corpus(spark, docs, cat2, spec, eval_df=eval_df)
+        except RuntimeError:
+            pass
+        finally:
+            curate._stage = orig_stage
+        rec["pre_crash_s"] = round(time.time() - t0, 2)
+        rec["stages_committed_at_crash"] = built["n"]
+
+        t0 = time.time()
+        report2 = curate_corpus(spark, docs, cat2, spec, eval_df=eval_df)
+        rec["resume_total_s"] = round(time.time() - t0, 2)
+        rec["resumed_stages"] = [k for k, v in report2.items()
+                                 if v.get("resumed")]
+
+        # ---- fully-committed re-run (pure metadata resume) ------------
+        t0 = time.time()
+        curate_corpus(spark, docs, cat, spec, eval_df=eval_df)
+        rec["full_rerun_s"] = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    rec["probe_after_gbps"] = round(probe_gbps(), 2)
+    out = os.path.join(REPO, "BENCH", "quiet_runs.jsonl")
+    with open(out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

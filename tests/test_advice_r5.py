@@ -71,6 +71,29 @@ def test_decontam_join_carries_no_broadcast_hint():
     assert "F.broadcast" not in src[start:end]
 
 
+def test_batch_candidates_history_never_shuffles(spark):
+    """O(batch) fold contract: with the batch side broadcast, the
+    committed band table must stream through BroadcastHashJoins —
+    zero shuffle (SortMergeJoin) of history per fold."""
+    rows = [(i, f"w{i//3} x y z q r s t u v") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from pyspark.sql import functions as F
+
+    from tstoolbox_spark.pipeline.incremental_dedup import (
+        _batch_candidates,
+        batch_band_hashes,
+    )
+
+    old = batch_band_hashes(docs.filter(F.col("doc_id") % 2 == 0)).localCheckpoint()
+    new = batch_band_hashes(docs.filter(F.col("doc_id") % 2 == 1)).persist()
+    new.count()
+    cand = _batch_candidates(new, old, broadcast_new=True)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    new.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # VERDICT r4 #1 — tau must be emitted at representable magnitude
 # ---------------------------------------------------------------------------

@@ -37,6 +37,7 @@ vocab map join to use a trained ``learn_bpe`` table).
 
 from __future__ import annotations
 
+import time as _time
 from collections.abc import Mapping
 from dataclasses import dataclass, field
 
@@ -112,9 +113,12 @@ def _stage(
         return passthrough_of
     table = f"curate_{name}"
     if catalog.exists(table):
+        t0 = _time.time()
         out = catalog.read(spark, table)
-        report[name] = {"rows": out.count(), "resumed": True}
+        report[name] = {"rows": out.count(), "resumed": True,
+                        "secs": round(_time.time() - t0, 2)}
         return out
+    t0 = _time.time()
     df = build()
 
     # lineage row built off range(1), NOT off the stage data — a stage
@@ -143,7 +147,8 @@ def _stage(
          "expected_current": expected_l},
     ])
     out = catalog.read(spark, table)
-    report[name] = {"rows": n, "resumed": False}
+    report[name] = {"rows": n, "resumed": False,
+                    "secs": round(_time.time() - t0, 2)}
     return out
 
 

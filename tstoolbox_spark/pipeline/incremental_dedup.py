@@ -103,13 +103,24 @@ def batch_band_hashes(
 
 
 def _batch_candidates(
-    new_bands: DataFrame, old_bands: DataFrame | None
+    new_bands: DataFrame,
+    old_bands: DataFrame | None,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) touching the batch:
     batch×batch from a self-join of the batch's band rows, plus
     batch×history from one equi-join against the committed band
-    table. History×history pairs are never regenerated."""
-    a, b = new_bands.alias("a"), new_bands.alias("b")
+    table. History×history pairs are never regenerated.
+
+    With ``broadcast_new`` (set by the caller when the batch's band
+    rows are provably small), the batch side is broadcast onto the
+    history scan, so the committed band table — O(corpus) rows —
+    STREAMS through a BroadcastHashJoin and never shuffles. Without
+    it the fold pays an O(corpus) band-table shuffle per batch, which
+    is the difference between O(batch) and O(corpus) fold cost at
+    10^12 docs (measured: scripts/incremental_fold_ladder.py)."""
+    nb_hint = F.broadcast(new_bands) if broadcast_new else new_bands
+    a, b = nb_hint.alias("a"), new_bands.alias("b")
     nn = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a.doc") < F.col("b.doc"))
@@ -119,7 +130,7 @@ def _batch_candidates(
         return nn.distinct()
     o = old_bands.alias("o")
     no = (
-        new_bands.alias("nb").join(o, ["band", "bh"])
+        nb_hint.alias("nb").join(o, ["band", "bh"])
         .filter(F.col("nb.doc") != F.col("o.doc"))
         .select(
             F.least(F.col("nb.doc"), F.col("o.doc")).alias("doc_a"),
@@ -164,8 +175,15 @@ def incremental_near_dup_update(
 
     new_bands = batch_band_hashes(
         new_docs, text_col, id_col, n, threshold, k, bands, rows
-    )
-    cand = _batch_candidates(new_bands, old_bands).persist()
+    ).persist()
+    # batch band rows = |batch| x bands — counting them is one
+    # batch-scale job and licenses the broadcast that keeps the
+    # committed band table (O(corpus)) from shuffling every fold
+    n_band_rows = new_bands.count()
+    cand = _batch_candidates(
+        new_bands, old_bands,
+        broadcast_new=n_band_rows <= BROADCAST_ROW_LIMIT,
+    ).persist()
     docs_union = (
         new_docs.select(id_col, text_col)
         if old_docs is None
@@ -187,7 +205,9 @@ def incremental_near_dup_update(
     # Returning the lazy DAG instead re-executes the whole
     # candidates→verify subtree uncached at every later evaluation —
     # measured 10-30x fold slowdowns growing with corpus size.
+    _nb_cached = new_bands
     new_bands = new_bands.localCheckpoint()
+    _nb_cached.unpersist()
     if old_clusters is None:
         seed = new_ids.withColumn("label", F.col("doc"))
         labels = hashmin_propagate(seed, edges, max_iter)
