@@ -188,3 +188,35 @@ def test_byte_stats_known_payloads(spark):
     assert c["entropy_q6"] == 0 and c["nul_ratio"] == 1.0
     t = out["text"]
     assert t["printable_ratio"] == 1.0 and t["distinct_bytes"] == 2
+
+
+def test_byte_stats_vectorized_matches_explode_path(spark):
+    """The Arrow-histogram default must be value-identical to the
+    explode path (same integer counts, same per-term doubles),
+    including dropping NULL/empty payloads, and its plan must carry
+    no per-byte exchange."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from tstoolbox_spark.multimodal import byte_stats
+
+    sch = T.StructType(
+        [T.StructField("asset_id", T.StringType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    rows = [
+        ("a", bytes(range(256)) * 3),
+        ("b", b"hello world\x00\x00"),
+        ("c", b"\xff" * 100),
+        ("empty", b""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, sch)
+    vec = byte_stats(df, vectorized=True)
+    a = vec.toPandas().sort_values("asset_id").reset_index(drop=True)
+    b = (byte_stats(df, vectorized=False)
+         .toPandas().sort_values("asset_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["asset_id"]) == {"a", "b", "c"}
+    plan = vec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
