@@ -35,6 +35,11 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--crash-after", type=int, default=4,
                     help="stages to commit before the simulated crash")
+    ap.add_argument("--synth-docs", type=int, default=0,
+                    help="instead of the sf documents table, run over a "
+                         "synthetic hash-vocab corpus of this many docs "
+                         "(the fold-ladder generator + a source column) — "
+                         "the funnel's own scale ladder")
     args = ap.parse_args()
 
     deadline = time.time() + args.max_wait_min * 60
@@ -58,26 +63,45 @@ def main() -> int:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("curate_bench", parallelism=cpus)
-    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    work = tempfile.mkdtemp(prefix="curate_bench_")
+    if args.synth_docs:
+        from incremental_dedup_scale import synth_docs
+
+        raw = synth_docs(spark, args.synth_docs).withColumn(
+            "source",
+            F.concat(F.lit("src"),
+                     (F.crc32(F.col("doc_id").cast("binary")) % 20).cast("string")),
+        )
+        docs_path = os.path.join(work, "docs")
+        raw.write.parquet(docs_path)
+        docs = spark.read.parquet(docs_path)
+        gopher_kwargs = {"min_words": 10, "min_stopword_hits": 0}
+    else:
+        docs = spark.read.parquet(
+            os.path.join(args.sf_dir, "documents.parquet"))
+        # gopher knobs tuned for the synthetic hash-vocab corpus (the
+        # paper's English stopword rule zeroes it — the exact
+        # per-corpus tuning the operator's docstring anticipates);
+        # keeps ~86% so the whole funnel, mixture included, exercises
+        # realistically
+        gopher_kwargs = {"min_words": 20, "min_stopword_hits": 1,
+                         "stopwords": ["a", "the"]}
     n_docs = docs.count()
     # eval set: a deterministic slice of real corpus docs, so the
     # decontamination stage has genuine 8-gram collisions to flag
-    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    eval_df = (docs.filter(F.crc32(F.col("doc_id").cast("binary")) % 97 == 0)
+               if args.synth_docs
+               else docs.filter(F.col("doc_id") % 97 == 0)
+               ).select("doc_id", "text")
     sources = [r["source"] for r in docs.select("source").distinct().collect()]
-    # gopher knobs tuned for the synthetic hash-vocab corpus (the
-    # paper's English stopword rule zeroes it — the exact per-corpus
-    # tuning the operator's docstring anticipates); keeps ~86% so the
-    # whole funnel, mixture included, exercises realistically
     spec = CurationSpec(
         mixture={s: 1.0 / len(sources) for s in sources},
-        gopher_kwargs={"min_words": 20, "min_stopword_hits": 1,
-                       "stopwords": ["a", "the"]},
+        gopher_kwargs=gopher_kwargs,
     )
-
-    work = tempfile.mkdtemp(prefix="curate_bench_")
     rec: dict = {"kind": "curate_bench",
                  "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                 "sf_dir": args.sf_dir, "cpus": cpus, "n_docs": n_docs,
+                 "sf_dir": ("synthetic" if args.synth_docs else args.sf_dir),
+                 "cpus": cpus, "n_docs": n_docs,
                  "probe_before_gbps": round(before, 2)}
     try:
         # ---- cold full run --------------------------------------------
