@@ -173,3 +173,29 @@ def test_semdedup_precomputed_cells_match_default(spark):
     b = semdedup(emb, cents, threshold=0.35, cells=cells).orderBy(
         "vec_id").collect()
     assert a == b
+
+
+def test_semdedup_vectorized_matches_join_path(spark):
+    """The Arrow gram-matrix default must produce EXACTLY the join
+    path's dominated set (per-dim left-assoc accumulation is
+    bit-identical to the _dot fold)."""
+    import numpy as np
+    import pandas as pd
+
+    from tstoolbox_spark.textops.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base_vecs = rng.normal(size=(10, 8)).astype(np.float32)
+    # plant near-duplicates: rows 20+ are tiny perturbations of base
+    rows = []
+    for i in range(60):
+        v = base_vecs[i % 10] + (i // 10) * 1e-3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    cents = [[float(x) for x in base_vecs[i]] for i in range(3)]
+    a = (semdedup(emb, cents, threshold=0.98, vectorized=True)
+         .toPandas().sort_values("vec_id").reset_index(drop=True))
+    b = (semdedup(emb, cents, threshold=0.98, vectorized=False)
+         .toPandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (~a["kept"]).sum() > 0  # the planted dups actually dropped
