@@ -61,9 +61,17 @@ def bm25_topk(
         words(F.col(text_col)).alias("ws"),
     )
     dl = base.select("doc_id", F.size("ws").alias("dl"))
+    # filter INSIDE the array before exploding: the generator then
+    # emits only query-term hits (a handful per doc) instead of one
+    # row per word of the corpus — the isin predicate does not push
+    # through explode on its own
     tf = (
-        base.select("doc_id", F.explode("ws").alias("w"))
-        .where(F.col("w").isin(terms))
+        base.select(
+            "doc_id",
+            F.explode(
+                F.filter("ws", lambda w: w.isin(*terms))
+            ).alias("w"),
+        )
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
     )
