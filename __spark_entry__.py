@@ -46,6 +46,44 @@ from tstoolbox_spark.operators.window import (
 
 DEC = "decimal(28,2)"
 
+# Engine-identical exact-integer → double conversion (round-5 review
+# finding): a direct CAST of a >2^53 DECIMAL(38,0)/HUGEINT to DOUBLE
+# is NOT correctly rounded in DuckDB (its int128→double goes through
+# two-step upper*2^64+lower double arithmetic — measured ~9% 1-ulp
+# divergence from Spark's correctly-rounded BigDecimal path on random
+# ~110-bit integers). These helpers instead split |x| into three limbs
+# at 2^48/2^96 with integral div/mod (each limb < 2^53 → exact cast on
+# any engine) and reassemble in double arithmetic — the SAME IEEE ops
+# on both engines, so the resulting double is bit-identical by
+# construction (fuzzed over 2002 random 38-digit values incl. the
+# known-divergent 734876423906250961217697179948902048: 0 mismatches).
+_P96 = "79228162514264337593543950336"  # 2^96
+_P48 = "281474976710656"                # 2^48
+_T96 = "7.922816251426434e28"           # 2^96 as an exact double
+_T48 = "2.81474976710656e14"            # 2^48 as an exact double
+
+
+def _d2d_spark(col: str) -> str:
+    """Spark SQL expression: exact DECIMAL(38,0) → engine-stable double."""
+    return (
+        "(CASE WHEN {c} < 0 THEN -1.0 ELSE 1.0 END) * "
+        "((CAST(ABS({c}) div CAST('{p96}' AS DECIMAL(38,0)) AS DOUBLE) * {t96}"
+        " + CAST((ABS({c}) % CAST('{p96}' AS DECIMAL(38,0)))"
+        " div CAST({p48} AS DECIMAL(38,0)) AS DOUBLE) * {t48})"
+        " + CAST(ABS({c}) % CAST({p48} AS DECIMAL(38,0)) AS DOUBLE))"
+    ).format(c=col, p96=_P96, p48=_P48, t96=_T96, t48=_T48)
+
+
+def _d2d_duck(col: str) -> str:
+    """DuckDB expression: exact HUGEINT → the same engine-stable double."""
+    return (
+        "(CASE WHEN {c} < 0 THEN -1.0 ELSE 1.0 END) * "
+        "((CAST(ABS({c}) // CAST('{p96}' AS HUGEINT) AS DOUBLE) * {t96}"
+        " + CAST((ABS({c}) % CAST('{p96}' AS HUGEINT))"
+        " // CAST({p48} AS HUGEINT) AS DOUBLE) * {t48})"
+        " + CAST(ABS({c}) % CAST({p48} AS HUGEINT) AS DOUBLE))"
+    ).format(c=col, p96=_P96, p48=_P48, t96=_T96, t48=_T48)
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -513,39 +551,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["peak_detection_rel2"] = q_peaks
 
     def q_trend(s, d):
-        # OLS slope/intercept per event_type over (epoch seconds,
+        # OLS slope/intercept per event_type over (floor-seconds,
         # value). All moment sums route through EXACT INTEGER
-        # arithmetic — x as BIGINT microseconds, value quantized to
+        # arithmetic — x as FLOOR(epoch seconds) (second-quantized so
+        # den = n*sxx - sx² stays ≤ ~1e34 even at 10^9-row groups;
+        # micro-second x overflowed DECIMAL(38,0) beyond ~1e7-row
+        # year-span groups — r5 review finding), value quantized to
         # integer micro-units (identical ROUND-away-from-zero of the
         # same IEEE product on both engines) — because per-row
         # double→DECIMAL(38,6) casts round DIFFERENTLY in Spark
         # (exact BigDecimal) vs DuckDB (double multiply), which the
         # r5 full-precision gate exposed (VERDICT r4 #2). Integer
         # sums are order-free and bit-identical; the closing
-        # num/den→double casts are correctly rounded on both engines
-        # (verified bit-exact), so slope/intercept hash-match at
-        # %.17g. Units: slope is value per SECOND (µvalue/µs ≡ v/s).
+        # exact-int→double conversions go through the 3-limb split
+        # (_d2d_spark/_d2d_duck — DuckDB's direct HUGEINT→DOUBLE cast
+        # is not correctly rounded), so slope/intercept hash-match at
+        # %.17g by construction. slope is value per second.
         ev = _events(s, d).select("event_type", "ts", "value")
         D38 = "decimal(38,0)"
         x_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)
+        x_s = F.floor(x_us.cast("double") / F.lit(1000000.0)).cast("long")
         vq = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
         agg = ev.groupBy("event_type").agg(
             F.count("*").alias("n"),
-            F.sum(x_us.cast(D38)).alias("sx"),
+            F.sum(x_s.cast(D38)).alias("sx"),
             F.sum(vq.cast(D38)).alias("sy"),
-            F.sum(x_us.cast(D38) * vq).alias("sxy"),
-            F.sum(x_us.cast(D38) * x_us).alias("sxx"),
+            F.sum(x_s.cast(D38) * vq).alias("sxy"),
+            F.sum(x_s.cast(D38) * x_s).alias("sxx"),
         )
-        nD = F.col("n").cast(D38)
-        num = nD * F.col("sxy") - F.col("sx") * F.col("sy")
-        den = nD * F.col("sxx") - F.col("sx") * F.col("sx")
-        slope = num.cast("double") / den.cast("double")
-        intercept = (
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
-        ) / F.lit(1000000.0)
-        return agg.select(
-            "event_type", slope.alias("slope"), intercept.alias("intercept")
+        t = agg.selectExpr(
+            "event_type", "n", "sx", "sy",
+            "CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS num",
+            "CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS den",
+        )
+        return t.selectExpr(
+            "event_type",
+            f"({_d2d_spark('num')}) / ({_d2d_spark('den')}) / 1000000.0"
+            " AS slope",
+            f"((({_d2d_spark('sy')}) - ({_d2d_spark('num')})"
+            f" / ({_d2d_spark('den')}) * ({_d2d_spark('sx')}))"
+            " / CAST(n AS DOUBLE)) / 1000000.0 AS intercept",
         )
 
     q["linear_trend"] = q_trend
@@ -948,39 +993,45 @@ def _verb_queries_round2() -> dict[str, Callable[[SparkSession, str], DataFrame]
     def q_detrend(s, d):
         """remove_trend: per-row OLS residual v - (slope*x + intercept)
         per event_type (ref remove_trend.py:111); slope/intercept from
-        the same EXACT-INTEGER moment sums as linear_trend (bigint µs ×
-        micro-quantized value — per-row double→decimal casts diverge
-        between engines, VERDICT r4 #2), broadcast back over the key.
-        Given bit-identical slope/intercept, the per-row residual is
-        the same deterministic IEEE expression on both engines."""
+        the same EXACT-INTEGER moment sums as linear_trend
+        (floor-second x × micro-quantized value; per-row
+        double→decimal casts diverge between engines, VERDICT r4 #2;
+        exact-int→double via the 3-limb split — DuckDB's HUGEINT cast
+        is not correctly rounded), broadcast back over the key. Given
+        bit-identical slope/intercept, the per-row residual is the
+        same deterministic IEEE expression on both engines (x for the
+        residual is the SAME floor-second integer the fit used,
+        exactly double-representable)."""
         ev = _events(s, d).select("event_id", "event_type", "ts", "value")
         D38 = "decimal(38,0)"
         x_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(1704067200000000)
+        x_s = F.floor(x_us.cast("double") / F.lit(1000000.0)).cast("long")
         vq = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
         sums = ev.groupBy("event_type").agg(
             F.count("*").alias("n"),
-            F.sum(x_us.cast(D38)).alias("sx"),
+            F.sum(x_s.cast(D38)).alias("sx"),
             F.sum(vq.cast(D38)).alias("sy"),
-            F.sum(x_us.cast(D38) * vq).alias("sxy"),
-            F.sum(x_us.cast(D38) * x_us).alias("sxx"),
+            F.sum(x_s.cast(D38) * vq).alias("sxy"),
+            F.sum(x_s.cast(D38) * x_s).alias("sxx"),
         )
-        nD = F.col("n").cast(D38)
-        num = nD * F.col("sxy") - F.col("sx") * F.col("sy")
-        den = nD * F.col("sxx") - F.col("sx") * F.col("sx")
-        slope = num.cast("double") / den.cast("double")
-        intercept = (
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
-        ) / F.lit(1000000.0)
-        fit = sums.select(
-            "event_type", slope.alias("__slope"), intercept.alias("__icpt")
+        fit = sums.selectExpr(
+            "event_type", "n", "sx", "sy",
+            "CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS num",
+            "CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS den",
+        ).selectExpr(
+            "event_type",
+            f"({_d2d_spark('num')}) / ({_d2d_spark('den')}) / 1000000.0"
+            " AS __slope",
+            f"((({_d2d_spark('sy')}) - ({_d2d_spark('num')})"
+            f" / ({_d2d_spark('den')}) * ({_d2d_spark('sx')}))"
+            " / CAST(n AS DOUBLE)) / 1000000.0 AS __icpt",
         )
         j = ev.join(F.broadcast(fit), "event_type")
-        x_s = x_us.cast("double") / F.lit(1000000.0)
         return j.select(
             "event_id",
             "event_type",
-            (F.col("value") - (F.col("__slope") * x_s + F.col("__icpt")))
+            (F.col("value")
+             - (F.col("__slope") * x_s.cast("double") + F.col("__icpt")))
             .alias("value_detrend"),
         )
 
@@ -1511,32 +1562,34 @@ def oracle_sql() -> dict[str, str]:
                wa AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)
     """
-    o["linear_trend"] = """
+    o["linear_trend"] = f"""
         WITH b AS (
           SELECT event_type,
-                 CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) AS x_us,
+                 CAST(FLOOR(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE)
+                            / 1000000.0) AS HUGEINT) AS x_s,
                  CAST(ROUND(value * 1000000.0) AS HUGEINT) AS vq
           FROM events),
         s AS (
           SELECT event_type, COUNT(*) AS n,
-                 SUM(CAST(x_us AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(x_s AS DECIMAL(38,0))) AS sx,
                  SUM(CAST(vq AS DECIMAL(38,0))) AS sy,
-                 SUM(CAST(x_us * vq AS DECIMAL(38,0))) AS sxy,
-                 SUM(CAST(x_us * x_us AS DECIMAL(38,0))) AS sxx
+                 SUM(CAST(x_s * vq AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x_s * x_s AS DECIMAL(38,0))) AS sxx
           FROM b GROUP BY event_type),
         t AS (
-          SELECT event_type, n, sx, sy,
+          SELECT event_type, n,
+                 CAST(sx AS HUGEINT) AS sx, CAST(sy AS HUGEINT) AS sy,
                  CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
                    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
                  CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
                    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
           FROM s)
         SELECT event_type,
-               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
-               ((CAST(sy AS DOUBLE)
-                 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
-                 / 1000000.0 AS intercept
+               ({_d2d_duck('num')}) / ({_d2d_duck('den')}) / 1000000.0
+                 AS slope,
+               ((({_d2d_duck('sy')}) - ({_d2d_duck('num')})
+                 / ({_d2d_duck('den')}) * ({_d2d_duck('sx')}))
+                / CAST(n AS DOUBLE)) / 1000000.0 AS intercept
         FROM t
     """
     o["equation_expr"] = """
@@ -1731,37 +1784,38 @@ def _verb_oracles_round2() -> dict[str, str]:
         WINDOW wk AS (PARTITION BY event_type)
     """
 
-    o["detrend_residuals"] = """
+    o["detrend_residuals"] = f"""
         WITH b AS (
           SELECT event_id, event_type, value,
-                 CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) AS x_us,
+                 CAST(FLOOR(CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE)
+                            / 1000000.0) AS HUGEINT) AS x_s,
                  CAST(ROUND(value * 1000000.0) AS HUGEINT) AS vq
           FROM events),
         s AS (
           SELECT event_type, COUNT(*) AS n,
-                 SUM(CAST(x_us AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(x_s AS DECIMAL(38,0))) AS sx,
                  SUM(CAST(vq AS DECIMAL(38,0))) AS sy,
-                 SUM(CAST(x_us * vq AS DECIMAL(38,0))) AS sxy,
-                 SUM(CAST(x_us * x_us AS DECIMAL(38,0))) AS sxx
+                 SUM(CAST(x_s * vq AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x_s * x_s AS DECIMAL(38,0))) AS sxx
           FROM b GROUP BY event_type),
         t AS (
-          SELECT event_type,
+          SELECT event_type, n,
+                 CAST(sx AS HUGEINT) AS sx, CAST(sy AS HUGEINT) AS sy,
                  CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
                    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
                  CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
-                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
-                 sx, sy, n
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
           FROM s),
         f AS (
           SELECT event_type,
-                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
-                 ((CAST(sy AS DOUBLE)
-                   - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
-                   / 1000000.0 AS icpt
+                 ({_d2d_duck('num')}) / ({_d2d_duck('den')}) / 1000000.0
+                   AS slope,
+                 ((({_d2d_duck('sy')}) - ({_d2d_duck('num')})
+                   / ({_d2d_duck('den')}) * ({_d2d_duck('sx')}))
+                  / CAST(n AS DOUBLE)) / 1000000.0 AS icpt
           FROM t)
         SELECT b.event_id, b.event_type,
-               b.value - (f.slope * (CAST(b.x_us AS DOUBLE) / 1000000.0)
+               b.value - (f.slope * CAST(b.x_s AS DOUBLE)
                           + f.icpt) AS value_detrend
         FROM b JOIN f ON f.event_type = b.event_type
     """

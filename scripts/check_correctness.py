@@ -91,7 +91,15 @@ def main() -> None:
             print("  duck :", e[neq].head(3).to_dict("records"))
         else:
             print(f"ok   {name}: rows={len(got)} values match")
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            sys.exit(2)
     n_run = len([n for n in qs if not only or n in only])
+    if n_run == 0:
+        print("no queries selected")
+        sys.exit(2)
     print(f"\n{n_run - len(failures)}/{n_run} queries match"
           + (f" (subset of {len(qs)})" if only else ""))
     if failures:

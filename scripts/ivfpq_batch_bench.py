@@ -1,15 +1,18 @@
 #!/usr/bin/env python
 """Batched-IVFADC evidence (VERDICT r4 next-round #6 'Done'
-criterion): a 1k-query batch resolves in ONE job over a materialized,
-cell-partitioned index with a codes-only scan.
+criterion): a whole query batch resolves through ONE codes-only scan
+over a materialized cell-partitioned index — no per-query driver
+jobs.
 
 Builds a synthetic corpus (sf embeddings tiled with deterministic
 jitter to ``--corpus`` vectors), trains nothing (centroids/codebooks
 pinned to corpus rows, same scheme as the driver query), materializes
 ``ivfpq_index`` partitioned by cell, then resolves ``--queries``
-query vectors through ``ivfpq_topk_batch`` and reports wall seconds,
-the Spark job count consumed by the batch resolve, and the plan's
-scan schema. Appends one JSON line to BENCH/quiet_runs.jsonl tagged
+query vectors through ``ivfpq_topk_batch``. ``resolve_s`` times the
+WHOLE resolve — probe-table build + scan + per-query top-k; the
+one-scan claim is evidenced from the executed plan (all index
+FileScans read codes only, with the union-of-probes partition
+filter). Appends one JSON line to BENCH/quiet_runs.jsonl tagged
 kind=ivfpq_batch.
 
 Usage: python scripts/ivfpq_batch_bench.py [--queries 1000]
@@ -94,13 +97,9 @@ def main() -> int:
             base.filter(F.col("vec_id") < args.queries)
             .select(F.col("vec_id").alias("query_id"), "embedding")
         )
-        sc = spark.sparkContext
-        tracker = sc.statusTracker()
-        jobs_before = len(tracker.getJobIdsForGroup(None) or []) \
-            if hasattr(tracker, "getJobIdsForGroup") else None
+        t0 = time.time()
         out = ivfpq_topk_batch(None, queries, cents, books, k=args.k,
                                nprobe=args.nprobe, index=idx)
-        t0 = time.time()
         n_out = out.count()
         resolve_s = round(time.time() - t0, 2)
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -122,7 +121,6 @@ def main() -> int:
             "codes_only_scan": codes_only,
             "queries_per_s": round(args.queries / resolve_s, 1),
         }
-        _ = jobs_before
         with open(os.path.join(REPO, "BENCH", "quiet_runs.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)

@@ -51,6 +51,8 @@ clusters), not O(corpus).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,8 +82,16 @@ def _bounded_broadcast(df: DataFrame, n_rows: int, what: str) -> DataFrame:
     """theil_sen-style explicit contract (operators/stats.py:255): the
     broadcast hint applies only while the side is provably small;
     a pathological batch degrades to a shuffle join instead of an
-    unbounded broadcast."""
-    return F.broadcast(df) if n_rows <= BROADCAST_ROW_LIMIT else df
+    unbounded broadcast (and says so — a silent degrade would leave
+    no trace of which site fell back)."""
+    if n_rows <= BROADCAST_ROW_LIMIT:
+        return F.broadcast(df)
+    logging.getLogger(__name__).warning(
+        "incremental_dedup: %s has %d rows (> %d) — broadcast hint "
+        "dropped, falling back to a shuffle join",
+        what, n_rows, BROADCAST_ROW_LIMIT,
+    )
+    return df
 
 
 def batch_band_hashes(
@@ -205,9 +215,13 @@ def incremental_near_dup_update(
     # Returning the lazy DAG instead re-executes the whole
     # candidates→verify subtree uncached at every later evaluation —
     # measured 10-30x fold slowdowns growing with corpus size.
+    # NOTE: _nb_cached stays cached until the END of the fold — the
+    # candidate/verify subtrees reference it in three places (both
+    # sides of the batch self-join + the history join) and only
+    # materialize later; unpersisting here would throw the cache away
+    # before its actual consumers run (round-5 review finding).
     _nb_cached = new_bands
     new_bands = new_bands.localCheckpoint()
-    _nb_cached.unpersist()
     if old_clusters is None:
         seed = new_ids.withColumn("label", F.col("doc"))
         labels = hashmin_propagate(seed, edges, max_iter)
@@ -218,6 +232,7 @@ def incremental_near_dup_update(
         ).localCheckpoint()
         cand.unpersist()
         verified.unpersist()
+        _nb_cached.unpersist()
         return new_bands, out
 
     # touched committed clusters: any cluster owning a doc incident to
@@ -275,6 +290,7 @@ def incremental_near_dup_update(
     )
     cand.unpersist()
     verified.unpersist()
+    _nb_cached.unpersist()
     edge_docs.unpersist()
     touched_clusters.unpersist()
     affected.unpersist()

@@ -642,11 +642,20 @@ def ivfpq_topk_batch(
     """
     kk = len(codebooks[0])
     m = len(codebooks)
-    probe = ivfpq_probe_table(
+    # materialize the probe table on the driver: it is BOUNDED
+    # (nqueries*nprobe rows x m*K doubles — ~32 MB for 1k queries at
+    # m=8, K=256, the size any broadcast side must fit anyway) and
+    # re-creating it as a local relation avoids both a leaked persist
+    # (no unpersist handle once the result frame is returned) and a
+    # second distributed pass for the distinct probed cells.
+    probe_pdf = ivfpq_probe_table(
         queries, centroids, codebooks, nprobe, query_vec_col, query_id_col
-    ).persist()
-    probe_cells = sorted(
-        r["cell"] for r in probe.select("cell").distinct().collect()
+    ).toPandas()
+    probe_cells = sorted(int(c) for c in set(probe_pdf["cell"]))
+    id_type = queries.schema[query_id_col].dataType.simpleString()
+    probe = queries.sparkSession.createDataFrame(
+        probe_pdf,
+        schema=f"{query_id_col} {id_type}, cell int, lut array<double>",
     )
     idx = index if index is not None else ivfpq_index(
         df, centroids, codebooks, vec_col, id_col, vectorized
@@ -742,9 +751,23 @@ def semdedup(
 
         id_type = df.schema[id_col].dataType.simpleString()
         thr = float(threshold)
+        # memory contract (theil_sen style, stats.py:255): one dense
+        # n_cell² float64 matrix lives in the Python worker. 20k rows
+        # = 3.2 GB; beyond that the right fix is more centroids (the
+        # SemDeDup paper scales k with the corpus so cells stay
+        # bounded), or vectorized=False to stream pairs through the
+        # join at O(n) memory. Refuse rather than OOM the executor.
+        max_cell = 20_000
 
         def _dominate(key, pdf):
             n = len(pdf)
+            if n > max_cell:
+                raise ValueError(
+                    f"semdedup: cell {key[0]} has {n} rows (> {max_cell}); "
+                    "use more centroids (bounded cells are the SemDeDup "
+                    "contract) or vectorized=False for the O(n)-memory "
+                    "join path"
+                )
             if n < 2:
                 return pd.DataFrame({id_col: pd.Series([], dtype="object")})
             V = np.stack([
@@ -757,13 +780,26 @@ def semdedup(
             nn = np.sqrt(nn)
             G = np.zeros((n, n))
             for i in range(V.shape[1]):
-                G = G + V[:, i, None] * V[None, :, i]
-            cos = G / (nn[:, None] * nn[None, :])
-            iu = np.triu_indices(n, k=1)
-            hit = cos[iu] >= thr
-            p, q = iu[0][hit], iu[1][hit]
-            if len(p) == 0:
+                G += V[:, i, None] * V[None, :, i]
+            # cosine in place, one row at a time: G[i,j] /= nn[i]*nn[j]
+            # — same per-entry (na*nb then divide) arithmetic as the
+            # JVM pair expression, without materializing a second n²
+            # matrix for the denominator
+            for i in range(n):
+                G[i, :] /= nn[i] * nn
+            # row-wise upper-triangle scan: triu_indices would
+            # materialize n(n-1)/2 index pairs (3.2 GB at the 20k
+            # bound) — this keeps extra memory at O(hits)
+            ps, qs = [], []
+            for i in range(n - 1):
+                js = np.nonzero(G[i, i + 1:] >= thr)[0]
+                if js.size:
+                    ps.append(np.full(js.size, i))
+                    qs.append(js + (i + 1))
+            if not ps:
                 return pd.DataFrame({id_col: pd.Series([], dtype="object")})
+            p = np.concatenate(ps)
+            q = np.concatenate(qs)
             cc = pdf["cent_cos"].to_numpy(dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             p_loses = (cc[p] > cc[q]) | ((cc[p] == cc[q]) & (ids[p] > ids[q]))
